@@ -1,0 +1,21 @@
+from etl_spark.cdc.changelog import (
+    CHANGELOG_SCHEMA,
+    CHANGELOG_SCHEMA_V0,
+    TRANSCRIPTS_SCHEMA,
+    ChangelogSpec,
+    generate_changelog,
+    write_changelog,
+)
+from etl_spark.cdc.apply import apply_batch, dedup_last_writer_wins, replay
+
+__all__ = [
+    "CHANGELOG_SCHEMA",
+    "CHANGELOG_SCHEMA_V0",
+    "TRANSCRIPTS_SCHEMA",
+    "ChangelogSpec",
+    "generate_changelog",
+    "write_changelog",
+    "apply_batch",
+    "dedup_last_writer_wins",
+    "replay",
+]

@@ -1,0 +1,230 @@
+"""Deterministic synthetic binlog/WAL changelog over conversation transcripts.
+
+Plays the role of the reference's fake-data load generator
+(/root/reference/examples/generate.go:13-103) generalized from insert-only
+rows to full I/U/D change events, and of its incremental source
+(`WHERE pk > last_inserted_id`, /root/reference/etl.go:412-424) generalized
+to a WAL with per-partition monotonic LSNs.
+
+Properties engineered into the stream (all seed-deterministic):
+
+- **Key**: (conv_id, turn_idx); a conversation's events all land in one
+  source partition (real binlogs shard by table/key, so per-key ordering is
+  per-partition ordering).
+- **LSN**: monotonic within each source_partition — the resume watermark unit.
+- **ts collisions**: event timestamps are coarsened so distinct events share
+  a timestamp; last-writer-wins MUST fall back to (lsn, source_partition)
+  to be deterministic. This is deliberate adversarial input for the dedup.
+- **Hot-key skew**: update/delete targets drawn from a Zipf-ish rank
+  distribution over conversations — a few conversations get a large share
+  of churn (the "hot conversation" the north rule says must not stall a
+  reducer).
+- **Schema evolution**: events before the cut-over LSN have no ``tool``
+  column at all (files written with the v0 schema); later files carry it.
+  Replaying across the cut-over exercises lake schema merge.
+- **Messy text**: leading/trailing/internal whitespace and unicode spaces,
+  so the normalization transform has real work.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+
+TRANSCRIPTS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+# v0: pre-schema-evolution stream (no `tool` column yet)
+CHANGELOG_SCHEMA_V0 = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("source_partition", T.IntegerType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+CHANGELOG_SCHEMA = T.StructType(
+    CHANGELOG_SCHEMA_V0.fields + [T.StructField("tool", T.StringType())]
+)
+
+_BASE_TS = np.datetime64("2025-06-01T00:00:00", "us")
+_MESS = ["  ", " \t ", " ", "", " ", " "]
+_TOOLS = ["search", "python", "browser"]
+
+
+@dataclass(frozen=True)
+class ChangelogSpec:
+    n_conversations: int = 100
+    max_turns: int = 8
+    churn: float = 1.5          # extra events per initial key (updates/deletes/reinserts)
+    p_delete: float = 0.12      # share of churn events that are deletes
+    p_reinsert: float = 0.05    # share of churn events that re-insert after delete
+    skew: float = 1.1           # Zipf exponent for hot-conversation churn
+    n_partitions: int = 4       # WAL shards
+    segments_per_partition: int = 4
+    evolution_cutover: float = 0.5  # fraction of the stream after which `tool` appears
+    ts_collision_group: int = 8     # events sharing one timestamp tick
+    seed: int = 42
+
+
+def generate_changelog(spec: ChangelogSpec = ChangelogSpec()) -> pd.DataFrame:
+    """Vectorized generation of the full event stream as one pandas frame,
+    globally ordered by (source_partition, lsn). Columns = CHANGELOG_SCHEMA
+    (+ ``_seq`` the global emit order). `tool` is NaN before the cut-over."""
+    rng = np.random.default_rng(spec.seed)
+    n_conv = spec.n_conversations
+
+    turns_per_conv = rng.integers(1, spec.max_turns + 1, n_conv)
+    conv_of_key = np.repeat(np.arange(n_conv), turns_per_conv)
+    # turn_idx 0..t-1 within each conversation
+    offsets = np.concatenate(([0], np.cumsum(turns_per_conv)[:-1]))
+    turn_of_key = np.arange(conv_of_key.size) - np.repeat(offsets, turns_per_conv)
+    n_keys = conv_of_key.size
+
+    # churn events target existing keys with Zipf-rank skew over conversations
+    n_extra = int(n_keys * spec.churn)
+    conv_weights = 1.0 / np.power(np.arange(1, n_conv + 1, dtype=np.float64), spec.skew)
+    conv_weights /= conv_weights.sum()
+    extra_conv = rng.choice(n_conv, size=n_extra, p=conv_weights)
+    extra_turn = (rng.random(n_extra) * turns_per_conv[extra_conv]).astype(np.int64)
+    u = rng.random(n_extra)
+    extra_op = np.where(
+        u < spec.p_delete, "D", np.where(u < spec.p_delete + spec.p_reinsert, "I", "U")
+    )
+
+    conv = np.concatenate([conv_of_key, extra_conv])
+    turn = np.concatenate([turn_of_key, extra_turn]).astype(np.int32)
+    op = np.concatenate([np.full(n_keys, "I"), extra_op])
+    n = conv.size
+
+    # emit order: initial inserts (shuffled), then churn (shuffled)
+    seq = np.empty(n, dtype=np.int64)
+    seq[:n_keys] = rng.permutation(n_keys)
+    seq[n_keys:] = n_keys + rng.permutation(n_extra)
+
+    # coarse timestamps -> deliberate LWW ties broken only by (lsn, partition)
+    ts = _BASE_TS + (seq // spec.ts_collision_group).astype("timedelta64[s]")
+
+    # stable partition per conversation; knuth-hash so partition != conv order
+    partition = ((conv.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+                 % np.uint64(spec.n_partitions)).astype(np.int32)
+
+    df = pd.DataFrame(
+        {
+            "op": op,
+            "source_partition": partition,
+            "ts": ts,
+            "conv_id": np.char.add("conv", np.char.zfill(conv.astype(str), 6)),
+            "turn_idx": turn,
+            "_seq": seq,
+        }
+    )
+    df = df.sort_values(["source_partition", "_seq"], kind="stable").reset_index(drop=True)
+    df["lsn"] = df.groupby("source_partition").cumcount().astype(np.int64)
+
+    # payload: role/text/tool; NULL payload on deletes
+    rev = df.groupby(["conv_id", "turn_idx"]).cumcount().to_numpy()
+    turn_v = df["turn_idx"].to_numpy()
+    role = np.where(turn_v == 0, "system",
+                    np.where(turn_v % 2 == 1, "user", "assistant")).astype(object)
+    mess_pre = rng.choice(_MESS, n)
+    mess_post = rng.choice(_MESS, n)
+    text = (
+        pd.Series(mess_pre)
+        + df["conv_id"].str.replace("conv", "reply ", regex=False)
+        + " turn " + pd.Series(turn_v).astype(str)
+        + " rev " + pd.Series(rev).astype(str)
+        + pd.Series(np.where(rng.random(n) < 0.2, "  double  spaced", ""))
+        + pd.Series(mess_post)
+    ).to_numpy(dtype=object)
+
+    after_cutover = df["_seq"].to_numpy() >= int(n * spec.evolution_cutover)
+    has_tool = after_cutover & (role == "assistant") & (rng.random(n) < 0.4)
+    tool = np.where(has_tool, rng.choice(_TOOLS, n), None).astype(object)
+
+    is_delete = df["op"].to_numpy() == "D"
+    df["role"] = np.where(is_delete, None, role)
+    df["text"] = np.where(is_delete, None, text)
+    df["tool"] = np.where(is_delete, None, tool)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    return df[
+        ["op", "lsn", "source_partition", "ts", "conv_id", "turn_idx",
+         "role", "text", "tool", "_seq"]
+    ]
+
+
+def write_changelog(df: pd.DataFrame, wal_dir: str, spec: ChangelogSpec) -> list[str]:
+    """Write the stream as an immutable parquet WAL:
+    ``wal_dir/source_partition=<p>/seg-<i>.parquet``, each segment LSN-
+    contiguous. Segments wholly before the evolution cut-over are written
+    WITHOUT the `tool` column (schema v0) — true on-disk schema evolution.
+    Returns the file paths in (partition, segment) order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cut_seq = int(len(df) * spec.evolution_cutover)
+    paths = []
+    for p, part in df.groupby("source_partition", sort=True):
+        pdir = os.path.join(wal_dir, f"source_partition={int(p)}")
+        os.makedirs(pdir, exist_ok=True)
+        segs = np.array_split(np.arange(len(part)), spec.segments_per_partition)
+        for i, idx in enumerate(segs):
+            if idx.size == 0:
+                continue
+            seg = part.iloc[idx]
+            cols = ["op", "lsn", "ts", "conv_id", "turn_idx", "role", "text"]
+            if bool((seg["_seq"] >= cut_seq).any()):
+                cols.append("tool")
+            table = pa.Table.from_pandas(seg[cols], preserve_index=False).cast(
+                pa.schema(
+                    [
+                        ("op", pa.string()),
+                        ("lsn", pa.int64()),
+                        ("ts", pa.timestamp("us")),
+                        ("conv_id", pa.string()),
+                        ("turn_idx", pa.int32()),
+                        ("role", pa.string()),
+                        ("text", pa.string()),
+                    ]
+                    + ([("tool", pa.string())] if "tool" in cols else [])
+                )
+            )
+            path = os.path.join(pdir, f"seg-{i:05d}.parquet")
+            pq.write_table(table, path)
+            paths.append(path)
+    return paths
+
+
+def expected_final_state(df: pd.DataFrame) -> pd.DataFrame:
+    """Independent oracle: converged table state = per-key last writer by
+    (ts, lsn, source_partition), dropping keys whose last op is D.
+    Pure pandas — shares no code with the Spark path."""
+    # NB: keep="last" on the sorted frame takes the last ROW per key;
+    # groupby().last() would wrongly take the last NON-NULL value per column
+    # (resurrecting stale `tool` values over a final null).
+    d = df.sort_values(["ts", "lsn", "source_partition"]).drop_duplicates(
+        subset=["conv_id", "turn_idx"], keep="last"
+    )
+    d = d[d["op"] != "D"]
+    return (
+        d[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,179 @@
+"""Text column functions: normalization, slug, language-ID, quality,
+tokens, fingerprints.
+
+Everything here is a pure Catalyst column expression (JVM-side, whole-stage
+codegen, zero Python in the executor hot path) unless explicitly named
+``*_pandas`` — those exist to exercise the vectorized Arrow path the north
+rule mandates for transform stages, and are verified equal to the
+expression versions in tests.
+
+Reference parity: trim transformer
+(/root/reference/v2/transfomer/transformers.go:33-42), uppercase transformer
+(/root/reference/v2/transfomer/transformers.go:11-20), slug expression fn
+(/root/reference/etl.go:21-32).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Unicode space family the normalizer collapses (NBSP, NNBSP, ideographic,
+# zero-width, plus ASCII whitespace).
+_WS_CLASS = r"[\s  -​ 　]+"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Whitespace normalization: collapse runs of (unicode) whitespace to a
+    single space and trim. The CDC transform-stage default."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, _WS_CLASS, " "))
+
+
+def slug(col: Column | str) -> Column:
+    """Slugify (reference registers `slug` as an expression operator,
+    /root/reference/etl.go:21-32): lowercase, non-alnum runs -> '-',
+    trim leading/trailing '-'."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(c)), r"[^a-z0-9]+", "-"), r"^-+|-+$", ""
+    )
+
+
+def canonicalize_role(col: Column | str, mapping: dict[str, str] | None = None) -> Column:
+    """Map free-form role strings onto the canonical set
+    user/assistant/system/tool (dimension-lookup semantics of `lookupIn`,
+    /root/reference/mapper/mapper.go:60-120, as a literal-map expression —
+    the broadcast degenerates to a constant map, no join at all)."""
+    mapping = mapping or {
+        "human": "user", "customer": "user", "usr": "user", "user": "user",
+        "ai": "assistant", "bot": "assistant", "model": "assistant",
+        "assistant": "assistant",
+        "sys": "system", "system": "system",
+        "function": "tool", "tool": "tool",
+    }
+    c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.coalesce(F.element_at(F.create_map(*pairs), c), c)
+
+
+def token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: count word chunks, digits runs, and
+    punctuation marks as separate tokens (regexp, JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"), 0)
+    return F.coalesce(F.array_size(toks), F.lit(0))
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+")) - F.when(F.trim(c) == "", 1).otherwise(0)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length band, alpha ratio,
+    punctuation ratio, stopword presence. Deterministic, expression-only."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("double")
+    stop_hits = F.array_size(
+        F.regexp_extract_all(
+            F.lower(c), F.lit(r"\b(the|and|of|to|in|is|for|that|with|a)\b"), 0
+        )
+    ).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    punct_penalty = F.when(n > 0, F.least(punct / n * 5.0, F.lit(1.0))).otherwise(0.0)
+    stop_score = F.least(stop_hits / F.lit(8.0), F.lit(1.0))
+    raw = (
+        0.3 * len_score + 0.35 * alpha_ratio + 0.25 * stop_score
+        - 0.1 * punct_penalty
+    )
+    return F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 6)
+
+
+_LANG_MARKERS: dict[str, str] = {
+    # cheap n-gram/function-word heuristic per language
+    "en": r"\b(the|and|is|of|to|that|you|with)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|ich)\b",
+    "fr": r"\b(le|la|les|et|est|que|pas|vous)\b",
+    "es": r"\b(el|la|los|las|es|que|por|una)\b",
+}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID over function-word hit counts; 'und' if no
+    marker hits. argmax via array sort on (hits, lang) pairs — pure exprs."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    scored = [
+        F.struct(
+            F.array_size(F.regexp_extract_all(c, F.lit(rx), 0)).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, rx in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*scored))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """64-bit document fingerprint of normalized content (rolling-hash
+    analogue): xxhash64 over the whitespace-normalized, lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(F.lower(normalize_text(c)))
+
+
+# --------------------------------------------------------------------------
+# Vectorized Arrow path (the north rule's mandated UDF shape). Used by the
+# CDC transform stage over salted key partitions; semantics identical to the
+# expression versions above.
+# --------------------------------------------------------------------------
+
+def normalize_transcripts_pandas(df: DataFrame, text_col: str = "text",
+                                 role_col: str = "role") -> DataFrame:
+    """mapInPandas text normalization + role canonicalization: Arrow-batched,
+    no per-row Python. Null-safe (delete events carry null payloads)."""
+    import re
+
+    import pandas as pd
+
+    ws = re.compile("[\\s  -​ 　]+")
+    role_map = {
+        "human": "user", "customer": "user", "usr": "user",
+        "ai": "assistant", "bot": "assistant", "model": "assistant",
+        "sys": "system", "function": "tool",
+    }
+    schema = df.schema
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            t = b[text_col]
+            mask = t.notna()
+            b.loc[mask, text_col] = (
+                t[mask].str.replace(ws, " ", regex=True).str.strip()
+            )
+            r = b[role_col]
+            rmask = r.notna()
+            low = r[rmask].str.strip().str.lower()
+            b.loc[rmask, role_col] = low.map(lambda x: role_map.get(x, x))
+            yield b
+
+    return df.mapInPandas(fn, schema)
+
+
+def normalize_transcripts_expr(df: DataFrame, text_col: str = "text",
+                               role_col: str = "role") -> DataFrame:
+    """Expression-only equivalent of ``normalize_transcripts_pandas`` —
+    preferred in production (whole-stage codegen, no Arrow exchange)."""
+    return df.withColumn(
+        text_col,
+        F.when(F.col(text_col).isNotNull(), normalize_text(text_col)),
+    ).withColumn(
+        role_col,
+        F.when(F.col(role_col).isNotNull(), canonicalize_role(role_col)),
+    )

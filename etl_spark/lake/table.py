@@ -1,0 +1,508 @@
+"""LakeTable — a from-scratch snapshot-committed parquet table format.
+
+The engine's sink is an Iceberg-style lake table: immutable parquet data
+files tracked by JSON snapshot manifests, atomic commits, snapshot
+isolation / time travel, hash-bucketed layout for pruned copy-on-write
+MERGE, and schema evolution with type widening. No Iceberg/Delta jars are
+available in this environment, so the table format itself is part of the
+engine; the public surface (``create/read/append/overwrite/merge``)
+mirrors what the CDC core needs from ``MERGE INTO``.
+
+Scale design notes (this is what matters at 100 TB):
+
+- **Bucket pruning.** Rows are hash-bucketed on the table's bucket key
+  (``pmod(xxhash64(bucket_by), n_buckets)``). A MERGE only reads and
+  rewrites the buckets that actually contain changed keys; a micro-batch
+  touching 1% of buckets rewrites 1% of the table, not 100%. Bucket count
+  is chosen at create time (tests use 16; a 100 TB table would use 4-16k
+  so a bucket is a few GB — the copy-on-write unit).
+- **Broadcast anti-join.** The survivors scan (`target rows whose key is
+  NOT in the batch`) broadcasts the batch's key set when the batch is
+  small (the common CDC case), so the target scan never shuffles: one
+  pass over affected buckets, map-side anti join, write.
+- **Atomic commit.** A snapshot file is created with ``O_EXCL`` — the
+  create is the commit point, so concurrent writers conflict cleanly
+  (optimistic concurrency, same contract as an Iceberg catalog swap).
+  Readers list manifests and read the highest version: snapshot isolation.
+- **Schema evolution.** New columns append; int->long / float->double
+  widening is applied lazily at read (old files are never rewritten),
+  exactly like Iceberg schema merge. Replaces the reference's
+  ``CloneTable`` DDL + per-row ``fixFieldType`` coercion
+  (/root/reference/etl.go:340-345, /root/reference/etl.go:530-554).
+
+Reference parity: batched insert (/root/reference/etl.go:199-224),
+duplicate-key upsert semantics (/root/reference/etl.go:205-216) — made
+moot by idempotent MERGE — and truncate-then-load
+(/root/reference/etl.go:355-363) as ``overwrite``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BUCKET_COL = "__bucket"
+_META_DIR = "_meta"
+_DATA_DIR = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same version first (optimistic cc)."""
+
+
+class SchemaEvolutionError(ValueError):
+    """Incoming schema cannot be merged into the table schema."""
+
+
+# Numeric widening lattice (Iceberg-compatible: int->long, float->double).
+_WIDEN_ORDER: dict[str, int] = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_FLOAT_ORDER: dict[str, int] = {"float": 0, "double": 1}
+
+
+def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Return the common (wider) type of a and b, or raise."""
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    if an in _WIDEN_ORDER and bn in _WIDEN_ORDER:
+        return a if _WIDEN_ORDER[an] >= _WIDEN_ORDER[bn] else b
+    if an in _FLOAT_ORDER and bn in _FLOAT_ORDER:
+        return a if _FLOAT_ORDER[an] >= _FLOAT_ORDER[bn] else b
+    # int family -> float family widening (long->double) is allowed
+    if an in _WIDEN_ORDER and bn in _FLOAT_ORDER:
+        return b
+    if bn in _WIDEN_ORDER and an in _FLOAT_ORDER:
+        return a
+    # timestamp_ntz <-> timestamp: identical micros under the engine's
+    # pinned-UTC sessions; widen to the tz-aware type.
+    if {an, bn} == {"timestamp", "timestamp_ntz"}:
+        return T.TimestampType()
+    raise SchemaEvolutionError(f"cannot widen {an} <-> {bn}")
+
+
+def evolve_schema(current: T.StructType, incoming: T.StructType) -> T.StructType:
+    """Merged schema: current field order kept (types widened where the
+    incoming side is wider), new incoming fields appended. Fields missing
+    from ``incoming`` survive (column drops are explicit, never implicit)."""
+    fields: list[T.StructField] = []
+    incoming_by_name = {f.name: f for f in incoming.fields}
+    for f in current.fields:
+        inc = incoming_by_name.pop(f.name, None)
+        if inc is None:
+            fields.append(f)
+        else:
+            fields.append(T.StructField(f.name, _widen(f.dataType, inc.dataType), True))
+    for f in incoming.fields:  # preserve incoming order for appended fields
+        if f.name in incoming_by_name:
+            fields.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(fields)
+
+
+def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project/cast ``df`` to exactly ``schema`` (missing cols -> NULL)."""
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in schema.fields:
+        if f.name in have:
+            c = F.col(f.name)
+            if have[f.name].dataType != f.dataType:
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    schema: T.StructType
+    key: list[str]
+    bucket_by: list[str]
+    n_buckets: int
+    # {"path": rel, "bucket": int, "rows": int, "sid": schema-id}
+    files: list[dict[str, Any]]
+    # schema-id -> StructType json the files were physically written with.
+    # Old files are never rewritten on evolution; readers read each schema
+    # group exactly and cast-align to the current schema (Spark's parquet
+    # mergeSchema cannot widen int->long across files, so per-group exact
+    # schemas are the only scan path that supports type widening).
+    schemas: dict[str, Any]
+    op: str
+    ts: float
+
+    @property
+    def total_rows(self) -> int:
+        return sum(f.get("rows", 0) for f in self.files)
+
+
+class LakeTable:
+    """Snapshot-committed, hash-bucketed parquet table with MERGE."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._meta = os.path.join(self.path, _META_DIR)
+
+    # ---------------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key: list[str],
+        n_buckets: int = 16,
+        bucket_by: list[str] | None = None,
+        if_not_exists: bool = False,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        if os.path.exists(t._meta):
+            if if_not_exists:
+                return t
+            raise FileExistsError(f"table already exists at {path}")
+        os.makedirs(t._meta, exist_ok=True)
+        os.makedirs(os.path.join(t.path, _DATA_DIR), exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            schema=schema,
+            key=list(key),
+            bucket_by=list(bucket_by or key[:1]),
+            n_buckets=n_buckets,
+            files=[],
+            schemas={"0": schema.jsonValue()},
+            op="create",
+            ts=time.time(),
+        )
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        if t.current_version() is None:
+            raise FileNotFoundError(f"no lake table at {path}")
+        return t
+
+    @classmethod
+    def exists(cls, spark: SparkSession, path: str) -> bool:
+        return cls(spark, path).current_version() is not None
+
+    # ------------------------------------------------------------- snapshots
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(self._meta, f"snap-{version:012d}.json")
+
+    def current_version(self) -> int | None:
+        if not os.path.isdir(self._meta):
+            return None
+        versions = [
+            int(n[5:-5])
+            for n in os.listdir(self._meta)
+            if n.startswith("snap-") and n.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        with open(self._snap_path(v)) as fh:
+            d = json.load(fh)
+        return Snapshot(
+            version=d["version"],
+            schema=T.StructType.fromJson(d["schema"]),
+            key=d["key"],
+            bucket_by=d["bucket_by"],
+            n_buckets=d["n_buckets"],
+            files=d["files"],
+            schemas=d["schemas"],
+            op=d["op"],
+            ts=d["ts"],
+        )
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        payload = json.dumps(
+            {
+                "version": snap.version,
+                "schema": snap.schema.jsonValue(),
+                "key": snap.key,
+                "bucket_by": snap.bucket_by,
+                "n_buckets": snap.n_buckets,
+                "files": snap.files,
+                "schemas": snap.schemas,
+                "op": snap.op,
+                "ts": snap.ts,
+            },
+            indent=1,
+        )
+        path = self._snap_path(snap.version)
+        # O_EXCL create IS the atomic commit point: the first writer of
+        # version N wins; a concurrent writer gets CommitConflict and must
+        # re-read the table and retry on top of the new snapshot.
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {snap.version} already committed at {self.path}"
+            ) from e
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def history(self) -> list[Snapshot]:
+        v = self.current_version()
+        return [
+            self.snapshot(i)
+            for i in range((v if v is not None else -1) + 1)
+            if os.path.exists(self._snap_path(i))
+        ]
+
+    # ------------------------------------------------------------------ read
+    @property
+    def schema(self) -> T.StructType:
+        return self.snapshot().schema
+
+    @property
+    def key(self) -> list[str]:
+        return self.snapshot().key
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """DataFrame over the snapshot's file set (time travel if version
+        given). Files written before a schema evolution are read with their
+        exact historical schema and cast-aligned — no rewrites, ever."""
+        snap = self.snapshot(version)
+        return self._read_files(snap, snap.files)
+
+    def _read_files(
+        self, snap: Snapshot, entries: list[dict[str, Any]],
+        target_schema: T.StructType | None = None,
+    ) -> DataFrame:
+        target = target_schema or snap.schema
+        if not entries:
+            return self.spark.createDataFrame([], target)
+        by_sid: dict[str, list[str]] = {}
+        for e in entries:
+            by_sid.setdefault(e["sid"], []).append(
+                os.path.join(self.path, e["path"])
+            )
+        parts = []
+        for sid, paths in sorted(by_sid.items()):
+            file_schema = T.StructType.fromJson(snap.schemas[sid])
+            df = self.spark.read.schema(file_schema).parquet(*paths)
+            parts.append(align_to_schema(df, target))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def row_count(self) -> int:
+        return self.snapshot().total_rows
+
+    # ----------------------------------------------------------------- write
+    def _bucket_expr(self, snap: Snapshot):
+        if snap.n_buckets <= 0:
+            return F.lit(0)
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in snap.bucket_by]), F.lit(snap.n_buckets)
+        ).cast("int")
+
+    def _write_data_files(
+        self, snap_version: int, df: DataFrame
+    ) -> list[dict[str, Any]]:
+        """Write df (must carry __bucket) partitioned by bucket under a
+        unique dir; return manifest entries with parquet-footer row counts."""
+        rel_dir = os.path.join(_DATA_DIR, f"snap-{snap_version:012d}-{uuid.uuid4().hex[:8]}")
+        out = os.path.join(self.path, rel_dir)
+        df.write.partitionBy(_BUCKET_COL).mode("errorifexists").parquet(out)
+        entries: list[dict[str, Any]] = []
+        import pyarrow.parquet as pq
+
+        for root, _dirs, names in os.walk(out):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, n)
+                bucket_part = os.path.basename(root)
+                bucket = int(bucket_part.split("=", 1)[1]) if "=" in bucket_part else 0
+                entries.append(
+                    {
+                        "path": os.path.relpath(full, self.path),
+                        "bucket": bucket,
+                        "rows": pq.ParquetFile(full).metadata.num_rows,
+                    }
+                )
+        return entries
+
+    def _commit(
+        self,
+        base: Snapshot,
+        kept_files: list[dict[str, Any]],
+        new_files: list[dict[str, Any]],
+        schema: T.StructType,
+        op: str,
+    ) -> Snapshot:
+        version = base.version + 1
+        sid = str(version)
+        new_files = [{**f, "sid": sid} for f in new_files]
+        files = kept_files + new_files
+        referenced = {f["sid"] for f in files}
+        schemas = {s: j for s, j in base.schemas.items() if s in referenced}
+        if new_files:
+            schemas[sid] = schema.jsonValue()
+        snap = Snapshot(
+            version=version,
+            schema=schema,
+            key=base.key,
+            bucket_by=base.bucket_by,
+            n_buckets=base.n_buckets,
+            files=files,
+            schemas=schemas,
+            op=op,
+            ts=time.time(),
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    def append(self, df: DataFrame, evolve: bool = True) -> Snapshot:
+        base = self.snapshot()
+        schema = evolve_schema(base.schema, df.schema) if evolve else base.schema
+        aligned = align_to_schema(df, schema).withColumn(
+            _BUCKET_COL, self._bucket_expr(base)
+        )
+        new_files = self._write_data_files(base.version + 1, aligned)
+        return self._commit(base, base.files, new_files, schema, "append")
+
+    def overwrite(self, df: DataFrame, evolve: bool = True) -> Snapshot:
+        """Truncate-then-load as one atomic snapshot swap (reference does
+        TRUNCATE TABLE + reinsert, /root/reference/etl.go:355-363)."""
+        base = self.snapshot()
+        schema = evolve_schema(base.schema, df.schema) if evolve else base.schema
+        aligned = align_to_schema(df, schema).withColumn(
+            _BUCKET_COL, self._bucket_expr(base)
+        )
+        new_files = self._write_data_files(base.version + 1, aligned)
+        return self._commit(base, [], new_files, schema, "overwrite")
+
+    # ----------------------------------------------------------------- merge
+    def merge(
+        self,
+        source: DataFrame,
+        op_col: str | None = None,
+        delete_op: str = "D",
+        broadcast_threshold: int = 4_000_000,
+    ) -> tuple[Snapshot | None, dict[str, int]]:
+        """Copy-on-write MERGE INTO keyed on the table key.
+
+        Semantics (CDC upsert):
+          WHEN MATCHED AND source.op = delete_op THEN DELETE
+          WHEN MATCHED                           THEN UPDATE (full row)
+          WHEN NOT MATCHED AND op != delete_op   THEN INSERT
+
+        ``source`` must have at most one row per key (run the LWW dedup
+        first — MERGE with multiple source matches per target row is
+        ill-defined, same restriction as Iceberg/Delta). Re-applying the
+        same deduped batch is a no-op on converged state, which is what
+        makes streaming replays after a crash safe (idempotence).
+
+        Returns (new snapshot | None if source empty, stats dict).
+        """
+        base = self.snapshot()
+        if base.n_buckets <= 0:
+            raise ValueError("merge requires a bucketed table (n_buckets > 0)")
+
+        payload_schema = T.StructType(
+            [f for f in source.schema.fields if f.name != op_col]
+        )
+        schema = evolve_schema(base.schema, payload_schema)
+
+        src = source.withColumn(_BUCKET_COL, self._bucket_expr(base))
+        src.persist()
+        try:
+            # One action yields affected-bucket set AND batch size.
+            per_bucket = {
+                r[_BUCKET_COL]: r["n"]
+                for r in src.groupBy(_BUCKET_COL).agg(F.count("*").alias("n")).collect()
+            }
+            src_rows = sum(per_bucket.values())
+            if src_rows == 0:
+                return None, {"source_rows": 0, "rewritten_buckets": 0}
+            affected = set(per_bucket)
+
+            keep_files = [f for f in base.files if f["bucket"] not in affected]
+            read_entries = [f for f in base.files if f["bucket"] in affected]
+            target_rows_affected = sum(f.get("rows", 0) for f in read_entries)
+
+            target_aff = self._read_files(
+                base, read_entries, target_schema=schema
+            ).withColumn(_BUCKET_COL, self._bucket_expr(base))
+
+            # Survivors: target rows in affected buckets whose key is NOT in
+            # the batch. Broadcast the batch key set when small so the target
+            # scan stays shuffle-free (the common CDC micro-batch case).
+            src_keys = src.select(*base.key).dropDuplicates(base.key)
+            if src_rows <= broadcast_threshold:
+                src_keys = F.broadcast(src_keys)
+            survivors = target_aff.join(src_keys, on=base.key, how="left_anti")
+
+            upserts = src
+            if op_col is not None:
+                upserts = upserts.filter(F.col(op_col) != F.lit(delete_op))
+            upserts = align_to_schema(upserts, schema).withColumn(
+                _BUCKET_COL, self._bucket_expr(base)
+            )
+
+            result = survivors.select(upserts.columns).unionByName(upserts)
+            new_files = self._write_data_files(base.version + 1, result)
+            snap = self._commit(base, keep_files, new_files, schema, "merge")
+            return snap, {
+                "source_rows": src_rows,
+                "rewritten_buckets": len(affected),
+                "kept_buckets": base.n_buckets - len(affected),
+                "target_rows_scanned": target_rows_affected,
+                "rows_after": snap.total_rows,
+            }
+        finally:
+            src.unpersist()
+
+    # -------------------------------------------------------------- maintain
+    def compact(self, target_file_rows: int = 5_000_000) -> Snapshot:
+        """Rewrite small files per bucket into fewer large ones (snapshot-
+        atomic, like Iceberg rewrite_data_files). Needed because each CDC
+        micro-batch writes one file per affected bucket."""
+        base = self.snapshot()
+        df = self.read().withColumn(_BUCKET_COL, self._bucket_expr(base))
+        new_files = self._write_data_files(base.version + 1, df)
+        return self._commit(base, [], new_files, base.schema, "compact")
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Delete snapshot manifests and data files unreferenced by the
+        ``keep_last`` newest snapshots. Returns #data files removed."""
+        v = self.current_version()
+        if v is None:
+            return 0
+        keep_versions = set(range(max(0, v - keep_last + 1), v + 1))
+        live: set[str] = set()
+        for kv in keep_versions:
+            live |= {f["path"] for f in self.snapshot(kv).files}
+        removed = 0
+        for i in range(0, v + 1):
+            if i in keep_versions:
+                continue
+            snap = self.snapshot(i)
+            for f in snap.files:
+                if f["path"] not in live:
+                    full = os.path.join(self.path, f["path"])
+                    if os.path.exists(full):
+                        os.remove(full)
+                        removed += 1
+            os.remove(self._snap_path(i))
+        return removed

@@ -1,0 +1,178 @@
+"""Projection / column operators: field maps, template expressions, concat,
+case/trim normalization, include/exclude/extra.
+
+Re-expression of the reference's mapper family as plan-time DataFrame
+combinators — every one of these compiles to a Catalyst `Project`, so at
+scale they are free (fused into whole-stage codegen with the scan):
+
+- field map / rename, drop-unmatched (/root/reference/mapper/mapper.go:30-58)
+- v2 field map + constant additionalFields (/root/reference/v2/mapper/field.go:29-53)
+- `{{...}}` template expressions: ternary, now(), literals, coalesce-ish
+  truthiness (/root/reference/mapper/mapper.go:37-44,
+  /root/reference/migrate/migrate.go:85-105; examples
+  /root/reference/examples/users.yaml:34-38)
+- concat fields with delimiter, dropping sources (/root/reference/concat/concat.go:25-46)
+- lowercase keys (/root/reference/sanitize/sanitize.go:29-41)
+- uppercase / trim every string value (/root/reference/v2/transfomer/transformers.go:11-42)
+- include/extra/exclude projection (/root/reference/etl.go:243-297)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.functions.text import slug
+
+_TEMPLATE_RE = re.compile(r"^\{\{(.*)\}\}$", re.S)
+_TERNARY_RE = re.compile(r"^(.*?)\?(.*):(.*)$", re.S)
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+
+
+def template_expr(template: str) -> Column:
+    """Compile a reference-style ``{{...}}`` template to a Column.
+
+    Supported forms (the corpus in /root/reference/examples/*.yaml):
+      {{'LITERAL'}}                      -> lit
+      {{now()}}                          -> current_timestamp()
+      {{col}}                            -> column ref
+      {{cond ? a : b}}                   -> IF(cond, a, b); a bare-identifier
+                                            cond means "IS NOT NULL" (Go
+                                            evaluate truthiness on row maps)
+      {{user_active == 1 ? 'A' : 'B'}}   -> comparison conditions pass through
+      {{slug(name)}}                     -> engine slug()
+    Anything else is handed to Spark SQL via F.expr.
+    """
+    m = _TEMPLATE_RE.match(template.strip())
+    body = m.group(1).strip() if m else template.strip()
+    return _compile_expr(body)
+
+
+def _compile_expr(body: str) -> Column:
+    t = _TERNARY_RE.match(body)
+    if t and "?" not in t.group(1):
+        cond, a, b = (s.strip() for s in t.groups())
+        if _IDENT_RE.match(cond):
+            cond_sql = f"({cond} IS NOT NULL)"
+        else:
+            cond_sql = cond.replace("==", "=")
+        return F.expr(f"IF({cond_sql}, {_sqlify(a)}, {_sqlify(b)})")
+    return F.expr(_sqlify(body))
+
+
+def _sqlify(s: str) -> str:
+    s = s.strip().replace("==", "=")
+    if s == "now()":
+        return "current_timestamp()"
+    inner = re.match(r"^slug\((.*)\)$", s)
+    if inner:
+        # route through the engine slug (regexp chain), expressed as SQL
+        return (
+            "regexp_replace(regexp_replace(lower(trim("
+            + inner.group(1)
+            + r")), '[^a-z0-9]+', '-'), '^-+|-+$', '')"
+        )
+    return s
+
+
+def field_map(
+    df: DataFrame,
+    mapping: dict[str, str],
+    keep_unmatched: bool = False,
+    additional: dict[str, Any] | None = None,
+) -> DataFrame:
+    """``dest <- src`` projection. ``mapping`` values may be source column
+    names or ``{{...}}`` templates; unmapped source columns are dropped
+    unless ``keep_unmatched`` (KeepUnmatchedFields,
+    /root/reference/mapper/mapper.go:49-55). ``additional`` adds constant
+    columns (/root/reference/v2/mapper/field.go:44-49)."""
+    cols: list[Column] = []
+    used: set[str] = set()
+    for dest, src in mapping.items():
+        if isinstance(src, str) and _TEMPLATE_RE.match(src.strip()):
+            cols.append(template_expr(src).alias(dest))
+        elif isinstance(src, str) and src in df.columns:
+            cols.append(F.col(src).alias(dest))
+            used.add(src)
+        else:
+            cols.append(F.lit(src).alias(dest))
+    if keep_unmatched:
+        mapped_dests = set(mapping)
+        for c in df.columns:
+            if c not in used and c not in mapped_dests:
+                cols.append(F.col(c))
+    for k, v in (additional or {}).items():
+        cols.append(
+            (template_expr(v) if isinstance(v, str) and _TEMPLATE_RE.match(v.strip())
+             else F.lit(v)).alias(k)
+        )
+    return df.select(*cols)
+
+
+def concat_fields(
+    df: DataFrame,
+    sources: list[str],
+    dest: str,
+    delimiter: str = " ",
+    drop_sources: bool = True,
+) -> DataFrame:
+    """concat_ws over N source fields (/root/reference/concat/concat.go:25-46)."""
+    out = df.withColumn(dest, F.concat_ws(delimiter, *[F.col(c) for c in sources]))
+    return out.drop(*sources) if drop_sources else out
+
+
+def lowercase_columns(df: DataFrame) -> DataFrame:
+    """Rename every column to lowercase (sanitize,
+    /root/reference/sanitize/sanitize.go:29-41) — plan-time rename, free."""
+    return df.toDF(*[c.lower() for c in df.columns])
+
+
+def _map_string_values(df: DataFrame, fn) -> DataFrame:
+    return df.select(
+        *[
+            fn(F.col(f.name)).alias(f.name)
+            if isinstance(f.dataType, T.StringType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
+def uppercase_string_values(df: DataFrame) -> DataFrame:
+    """Upper-case every string column
+    (/root/reference/v2/transfomer/transformers.go:11-20)."""
+    return _map_string_values(df, F.upper)
+
+
+def trim_string_values(df: DataFrame) -> DataFrame:
+    """Trim every string column
+    (/root/reference/v2/transfomer/transformers.go:33-42)."""
+    return _map_string_values(df, F.trim)
+
+
+def include_exclude_extra(
+    df: DataFrame,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+    extra: dict[str, Any] | None = None,
+) -> DataFrame:
+    """IncludeFields / ExcludeFields / ExtraValues projection
+    (/root/reference/etl.go:243-297). ``extra`` values may be ``{{...}}``
+    templates, ``field:name`` references, or constants."""
+    out = df
+    if include:
+        out = out.select(*include)
+    if exclude:
+        out = out.drop(*[c for c in exclude if c in out.columns])
+    for k, v in (extra or {}).items():
+        if isinstance(v, str) and _TEMPLATE_RE.match(v.strip()):
+            out = out.withColumn(k, template_expr(v))
+        elif isinstance(v, str) and v.startswith("field:"):
+            out = out.withColumn(k, F.col(v[len("field:"):]))
+        else:
+            out = out.withColumn(k, F.lit(v))
+    return out

@@ -1,0 +1,163 @@
+"""CDC core: generator determinism, LWW dedup, batch replay vs oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from etl_spark.cdc import (
+    CHANGELOG_SCHEMA,
+    TRANSCRIPTS_SCHEMA,
+    ChangelogSpec,
+    generate_changelog,
+    replay,
+)
+from etl_spark.cdc.apply import apply_batch, dedup_last_writer_wins
+from etl_spark.cdc.changelog import expected_final_state
+from etl_spark.lake import LakeTable
+
+SPEC = ChangelogSpec(n_conversations=60, max_turns=6, churn=2.0, n_partitions=3)
+
+
+def changelog_sdf(spark, pdf):
+    return spark.createDataFrame(pdf.drop(columns=["_seq"]), CHANGELOG_SCHEMA)
+
+
+def make_target(spark, tmp_path, n_buckets=8):
+    return LakeTable.create(
+        spark,
+        str(tmp_path / "transcripts"),
+        TRANSCRIPTS_SCHEMA,
+        key=["conv_id", "turn_idx"],
+        n_buckets=n_buckets,
+        bucket_by=["conv_id"],
+    )
+
+
+def assert_state_equals_oracle(table, oracle: pd.DataFrame):
+    got = (
+        table.read()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+        .reset_index(drop=True)
+    )
+    exp = oracle.reset_index(drop=True)
+    exp["tool"] = exp["tool"].where(pd.notna(exp["tool"]), None)
+    got["tool"] = got["tool"].where(pd.notna(got["tool"]), None)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_generator_deterministic_and_shaped():
+    a = generate_changelog(SPEC)
+    b = generate_changelog(SPEC)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["op"].unique()) <= {"I", "U", "D"}
+    # lsn strictly monotonic per partition
+    for _, g in a.groupby("source_partition"):
+        assert (g["lsn"].to_numpy() == range(len(g))).all()
+    # deliberate ts collisions exist (forces lsn tiebreak)
+    assert a.duplicated(subset=["ts"]).any()
+    # deletes carry null payload
+    assert a.loc[a.op == "D", "text"].isna().all()
+    # schema evolution: tool appears only late in the stream
+    early = a[a["_seq"] < len(a) * 0.4]
+    assert early["tool"].isna().all()
+    assert a["tool"].notna().any()
+
+
+def test_dedup_lww_basic(spark):
+    pdf = generate_changelog(SPEC)
+    sdf = changelog_sdf(spark, pdf)
+    out = dedup_last_writer_wins(sdf).toPandas()
+    assert not out.duplicated(subset=["conv_id", "turn_idx"]).any()
+    # cross-check winner selection against pandas argmax on (ts,lsn,partition)
+    exp = pdf.sort_values(["ts", "lsn", "source_partition"]).drop_duplicates(
+        subset=["conv_id", "turn_idx"], keep="last"
+    )
+    m = out.merge(exp, on=["conv_id", "turn_idx"], suffixes=("", "_e"))
+    assert len(m) == len(exp)
+    assert (m["lsn"] == m["lsn_e"]).all()
+    assert (m["op"] == m["op_e"]).all()
+
+
+def test_dedup_salted_equals_unsalted(spark):
+    sdf = changelog_sdf(spark, generate_changelog(SPEC))
+    a = dedup_last_writer_wins(sdf, salted=False).orderBy("conv_id", "turn_idx")
+    b = dedup_last_writer_wins(sdf, salted=True).orderBy("conv_id", "turn_idx")
+    assert a.collect() == b.collect()
+
+
+def test_bulk_replay_matches_oracle(spark, tmp_path):
+    pdf = generate_changelog(SPEC)
+    table = make_target(spark, tmp_path)
+    stats = replay(spark, changelog_sdf(spark, pdf), table)
+    assert stats["table_version"] == 1
+    assert_state_equals_oracle(table, expected_final_state(pdf))
+
+
+def test_incremental_batches_match_oracle(spark, tmp_path):
+    """Split the log into 5 LSN-ordered chunks, apply incrementally: final
+    state must equal the bulk oracle (per-turn text equality under stable
+    (conv_id, turn_idx) ordering — the north-rule invariant)."""
+    pdf = generate_changelog(SPEC)
+    table = make_target(spark, tmp_path)
+    ordered = pdf.sort_values("_seq")
+    n = len(ordered)
+    bounds = [0, n // 5, 2 * n // 5, 3 * n // 5, 4 * n // 5, n]
+    for i in range(5):
+        chunk = ordered.iloc[bounds[i]:bounds[i + 1]]
+        apply_batch(spark, changelog_sdf(spark, chunk), table, batch_id=i)
+    assert_state_equals_oracle(table, expected_final_state(pdf))
+
+
+def test_apply_batch_idempotent_replay(spark, tmp_path):
+    from etl_spark.cdc.state import CommitLog
+
+    pdf = generate_changelog(SPEC)
+    table = make_target(spark, tmp_path)
+    log = CommitLog(str(tmp_path / "commits"))
+    sdf = changelog_sdf(spark, pdf)
+    s1 = apply_batch(spark, sdf, table, batch_id=0, commit_log=log)
+    assert not s1["skipped"]
+    v = table.current_version()
+    s2 = apply_batch(spark, sdf, table, batch_id=0, commit_log=log)
+    assert s2["skipped"]
+    assert table.current_version() == v  # no new snapshot
+    assert_state_equals_oracle(table, expected_final_state(pdf))
+
+
+def test_watermark_filter_drops_applied_events(spark, tmp_path):
+    from etl_spark.cdc.state import WatermarkStore, filter_by_watermarks
+
+    pdf = generate_changelog(SPEC)
+    sdf = changelog_sdf(spark, pdf)
+    wm = WatermarkStore(str(tmp_path / "wm"))
+    wm.advance({0: 50, 1: 10})
+    out = filter_by_watermarks(sdf, wm.get_all())
+    rem = out.groupBy("source_partition").agg(F.min("lsn").alias("lo")).collect()
+    lows = {r["source_partition"]: r["lo"] for r in rem}
+    assert lows[0] == 51 and lows[1] == 11
+    assert lows[2] == 0  # unwatermarked partition untouched
+    # monotonic advance never regresses
+    wm.advance({0: 20})
+    assert wm.get_all()[0] == 50
+
+
+def test_dead_letter_split(spark, tmp_path):
+    import numpy as np
+
+    pdf = generate_changelog(SPEC)
+    bad = pdf.head(3).copy()
+    bad["op"] = "X"  # unknown op -> dead letter
+    mixed = pd.concat([pdf, bad], ignore_index=True)
+    table = make_target(spark, tmp_path)
+    dl_dir = str(tmp_path / "dead")
+    stats = apply_batch(
+        spark, changelog_sdf(spark, mixed), table, batch_id=0,
+        dead_letter_dir=dl_dir,
+    )
+    assert stats["rows_failed"] == 3
+    dead = spark.read.parquet(dl_dir)
+    assert dead.count() == 3
+    assert set(dead.select("error").distinct().toPandas()["error"]) == {"op_known"}
+    assert_state_equals_oracle(table, expected_final_state(pdf))

@@ -1,0 +1,168 @@
+"""LakeTable: create/append/overwrite/merge/evolution/time-travel/conflict."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.lake import CommitConflict, LakeTable, SchemaEvolutionError
+from etl_spark.lake.table import align_to_schema, evolve_schema
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def make(spark, tmp_path, n_buckets=4):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key=["conv_id", "turn_idx"],
+        n_buckets=n_buckets, bucket_by=["conv_id"],
+    )
+
+
+def rows(df):
+    return {(r.conv_id, r.turn_idx, r.text) for r in df.collect()}
+
+
+def test_create_read_empty(spark, tmp_path):
+    t = make(spark, tmp_path)
+    assert t.read().count() == 0
+    assert t.read().schema == SCHEMA
+    assert t.current_version() == 0
+
+
+def test_append_and_read(spark, tmp_path):
+    t = make(spark, tmp_path)
+    df = spark.createDataFrame([("c1", 0, "hi"), ("c2", 0, "yo")], SCHEMA)
+    snap = t.append(df)
+    assert snap.version == 1
+    assert snap.total_rows == 2
+    assert rows(t.read()) == {("c1", 0, "hi"), ("c2", 0, "yo")}
+
+
+def test_overwrite_atomic_swap(spark, tmp_path):
+    t = make(spark, tmp_path)
+    t.append(spark.createDataFrame([("c1", 0, "old")], SCHEMA))
+    t.overwrite(spark.createDataFrame([("c9", 9, "new")], SCHEMA))
+    assert rows(t.read()) == {("c9", 9, "new")}
+    # time travel back to the pre-overwrite snapshot
+    assert rows(t.read(version=1)) == {("c1", 0, "old")}
+
+
+def test_merge_upsert_delete_insert(spark, tmp_path):
+    t = make(spark, tmp_path)
+    t.append(
+        spark.createDataFrame(
+            [("c1", 0, "a"), ("c1", 1, "b"), ("c2", 0, "c")], SCHEMA
+        )
+    )
+    src_schema = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())])
+    src = spark.createDataFrame(
+        [
+            ("c1", 0, "a2", "U"),   # update existing
+            ("c1", 1, None, "D"),   # delete existing
+            ("c3", 0, "d", "I"),    # insert new
+            ("c4", 5, None, "D"),   # delete of absent key -> no-op
+        ],
+        src_schema,
+    )
+    snap, stats = t.merge(src, op_col="op")
+    assert stats["source_rows"] == 4
+    assert rows(t.read()) == {("c1", 0, "a2"), ("c2", 0, "c"), ("c3", 0, "d")}
+    # idempotence: re-applying the identical batch leaves state unchanged
+    t.merge(src, op_col="op")
+    assert rows(t.read()) == {("c1", 0, "a2"), ("c2", 0, "c"), ("c3", 0, "d")}
+
+
+def test_merge_prunes_buckets(spark, tmp_path):
+    t = make(spark, tmp_path, n_buckets=8)
+    base = spark.range(0, 400).select(
+        F.concat(F.lit("conv"), F.col("id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("x").alias("text"),
+    )
+    t.append(base)
+    src = spark.createDataFrame(
+        [("conv7", 0, "seven", "U")],
+        T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())]),
+    )
+    _snap, stats = t.merge(src, op_col="op")
+    assert stats["rewritten_buckets"] == 1
+    assert stats["kept_buckets"] == 7
+    assert stats["target_rows_scanned"] < 400
+    assert t.read().filter("conv_id = 'conv7'").first().text == "seven"
+    assert t.read().count() == 400
+
+
+def test_schema_evolution_add_and_widen(spark, tmp_path):
+    t = make(spark, tmp_path)
+    t.append(spark.createDataFrame([("c1", 0, "a")], SCHEMA))
+    evolved = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.LongType()),  # int -> long widening
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),    # added column
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    src = spark.createDataFrame([("c2", 1, "b", "search", "I")], evolved)
+    t.merge(src, op_col="op")
+    out = t.read()
+    assert out.schema["turn_idx"].dataType == T.LongType()
+    assert "tool" in out.columns
+    got = {(r.conv_id, r.turn_idx, r.text, r.tool) for r in out.collect()}
+    # old row reads with NULL tool, no rewrite of old files
+    assert got == {("c1", 0, "a", None), ("c2", 1, "b", "search")}
+
+
+def test_schema_evolution_rejects_narrowing_conflict(spark, tmp_path):
+    with pytest.raises(SchemaEvolutionError):
+        evolve_schema(
+            T.StructType([T.StructField("a", T.StringType())]),
+            T.StructType([T.StructField("a", T.IntegerType())]),
+        )
+
+
+def test_align_to_schema_casts_and_fills(spark):
+    df = spark.createDataFrame([Row(a=1, b="x")])
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.DoubleType()),
+        ]
+    )
+    out = align_to_schema(df, schema)
+    assert out.schema == schema
+    r = out.first()
+    assert (r.a, r.b, r.c) == (1, "x", None)
+
+
+def test_commit_conflict(spark, tmp_path):
+    t = make(spark, tmp_path)
+    df = spark.createDataFrame([("c1", 0, "a")], SCHEMA)
+    base = t.snapshot()
+    t.append(df)
+    # a second writer that still thinks version is 0 must fail
+    with pytest.raises(CommitConflict):
+        t._commit(base, [], [], base.schema, "append")
+
+
+def test_compact_and_expire(spark, tmp_path):
+    t = make(spark, tmp_path, n_buckets=2)
+    for i in range(3):
+        t.append(spark.createDataFrame([(f"c{i}", 0, "x")], SCHEMA))
+    files_before = len(t.snapshot().files)
+    t.compact()
+    assert len(t.snapshot().files) <= files_before
+    assert t.read().count() == 3
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed > 0
+    assert t.read().count() == 3

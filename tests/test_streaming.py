@@ -1,0 +1,147 @@
+"""Structured Streaming tail: end-to-end replay, resume, exactly-once,
+schema evolution across restart."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from etl_spark.cdc import ChangelogSpec, generate_changelog, write_changelog
+from etl_spark.cdc.changelog import TRANSCRIPTS_SCHEMA, expected_final_state
+from etl_spark.functions.text import normalize_transcripts_expr
+from etl_spark.lake import LakeTable
+from etl_spark.streaming import CdcStream
+
+SPEC = ChangelogSpec(
+    n_conversations=50, max_turns=5, churn=1.5, n_partitions=3,
+    segments_per_partition=3,
+)
+
+
+def make_target(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "transcripts"), TRANSCRIPTS_SCHEMA,
+        key=["conv_id", "turn_idx"], n_buckets=8, bucket_by=["conv_id"],
+    )
+
+
+def assert_converged(table, pdf):
+    got = (
+        table.read().orderBy("conv_id", "turn_idx").toPandas()
+        [["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+        .reset_index(drop=True)
+    )
+    exp = expected_final_state(pdf).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_stream_full_replay_converges(spark, tmp_path):
+    pdf = generate_changelog(SPEC)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+    table = make_target(spark, tmp_path)
+    stream = CdcStream(
+        spark, wal, table, str(tmp_path / "state"), max_files_per_trigger=2
+    )
+    stats = stream.run_to_completion()
+    assert len(stats) >= 2  # rate limit forced multiple micro-batches
+    assert_converged(table, pdf)
+    # metrics carry per-partition lineage
+    m = stream.metrics.to_df(spark).toPandas()
+    assert set(m["source_partition"]) == set(range(SPEC.n_partitions))
+    assert m["rows_in"].sum() == len(pdf)
+    # watermarks = max lsn per partition
+    wm = stream.watermarks.get_all()
+    exp_wm = pdf.groupby("source_partition")["lsn"].max().to_dict()
+    assert wm == {int(k): int(v) for k, v in exp_wm.items()}
+
+
+def test_stream_resume_after_new_segments(spark, tmp_path):
+    """Tail phase-1 WAL; later phase-2 segments (which introduce the `tool`
+    column = schema evolution) arrive; a restarted stream applies only the
+    new data and converges. Mirrors the reference's resume-from-checkpoint
+    (/root/reference/v2/etl.go:67-74)."""
+    pdf = generate_changelog(SPEC)
+    cut = int(len(pdf) * SPEC.evolution_cutover)
+    early = pdf[pdf["_seq"] < cut]
+    wal = str(tmp_path / "wal")
+
+    spec_early = ChangelogSpec(**{**SPEC.__dict__, "evolution_cutover": 1.0})
+    write_changelog(early, wal, spec_early)
+    table = make_target(spark, tmp_path)
+    state = str(tmp_path / "state")
+    s1 = CdcStream(spark, wal, table, state)
+    s1.run_to_completion()
+    assert_converged(table, early)
+    batches_phase1 = len(s1.batch_stats)
+
+    # phase 2: late segments land (with `tool`); new stream instance resumes
+    late = pdf[pdf["_seq"] >= cut]
+    write_changelog(late, str(tmp_path / "wal2"), SPEC)
+    # move phase-2 files into the same WAL under distinct names
+    import shutil
+
+    for root, _d, names in os.walk(str(tmp_path / "wal2")):
+        for n in names:
+            rel = os.path.relpath(root, str(tmp_path / "wal2"))
+            dst = os.path.join(wal, rel)
+            os.makedirs(dst, exist_ok=True)
+            shutil.move(os.path.join(root, n), os.path.join(dst, "late-" + n))
+
+    s2 = CdcStream(spark, wal, table, state)
+    s2.run_to_completion()
+    assert len(s2.batch_stats) > 0
+    applied = sum(s["rows_in"] for s in s2.batch_stats if not s.get("skipped"))
+    assert applied == len(late)  # phase-1 data not reprocessed
+    assert_converged(table, pdf)  # includes evolved `tool` column
+
+
+def test_stream_crash_replay_is_noop(spark, tmp_path):
+    """Simulate the crash window between MERGE and streaming checkpoint:
+    re-running an already-committed batch id must change nothing."""
+    pdf = generate_changelog(SPEC)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+    table = make_target(spark, tmp_path)
+    stream = CdcStream(spark, wal, table, str(tmp_path / "state"))
+    stream.run_to_completion()
+    v = table.current_version()
+
+    # adversarial replay of batch 0 with the full frame
+    from etl_spark.cdc import CHANGELOG_SCHEMA
+
+    sdf = spark.createDataFrame(pdf.drop(columns=["_seq"]), CHANGELOG_SCHEMA)
+    stream._apply(sdf, 0)
+    assert stream.batch_stats[-1]["skipped"]
+    assert table.current_version() == v
+    assert_converged(table, pdf)
+
+    # even an UNSEEN batch id replaying old events is filtered by watermarks
+    stream._apply(sdf, 10_000)
+    s = stream.batch_stats[-1]
+    assert not s["skipped"] and s["rows_in"] == 0
+    assert_converged(table, pdf)
+
+
+def test_stream_with_normalization_transform(spark, tmp_path):
+    pdf = generate_changelog(SPEC)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+    table = make_target(spark, tmp_path)
+    stream = CdcStream(
+        spark, wal, table, str(tmp_path / "state"),
+        transform=normalize_transcripts_expr,
+    )
+    stream.run_to_completion()
+    # oracle with the same normalization applied in pandas
+    exp_src = pdf.copy()
+    mask = exp_src["text"].notna()
+    exp_src.loc[mask, "text"] = (
+        exp_src.loc[mask, "text"].str.replace(r"\s+", " ", regex=True).str.strip()
+    )
+    assert_converged(table, exp_src)
+    # normalized: no leading/trailing/double spaces anywhere
+    txt = table.read().toPandas()["text"].dropna()
+    assert not txt.str.contains("  ").any()
+    assert (txt == txt.str.strip()).all()
