@@ -39,7 +39,8 @@ def coerce_to_schema(df: DataFrame, target: T.StructType,
             cols.append(_coerce_bool(F.col(f.name)).alias(f.name))
         elif isinstance(f.dataType, (T.IntegerType, T.LongType, T.ShortType)):
             cols.append(
-                F.try_cast(F.trim(F.col(f.name).cast("string")), f.dataType.simpleString())
+                F.trim(F.col(f.name).cast("string"))
+                .try_cast(f.dataType)
                 .alias(f.name)
             )
         else:

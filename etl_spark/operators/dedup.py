@@ -1,0 +1,347 @@
+"""Deduplication operators for large-scale text corpora.
+
+The reference dedups only via destination unique-key errors
+(/root/reference/etl.go:205-216); a training-data pipeline needs real
+content dedup. Everything here is expression-only (JVM, whole-stage
+codegen) — no Python in the executor path — and every pairwise method is
+**blocked** (LSH bands / pigeonhole chunks / shingle inverted index) so the
+candidate set is a key-equality join, never an O(n^2) cross join: at 10^9
+documents the shuffle is on band/chunk keys, and hot buckets are bounded by
+the band width.
+
+Methods:
+- exact_dedup              hash-groupBy on normalized content
+- minhash_signature(+LSH)  shingle -> 64-perm minhash -> banded bucket join
+- simhash(+pairs)          64-bit sign fingerprint -> pigeonhole chunk join
+- ngram_jaccard_pairs      exact Jaccard via shingle inverted index
+- (embedding cosine near-dup lives in operators/similarity.py)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_spark.functions.text import normalize_text
+
+# Mersenne prime 2^61-1: universal-hash modulus for the minhash permutation
+# family h_i(x) = (a_i*x + b_i) mod P. Constants derive from splitmix64 so
+# signatures are seed-deterministic across runs/cluster sizes.
+_P = (1 << 61) - 1
+
+
+def _splitmix64(seed: int) -> int:
+    z = (seed + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def _i64(x: int) -> int:
+    """Unsigned 64-bit -> signed 64-bit (Java long range)."""
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _perm_constants(n: int, seed: int) -> list[tuple[int, int]]:
+    out = []
+    for i in range(n):
+        a = _splitmix64(seed * 2_000_003 + 2 * i) % (_P - 1) + 1
+        b = _splitmix64(seed * 2_000_003 + 2 * i + 1) % _P
+        out.append((a, b))
+    return out
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles over whitespace-normalized, lowercased text.
+    Documents shorter than n words yield their single full-text 'shingle'
+    (so they can still be compared)."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.lower(normalize_text(c)), " ")
+    return F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """Distinct 64-bit shingle hashes (the minhash input set)."""
+    return F.array_distinct(
+        F.transform(word_shingles(text, n), lambda s: F.xxhash64(s))
+    )
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Exact dedup on normalized content: one survivor per distinct
+    normalized text (keep = min|max id). A pure hash groupBy — map-side
+    partial agg collapses duplicates before the shuffle, so at 10^10 rows
+    the shuffle carries ~#distinct texts, not #rows."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    norm = F.lower(normalize_text(text_col))
+    return (
+        df.groupBy(norm.alias("_norm"))
+        .agg(agg.alias(id_col), F.count("*").alias("n_dups"))
+        .drop("_norm")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_words: int = 3,
+    seed: int = 42,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Append an ``array<bigint>`` minhash signature column.
+
+    sig[i] = min over shingles s of xxhash64(salt_i, xxhash64(s)) — a
+    salted-rehash permutation family. All expression lambdas — one pass over
+    the shingle array per permutation, vectorized in the JVM."""
+    def perm(salt: int):
+        # Re-hash with a per-permutation salt: xxhash64(salt, h) is an
+        # independent deterministic permutation per i — no arithmetic, so
+        # no ANSI overflow concerns, and one JVM hash per shingle per perm.
+        return lambda h: F.xxhash64(F.lit(salt), h)
+
+    # Materialize the shingle-hash array as its own column first: the sig
+    # expression references it n_hashes times, and an attribute reference is
+    # evaluated once per row, whereas inlining the subtree would re-tokenize
+    # and re-hash the document n_hashes times.
+    staged = df.withColumn("__sh", shingle_hashes(text_col, shingle_words))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__sh"), perm(_i64(_splitmix64(seed + i)))))
+            for i in range(n_hashes)
+        ]
+    )
+    return staged.withColumn(out_col, sig).drop("__sh")
+
+
+def lsh_band_keys(
+    sig_col: Column | str, n_bands: int, rows_per_band: int
+) -> Column:
+    """array<struct<band:int, key:bigint>> — one bucket key per band
+    (key = hash of the band's signature slice)."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice(sig, b * rows_per_band + 1, rows_per_band)).alias(
+                    "key"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_words: int = 3,
+    seed: int = 42,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
+
+    Pipeline: signature -> explode band keys -> self-join on (band, key)
+    -> distinct pairs [-> exact Jaccard verify >= threshold]. The join is
+    key-equality on band buckets (shuffle on band keys); estimated Jaccard
+    from signature agreement is returned as ``jaccard_est``; if
+    ``jaccard_threshold`` is set, pairs are verified with EXACT shingle-set
+    Jaccard and filtered."""
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signature(
+        df.select(id_col, text_col), text_col, n_hashes, shingle_words, seed
+    ).select(id_col, "minhash")
+    sigs = sigs.persist()
+    buckets = sigs.select(
+        id_col,
+        "minhash",
+        F.explode(lsh_band_keys("minhash", n_bands, rows_per_band)).alias("bk"),
+    ).select(id_col, "minhash", "bk.band", "bk.key")
+
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"), "band", "key"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"), "band", "key"
+    )
+    pairs = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(n_hashes))
+            ).alias("jaccard_est"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if jaccard_threshold is not None:
+        exact = ngram_jaccard_pairs(
+            df, id_col=id_col, text_col=text_col, shingle_words=shingle_words,
+            threshold=jaccard_threshold,
+            candidates=pairs.select("id_a", "id_b"),
+        )
+        return pairs.join(exact, on=["id_a", "id_b"]).select(
+            "id_a", "id_b", "jaccard_est", "jaccard"
+        )
+    return pairs
+
+
+def simhash(
+    text_col: Column | str, bits: int = 64, shingle_words: int = 2
+) -> Column:
+    """SimHash fingerprint: sign of the per-bit sum of shingle-hash bit
+    vectors, packed into one bigint. aggregate+zip_with over the shingle
+    array — a single expression tree, no UDF."""
+    hashes = shingle_hashes(text_col, shingle_words)
+
+    def bit_vec(h: Column) -> Column:
+        # +1/-1 per bit of the shingle hash (bit positions unrolled at plan
+        # time — shift amounts must be literals).
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(bits)
+            ]
+        )
+
+    counts = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0) for _ in range(bits)]),
+        lambda acc, h: F.zip_with(acc, bit_vec(h), lambda x, y: x + y),
+    )
+    # Pack sign bits with ONE reference to `counts` (zip against literal
+    # bit-value array) — referencing it per bit would clone the aggregate
+    # subtree 64x in the plan.
+    bit_values = F.array(*[F.lit(_i64(1 << i)).cast("long") for i in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            bit_values,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_words: int = 2,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Blocking: split the 64-bit fingerprint into ``max_hamming+1`` chunks —
+    by pigeonhole any pair within distance k agrees on >= 1 of k+1 chunks —
+    and join on (chunk_idx, chunk_value). Equality join + bit_count filter;
+    never a cross join."""
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    fp = df.select(id_col, simhash(text_col, 64, shingle_words).alias("simhash"))
+    fp = fp.persist()
+    chunks = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk", "c.val")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "chunk", "val"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "chunk", "val"
+    )
+    return (
+        a.join(b, on=["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= t).
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle, count matches per pair = |A ∩ B|; |A ∪ B| = |A| + |B| - inter.
+    The shuffle key is the shingle — a stop-shingle cap (drop shingles in
+    > ``df.count()**0.5`` docs would be the 100-TB guard) is unnecessary at
+    test scale but the join never materializes non-candidate pairs. If
+    ``candidates`` (id_a, id_b) is given, only those pairs are scored."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_words))).alias(
+            "shingle"
+        ),
+    )
+    sh = sh.persist()
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed("sz", "sz_a"), inter.id_a == sizes._id)
+        .drop("_id")
+        .join(sizes.withColumnRenamed("sz", "sz_b"), inter.id_b == sizes._id)
+        .drop("_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

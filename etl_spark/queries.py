@@ -1,0 +1,820 @@
+"""Driver-harness query surface: one entry per implemented operator.
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable exercising one
+operator from SURVEY.md §2 (or a training-data-pipeline operator) against
+the driver's synthetic parquet tables; ``ORACLE_SQL`` carries the
+equivalent DuckDB SQL the driver compares against (row count + schema +
+order-insensitive value hash). Column names/types are aligned on both
+sides; float aggregates go through DECIMAL so parallel Spark sums and
+sequential DuckDB sums are bit-identical.
+
+Queries with no oracle entry (LSH/IVF approximate search, simhash/minhash
+candidate generation, the multimodal stubs, the streaming CDC replay) are
+rows-only checks by design: their outputs depend on engine-internal
+hashing or temp-dir state DuckDB cannot see; their semantics are covered
+by pytest instead (recall vs brute force, replay vs pandas oracle).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.cdc.apply import dedup_last_writer_wins, replay
+from etl_spark.cdc.state import filter_by_watermarks
+from etl_spark.functions.text import (
+    lang_id,
+    quality_score,
+    slug,
+    token_count,
+    whitespace_token_count,
+)
+from etl_spark.functions.vectors import cosine_similarity
+from etl_spark.lake import LakeTable
+from etl_spark.operators import (
+    concat_fields,
+    field_map,
+    include_exclude_extra,
+    isin_filter,
+    kv_unpivot,
+    lookup_in,
+    multi_mapping,
+    uppercase_string_values,
+    validator_split,
+)
+from etl_spark.operators.coerce import coerce_to_schema
+from etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from etl_spark.operators.multimodal import (
+    decode_media_meta,
+    media_stats,
+    synthesize_media_df,
+)
+from etl_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# CDC core (S3, K1/K2, T6-T8, §4 custom op 1-3)
+# --------------------------------------------------------------------------
+
+def q_cdc_apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: full CDC batch core on the `events` stream — events become
+    I/U/D changes keyed by user_id ('error' events are deletes), LWW dedup
+    by (ts, lsn), MERGE into a bucketed lake table, converged state read
+    back. Exercises dedup + MERGE + schema alignment end-to-end."""
+    events = _t(spark, sf_dir, "events")
+    chg = events.select(
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_cdc_q_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, key=["user_id"], n_buckets=8
+    )
+    replay(spark, chg, table)
+    return table.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+_ORACLE_CDC_FINAL = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id,
+       event_type AS last_event_type,
+       value      AS last_value,
+       ts         AS last_ts
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW dedup in isolation (§4 custom op 1): grouped max-struct, no
+    window shuffle-sort."""
+    events = _t(spark, sf_dir, "events")
+    d = events.select(
+        "user_id", "ts", F.col("event_id").alias("lsn"), "event_type", "value"
+    )
+    return dedup_last_writer_wins(d, key=["user_id"], order_by=["ts", "lsn"]).select(
+        "user_id", "ts", "lsn", "event_type", "value"
+    )
+
+
+_ORACLE_LWW = """
+WITH ranked AS (
+  SELECT user_id, ts, event_id AS lsn, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, ts, lsn, event_type, value FROM ranked WHERE rn = 1
+"""
+
+
+def q_incremental_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: resume scan past per-partition high-watermark LSNs
+    (/root/reference/etl.go:412-424, migration.go:11-32)."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "source_partition", F.pmod(F.col("user_id"), F.lit(4)).cast("int")
+    )
+    wm = {0: 2500, 1: 5000, 2: 7500}
+    return filter_by_watermarks(events, wm, lsn_col="event_id").select(
+        "event_id", "user_id", "event_type", "source_partition"
+    )
+
+
+_ORACLE_TAIL = """
+SELECT event_id, user_id, event_type,
+       CAST(user_id % 4 AS INTEGER) AS source_partition
+FROM events
+WHERE event_id > CASE CAST(user_id % 4 AS INTEGER)
+                   WHEN 0 THEN 2500 WHEN 1 THEN 5000 WHEN 2 THEN 7500
+                   ELSE -1 END
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization (30-min gap) — the stateful-stream shape
+    (§2.6 T10 extension) as a batch window op."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    out = events.withColumn("_new", is_new)
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.sum("_new").over(w2).cast("long").alias("session_idx"),
+    )
+
+
+_ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# Projections / mapping (P1-P13)
+# --------------------------------------------------------------------------
+
+def q_field_map_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3: field map with rename + ternary template + literal."""
+    orders = _t(spark, sf_dir, "orders")
+    return field_map(
+        orders,
+        {
+            "okey": "o_orderkey",
+            "status_label": "{{o_orderstatus == 'F' ? 'FILLED' : 'OPEN'}}",
+            "priority": "o_orderpriority",
+        },
+        additional={"src_system": "legacy"},
+    )
+
+
+_ORACLE_FIELD_MAP = """
+SELECT o_orderkey AS okey,
+       CASE WHEN o_orderstatus = 'F' THEN 'FILLED' ELSE 'OPEN' END AS status_label,
+       o_orderpriority AS priority,
+       'legacy' AS src_system
+FROM orders
+"""
+
+
+def q_concat_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: concat_ws + drop sources (/root/reference/concat/concat.go:25-46)."""
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return concat_fields(customer, ["c_name", "c_mktsegment"], "name_segment", "-")
+
+
+_ORACLE_CONCAT = """
+SELECT c_custkey, c_name || '-' || c_mktsegment AS name_segment FROM customer
+"""
+
+
+def q_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: slug() scalar fn (/root/reference/etl.go:21-32)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select("p_partkey", slug("p_name").alias("name_slug"))
+
+
+_ORACLE_SLUG = """
+SELECT p_partkey,
+       regexp_replace(
+         regexp_replace(lower(trim(p_name)), '[^a-z0-9]+', '-', 'g'),
+         '^-+|-+$', '', 'g') AS name_slug
+FROM part
+"""
+
+
+def q_uppercase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: uppercase every string value
+    (/root/reference/v2/transfomer/transformers.go:11-20)."""
+    return uppercase_string_values(_t(spark, sf_dir, "region"))
+
+
+_ORACLE_UPPER = "SELECT r_regionkey, upper(r_name) AS r_name FROM region"
+
+
+def q_include_exclude_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: include/extra projection (/root/reference/etl.go:243-297)."""
+    events = _t(spark, sf_dir, "events")
+    return include_exclude_extra(
+        events,
+        include=["event_id", "event_type", "user_id"],
+        exclude=["user_id"],
+        extra={"origin": "events", "uid": "field:event_id"},
+    )
+
+
+_ORACLE_INC_EXC = """
+SELECT event_id, event_type, 'events' AS origin, event_id AS uid FROM events
+"""
+
+
+def q_coerce_to_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: destination-schema coercion incl. boolean normalization
+    (/root/reference/etl.go:530-554)."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "active_flag",
+        F.when(F.col("value") > 0.5, F.lit("1")).otherwise(F.lit("no")),
+    )
+    target = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("active_flag", T.BooleanType()),
+            T.StructField("missing_col", T.StringType()),
+        ]
+    )
+    return coerce_to_schema(events, target)
+
+
+_ORACLE_COERCE = """
+SELECT event_id,
+       CAST(user_id AS INTEGER) AS user_id,
+       event_type,
+       CASE WHEN value > 0.5 THEN true ELSE false END AS active_flag,
+       CAST(NULL AS VARCHAR) AS missing_col
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Reshape (R1, R2)
+# --------------------------------------------------------------------------
+
+def q_kv_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: key-value unpivot with schema-as-data type tags
+    (/root/reference/etl.go:226-300)."""
+    customer = _t(spark, sf_dir, "customer")
+    return kv_unpivot(
+        customer,
+        value_columns=["c_name", "c_mktsegment", "c_nationkey"],
+        include=["c_custkey"],
+        key_field="key",
+        value_field="value",
+        type_field="value_type",
+        exclude_keys=["c_name"],
+    )
+
+
+_ORACLE_KV = """
+SELECT c_custkey, 'c_mktsegment' AS key, c_mktsegment AS value,
+       'string' AS value_type FROM customer
+UNION ALL
+SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS VARCHAR), 'int' FROM customer
+"""
+
+
+def q_multi_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: row multiplication via explode(array(struct...))
+    (/root/reference/migrate/migrate.go:82-119)."""
+    orders = _t(spark, sf_dir, "orders")
+    return multi_mapping(
+        orders,
+        [
+            {"okey": "o_orderkey", "kind": "status", "val": "o_orderstatus"},
+            {"okey": "o_orderkey", "kind": "priority", "val": "o_orderpriority"},
+        ],
+    )
+
+
+_ORACLE_MULTI_MAP = """
+SELECT o_orderkey AS okey, 'status' AS kind, o_orderstatus AS val FROM orders
+UNION ALL
+SELECT o_orderkey, 'priority', o_orderpriority FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Filters / validators (F1-F4), lookup (P5)
+# --------------------------------------------------------------------------
+
+def q_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: IN-list rule filter (/root/reference/examples/main.go:38-49)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return isin_filter(li, "l_returnflag", ["A", "R"]).select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+
+
+_ORACLE_ISIN = """
+SELECT l_orderkey, l_linenumber, l_returnflag
+FROM lineitem WHERE l_returnflag IN ('A', 'R')
+"""
+
+
+def q_validator_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/K3: validator split — the dead-letter side with first-failure
+    labels (/root/reference/v2/etl.go:133-141, etl.go:302-333)."""
+    events = _t(spark, sf_dir, "events")
+    _, dead = validator_split(
+        events,
+        [
+            ("value_in_range", F.col("value") < 0.9),
+            ("not_error", F.col("event_type") != "error"),
+        ],
+    )
+    return dead.select("event_id", "event_type", "error")
+
+
+_ORACLE_DEAD = """
+SELECT event_id, event_type,
+       CASE WHEN NOT (value < 0.9) THEN 'value_in_range'
+            WHEN NOT (event_type <> 'error') THEN 'not_error' END AS error
+FROM events
+WHERE NOT (value < 0.9 AND event_type <> 'error')
+"""
+
+
+def q_lookup_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: lookupIn dimension lookup as a broadcast left join
+    (/root/reference/mapper/mapper.go:60-120)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return lookup_in(
+        customer.select("c_custkey", "c_name", "c_nationkey"),
+        nation,
+        fact_key="c_nationkey",
+        dim_key="n_nationkey",
+        value_column="n_name",
+        output_column="nation_name",
+        default="UNKNOWN",
+    )
+
+
+_ORACLE_LOOKUP = """
+SELECT c_custkey, c_name, c_nationkey,
+       COALESCE(n.n_name, 'UNKNOWN') AS nation_name
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational pushdown parity (R3-R7): join / distinct / sort / limit / agg
+# --------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 + vectorized agg: TPC-H-Q1-shaped rollup. Sums go through
+    DECIMAL(18,4) so the parallel Spark aggregation is bit-identical to the
+    sequential DuckDB one."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: multi-way join + agg — nation is broadcast (the lookup-cache
+    shape at cluster scale)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+_ORACLE_REVENUE = """
+SELECT n_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: DISTINCT (/root/reference/examples/memberships.yaml:23)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+_ORACLE_DISTINCT = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5/R6: sort + limit."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+_ORACLE_TOP = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_entity_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: entity + child rows sharing an identifier
+    (/root/reference/entity.go:27-50)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    parent = customer.filter(F.col("c_custkey") <= 5)
+    return parent.join(
+        orders, parent.c_custkey == orders.o_custkey, "inner"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_orderstatus")
+
+
+_ORACLE_ENTITY = """
+SELECT c_custkey, c_name, o_orderkey, o_orderstatus
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE c_custkey <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: dedup / similarity / text analysis / multimodal
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+_ORACLE_DEDUP_EXACT = r"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM documents
+GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+
+
+_ORACLE_JACCARD = r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+              ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] END AS shingle
+  FROM words,
+       UNNEST(CASE WHEN len(w) < 3 THEN [1]
+                   ELSE range(1, len(w) - 1) END) AS t(i)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates, verified with exact Jaccard.
+    No SQL oracle: band bucketing depends on engine hashing; recall vs the
+    exact pairs is asserted in tests/test_dedup.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, n_hashes=64, n_bands=16, jaccard_threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check; Hamming blocking is
+    engine-hash-dependent)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=3)
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact baseline for ANN)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, q, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_ORACLE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cs
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cs, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only; recall vs brute force is
+    asserted in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, q, k=10, bits=8, n_tables=8).select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact threshold scan)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_neardup_pairs(emb, threshold=0.4).select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+_ORACLE_EMB_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + quality + token counts per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+        whitespace_token_count("text").alias("n_ws_tokens"),
+    )
+
+
+_ORACLE_TEXT_STATS = r"""
+WITH h AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|ich)\b')) AS h_de,
+         len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|that|you|with)\b'))    AS h_en,
+         len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|que|por|una)\b'))      AS h_es,
+         len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|que|pas|vous)\b'))     AS h_fr,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+         CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|in|is|for|that|with|a)\b')) AS DOUBLE) AS stop_hits
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+            ELSE 'de' END AS lang_pred,
+       round(greatest(least(
+         0.3 * least(n / 500.0, 1.0)
+         + 0.35 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
+         + 0.25 * least(stop_hits / 8.0, 1.0)
+         - 0.1 * (CASE WHEN n > 0 THEN least(punct / n * 5.0, 1.0) ELSE 0.0 END),
+         1.0), 0.0), 6) AS quality,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS INTEGER) AS n_tokens,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+         - (CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS n_ws_tokens
+FROM h
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: synthesize media, decode headers
+    via Arrow-batched mapInPandas, metadata rollup. Rows-only check (the
+    media table is engine-synthesized; decode parity asserted in
+    tests/test_multimodal.py)."""
+    media = synthesize_media_df(spark, n=96)
+    return media_stats(decode_media_meta(media))
+
+
+def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full streaming engine path: deterministic transcript changelog ->
+    WAL segments -> Structured Streaming tail -> exactly-once MERGE ->
+    converged table. Rows-only here; pandas-oracle equality is asserted in
+    tests/test_streaming.py."""
+    import shutil
+
+    from etl_spark.cdc.changelog import (
+        ChangelogSpec,
+        TRANSCRIPTS_SCHEMA,
+        generate_changelog,
+        write_changelog,
+    )
+    from etl_spark.functions.text import normalize_transcripts_expr
+    from etl_spark.streaming.stream import run_stream
+
+    tmp = tempfile.mkdtemp(prefix="etl_spark_stream_q_")
+    spec = ChangelogSpec(n_conversations=50, seed=7)
+    wal = os.path.join(tmp, "wal")
+    write_changelog(generate_changelog(spec), wal, spec)
+    table = LakeTable.create(
+        spark,
+        os.path.join(tmp, "table"),
+        TRANSCRIPTS_SCHEMA,
+        key=["conv_id", "turn_idx"],
+        n_buckets=8,
+    )
+    run_stream(
+        spark,
+        wal,
+        table,
+        os.path.join(tmp, "state"),
+        transform=normalize_transcripts_expr,
+    )
+    out = table.read().select("conv_id", "turn_idx", "role", "text", "tool")
+    out = out.cache()
+    out.count()  # materialize before the temp WAL/state dirs go away
+    shutil.rmtree(os.path.join(tmp, "state"), ignore_errors=True)
+    return out
+
+
+QUERIES = {
+    "cdc_apply_final_state": q_cdc_apply_final_state,
+    "lww_dedup": q_lww_dedup,
+    "incremental_tail": q_incremental_tail,
+    "sessionize": q_sessionize,
+    "field_map_template": q_field_map_template,
+    "concat_fields": q_concat_fields,
+    "slug": q_slug,
+    "uppercase_values": q_uppercase_values,
+    "include_exclude_extra": q_include_exclude_extra,
+    "coerce_to_schema": q_coerce_to_schema,
+    "kv_unpivot": q_kv_unpivot,
+    "multi_mapping": q_multi_mapping,
+    "isin_filter": q_isin_filter,
+    "validator_dead_letter": q_validator_dead_letter,
+    "lookup_in": q_lookup_in,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_revenue_by_nation": q_join_revenue_by_nation,
+    "distinct_segments": q_distinct_segments,
+    "top_orders": q_top_orders,
+    "entity_relation": q_entity_relation,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "similarity_topk": q_similarity_topk,
+    "similarity_lsh": q_similarity_lsh,
+    "embedding_neardup": q_embedding_neardup,
+    "text_stats": q_text_stats,
+    "multimodal_meta": q_multimodal_meta,
+    "streaming_cdc_replay": q_streaming_cdc_replay,
+}
+
+ORACLE_SQL = {
+    "cdc_apply_final_state": _ORACLE_CDC_FINAL,
+    "lww_dedup": _ORACLE_LWW,
+    "incremental_tail": _ORACLE_TAIL,
+    "sessionize": _ORACLE_SESSIONIZE,
+    "field_map_template": _ORACLE_FIELD_MAP,
+    "concat_fields": _ORACLE_CONCAT,
+    "slug": _ORACLE_SLUG,
+    "uppercase_values": _ORACLE_UPPER,
+    "include_exclude_extra": _ORACLE_INC_EXC,
+    "coerce_to_schema": _ORACLE_COERCE,
+    "kv_unpivot": _ORACLE_KV,
+    "multi_mapping": _ORACLE_MULTI_MAP,
+    "isin_filter": _ORACLE_ISIN,
+    "validator_dead_letter": _ORACLE_DEAD,
+    "lookup_in": _ORACLE_LOOKUP,
+    "agg_pricing_summary": _ORACLE_Q1,
+    "join_revenue_by_nation": _ORACLE_REVENUE,
+    "distinct_segments": _ORACLE_DISTINCT,
+    "top_orders": _ORACLE_TOP,
+    "entity_relation": _ORACLE_ENTITY,
+    "dedup_exact": _ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": _ORACLE_JACCARD,
+    "similarity_topk": _ORACLE_TOPK,
+    "embedding_neardup": _ORACLE_EMB_NEARDUP,
+    "text_stats": _ORACLE_TEXT_STATS,
+}
