@@ -316,12 +316,21 @@ class LakeTable:
         ).cast("int")
 
     def _write_data_files(
-        self, snap_version: int, df: DataFrame
+        self, snap_version: int, df: DataFrame, n_buckets: int = 0
     ) -> list[dict[str, Any]]:
         """Write df (must carry __bucket) partitioned by bucket under a
-        unique dir; return manifest entries with parquet-footer row counts."""
+        unique dir; return manifest entries with parquet-footer row counts.
+
+        The frame is hash-repartitioned on the bucket column first: without
+        it, every one of the S upstream partitions writes a sliver file
+        into each of the B bucket dirs (S x B files per commit — at 64
+        shuffle partitions x 32 buckets that is 2048 files per micro-batch,
+        and the next merge's survivors scan pays one task per sliver).
+        With it, a commit writes ~1 file per affected bucket."""
         rel_dir = os.path.join(_DATA_DIR, f"snap-{snap_version:012d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.path, rel_dir)
+        if n_buckets > 0:
+            df = df.repartition(n_buckets, F.col(_BUCKET_COL))
         df.write.partitionBy(_BUCKET_COL).mode("errorifexists").parquet(out)
         entries: list[dict[str, Any]] = []
         import pyarrow.parquet as pq
@@ -378,7 +387,7 @@ class LakeTable:
         aligned = align_to_schema(df, schema).withColumn(
             _BUCKET_COL, self._bucket_expr(base)
         )
-        new_files = self._write_data_files(base.version + 1, aligned)
+        new_files = self._write_data_files(base.version + 1, aligned, base.n_buckets)
         return self._commit(base, base.files, new_files, schema, "append")
 
     def overwrite(self, df: DataFrame, evolve: bool = True) -> Snapshot:
@@ -389,7 +398,7 @@ class LakeTable:
         aligned = align_to_schema(df, schema).withColumn(
             _BUCKET_COL, self._bucket_expr(base)
         )
-        new_files = self._write_data_files(base.version + 1, aligned)
+        new_files = self._write_data_files(base.version + 1, aligned, base.n_buckets)
         return self._commit(base, [], new_files, schema, "overwrite")
 
     # ----------------------------------------------------------------- merge
@@ -461,7 +470,7 @@ class LakeTable:
             )
 
             result = survivors.select(upserts.columns).unionByName(upserts)
-            new_files = self._write_data_files(base.version + 1, result)
+            new_files = self._write_data_files(base.version + 1, result, base.n_buckets)
             snap = self._commit(base, keep_files, new_files, schema, "merge")
             return snap, {
                 "source_rows": src_rows,
@@ -480,7 +489,7 @@ class LakeTable:
         micro-batch writes one file per affected bucket."""
         base = self.snapshot()
         df = self.read().withColumn(_BUCKET_COL, self._bucket_expr(base))
-        new_files = self._write_data_files(base.version + 1, df)
+        new_files = self._write_data_files(base.version + 1, df, base.n_buckets)
         return self._commit(base, [], new_files, base.schema, "compact")
 
     def expire_snapshots(self, keep_last: int = 1) -> int:

@@ -10,6 +10,19 @@ from etl_spark.operators.reshape import kv_unpivot, multi_mapping
 from etl_spark.operators.filters import isin_filter, required_fields, validator_split
 from etl_spark.operators.coerce import coerce_to_schema
 from etl_spark.operators.lookup import lookup_in
+from etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from etl_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 
 __all__ = [
     "field_map",
@@ -25,4 +38,13 @@ __all__ = [
     "validator_split",
     "coerce_to_schema",
     "lookup_in",
+    "exact_dedup",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_neardup_pairs",
+    "brute_force_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "embedding_neardup_pairs",
 ]

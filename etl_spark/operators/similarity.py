@@ -23,8 +23,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_spark.functions.vectors import cosine_similarity, dot, normalize_vec
-from etl_spark.operators.dedup import _perm_constants
+from etl_spark.functions.vectors import cosine_similarity, dot, normalize_vec  # noqa: F401
+from etl_spark.operators.dedup import _i64, _perm_constants
+
+
+def _unit(df: DataFrame, id_col: str, vec_col: str, out: str) -> DataFrame:
+    """Project to (id_col, unit-normalized double vector). Normalizing ONCE
+    per row turns every pairwise cosine into a plain dot product — at
+    n x m pairs this removes two norms (incl. a sqrt) per pair. The norm is
+    staged as its own column so it is computed once, not once per element."""
+    return (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .withColumn(
+            "__n",
+            F.sqrt(F.aggregate("__v", F.lit(0.0), lambda acc, x: acc + x * x)),
+        )
+        .select(
+            id_col,
+            F.transform("__v", lambda x: x / F.col("__n")).alias(out),
+        )
+    )
 
 
 def brute_force_topk(
@@ -37,22 +55,20 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query row.
 
-    Output: (query_id, vec_id, cos_sim, rank). Queries are broadcast — the
-    corpus scan is one pass, no shuffle until the final per-query top-k
-    (which AQE keeps tiny). Self-matches (same id) are excluded when both
-    sides share the id column."""
+    Output: (query_id, vec_id, cos_sim, rank). Both sides are unit-
+    normalized once up front (cosine -> dot, no per-pair norms); queries
+    are broadcast so the corpus scan is one pass, no shuffle until the
+    final per-query top-k (which AQE keeps tiny). Self-matches excluded."""
     qid = query_id_col or id_col
-    q = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    c = corpus.select(F.col(id_col).alias(id_col), F.col(vec_col).alias("_cv"))
+    q = _unit(queries, qid, vec_col, "_qv").withColumnRenamed(qid, "query_id")
+    c = _unit(corpus, id_col, vec_col, "_cv")
     scored = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col(id_col)
     )
     scored = scored.select(
         "query_id",
         id_col,
-        cosine_similarity("_qv", "_cv").alias("cos_sim"),
+        dot("_qv", "_cv").alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -68,29 +84,108 @@ def hyperplane_signature(
 ) -> Column:
     """Random-hyperplane sign signature packed into a bigint. Hyperplane
     coefficients come from a deterministic splitmix64 stream (same planes on
-    every executor / cluster size — no shipped state)."""
+    every executor / cluster size — no shipped state).
+
+    Built as ONE transform over a literal plane matrix (array of coefficient
+    arrays) + one packing aggregate — not one aggregate per bit, which made
+    the expression tree (and codegen time) scale with ``bits``."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     consts = _perm_constants(bits * dim, seed)
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        # plane_b . v  via zip_with against a literal coefficient array
-        coeffs = F.array(
-            *[
-                F.lit((consts[b * dim + j][0] % 2001) - 1000).cast("double")
-                for j in range(dim)
-            ]
-        )
-        proj = F.aggregate(
-            F.zip_with(v, coeffs, lambda x, c: x.cast("double") * c),
+    planes = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(float((consts[b * dim + j][0] % 2001) - 1000))
+                    for j in range(dim)
+                ]
+            )
+            for b in range(bits)
+        ]
+    )
+    projs = F.transform(
+        planes,
+        lambda p: F.aggregate(
+            F.zip_with(v, p, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        sig = sig.bitwiseOR(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
+        ),
+    )
+    bit_values = F.array(*[F.lit(_i64(1 << b)).cast("long") for b in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            projs,
+            bit_values,
+            lambda pr, bv: F.when(pr > 0, bv).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def hyperplane_planes(dim: int, bits: int, n_tables: int, seed: int):
+    """Deterministic (n_tables*bits, dim) float64 hyperplane matrix from the
+    splitmix64 stream — identical on driver and every executor."""
+    import numpy as np
+
+    consts = _perm_constants(n_tables * bits * dim, seed)
+    flat = np.array(
+        [float((a % 2001) - 1000) for a, _ in consts], dtype=np.float64
+    )
+    return flat.reshape(n_tables * bits, dim)
+
+
+def hyperplane_signatures_pandas(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bits: int,
+    n_tables: int,
+    seed: int,
+    unit_col: str = "_v",
+) -> DataFrame:
+    """(id, unit vector, array of n_tables packed signatures) via ONE
+    Arrow-batched pandas UDF doing a BLAS matmul.
+
+    Spark's higher-order functions (transform/aggregate/zip_with) are
+    CodegenFallback — every lambda element is an interpreted expression
+    eval, so bits x dim x n_tables per-element lambdas cost ~ms/row. The
+    vectorized numpy path is the north-rule-mandated shape for exactly this
+    stage and is 2-3 orders of magnitude faster."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    planes = hyperplane_planes(dim, bits, n_tables, seed)
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField(unit_col, T.ArrayType(T.DoubleType())),
+            T.StructField("_sigs", T.ArrayType(T.LongType())),
+        ]
+    )
+    src = df.select(id_col, F.col(vec_col).cast("array<double>").alias("_vec"))
+
+    def fn(batches):
+        import pandas as pd
+
+        weights = 1 << np.arange(bits, dtype=np.int64)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            V = np.stack(b["_vec"].to_numpy()).astype(np.float64)   # (n, dim)
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            U = V / norms
+            S = (U @ planes.T) > 0                                  # (n, T*bits)
+            S = S.reshape(len(U), n_tables, bits)
+            packed = (S * weights).sum(axis=2).astype(np.int64)     # (n, T)
+            yield pd.DataFrame(
+                {id_col: b[id_col], unit_col: list(U), "_sigs": list(packed)}
             )
-        )
-    return sig
+
+    return src.mapInPandas(fn, out_schema)
 
 
 def lsh_topk(
@@ -109,18 +204,11 @@ def lsh_topk(
     Output schema matches ``brute_force_topk`` (+ recall depends on
     bits/tables)."""
     def with_sigs(df: DataFrame, name: str) -> DataFrame:
-        out = df.select(
-            F.col(id_col).alias(name), F.col(vec_col).alias(f"_{name}_v")
-        )
-        sigs = F.array(
-            *[
-                hyperplane_signature(f"_{name}_v", dim, bits, seed + 101 * t)
-                for t in range(n_tables)
-            ]
-        )
-        return (
-            out.withColumn("_sigs", sigs)
-            .select(name, f"_{name}_v", F.posexplode("_sigs").alias("table", "sig"))
+        out = hyperplane_signatures_pandas(
+            df, id_col, vec_col, dim, bits, n_tables, seed, unit_col=f"_{name}_v"
+        ).withColumnRenamed(id_col, name)
+        return out.select(
+            name, f"_{name}_v", F.posexplode("_sigs").alias("table", "sig")
         )
 
     cb = with_sigs(corpus, "cand_id")
@@ -134,7 +222,7 @@ def lsh_topk(
     scored = cands.select(
         "query_id",
         F.col("cand_id").alias(id_col),
-        cosine_similarity("_query_id_v", "_cand_id_v").alias("cos_sim"),
+        dot("_query_id_v", "_cand_id_v").alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -159,35 +247,38 @@ def ivf_topk(
     identical). Corpus rows join their nearest list; queries probe the
     ``n_probe`` nearest lists and re-rank exactly within them."""
     cents = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
+        _unit(corpus, id_col, vec_col, "cv")
+        .orderBy(id_col)
         .limit(n_lists)
-        .withColumn("list_id", F.row_number().over(Window.orderBy("cid")) - 1)
-        .select("list_id", F.col("cv").alias("centroid"))
+        .withColumn("list_id", F.row_number().over(Window.orderBy(id_col)) - 1)
+        .select("list_id", "cv")
     )
     cent_rows = cents.collect()
     cent_arr = F.array(
         *[
             F.struct(
                 F.lit(r["list_id"]).alias("list_id"),
-                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("centroid"),
+                F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("centroid"),
             )
             for r in cent_rows
         ]
     )
 
     def nearest_lists(df: DataFrame, name: str, n: int) -> DataFrame:
+        u = _unit(df, id_col, vec_col, f"_{name}_v").withColumnRenamed(
+            id_col, name
+        )
         scored = F.transform(
             cent_arr,
             lambda c: F.struct(
-                cosine_similarity(F.col(vec_col), c["centroid"]).alias("sim"),
+                dot(F.col(f"_{name}_v"), c["centroid"]).alias("sim"),
                 c["list_id"].alias("list_id"),
             ),
         )
         top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
-        return df.select(
-            F.col(id_col).alias(name),
-            F.col(vec_col).alias(f"_{name}_v"),
+        return u.select(
+            name,
+            f"_{name}_v",
             F.explode(F.transform(top, lambda s: s["list_id"])).alias("list_id"),
         )
 
@@ -200,7 +291,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("cand_id").alias(id_col),
-            cosine_similarity("_query_id_v", "_cand_id_v").alias("cos_sim"),
+            dot("_query_id_v", "_cand_id_v").alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -227,17 +318,24 @@ def embedding_neardup_pairs(
     verification/baseline path). ``blocked=True``: hyperplane-bucket join
     first (high-cosine pairs almost always share all sign bits), then exact
     scoring inside buckets — the 10^10-scale path."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if blocked:
-        a = a.withColumn("_sig", hyperplane_signature("_va", dim, bits, seed))
-        b = b.withColumn("_sig", hyperplane_signature("_vb", dim, bits, seed))
+        sigs = hyperplane_signatures_pandas(
+            df, id_col, vec_col, dim, bits, n_tables=1, seed=seed
+        ).select(id_col, "_v", F.element_at("_sigs", 1).alias("_sig"))
+        a = sigs.select(
+            F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_sig"
+        )
+        b = sigs.select(
+            F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_sig"
+        )
         pairs = a.join(b, on="_sig").drop("_sig")
     else:
+        a = _unit(df, id_col, vec_col, "_va").withColumnRenamed(id_col, "id_a")
+        b = _unit(df, id_col, vec_col, "_vb").withColumnRenamed(id_col, "id_b")
         pairs = a.crossJoin(b)
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine_similarity("_va", "_vb"))
+        .withColumn("cos_sim", dot("_va", "_vb"))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

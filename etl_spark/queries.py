@@ -639,7 +639,7 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_similarity.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(emb, q, k=10, bits=8, n_tables=8).select(
+    return lsh_topk(emb, q, k=10, bits=4, n_tables=16).select(
         "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("int").alias("rank"),
     )

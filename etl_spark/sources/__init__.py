@@ -1,0 +1,15 @@
+from etl_spark.sources.files import (
+    read_csv_source,
+    read_json_source,
+    write_csv_sink,
+    write_json_sink,
+)
+from etl_spark.sources.http import http_json_source
+
+__all__ = [
+    "read_csv_source",
+    "read_json_source",
+    "write_csv_sink",
+    "write_json_sink",
+    "http_json_source",
+]

@@ -1,0 +1,99 @@
+"""File sources and sinks (CSV / JSON), batch and streaming.
+
+Reference parity:
+- v2 FileSource streams CSV/JSON records onto a channel
+  (/root/reference/v2/source/file.go:26-38). Spark shape: ``spark.read``
+  for batch, ``spark.readStream`` over a directory for the streaming tail
+  — partitioned, predicate-pushdown-capable scans instead of a
+  single-goroutine record loop.
+- v2 FileLoader writes a JSON array (maintaining the trailing ``]`` across
+  appends) or CSV with a sorted header from the first record
+  (/root/reference/v2/loader/file.go:31-221). Spark shape: distributed
+  ``df.write`` — JSON-lines rather than a single JSON array, because one
+  growing array file is inherently single-writer and unmergeable at scale
+  (documented intentional divergence); CSV keeps the sorted-header
+  contract via an explicit sorted column projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    streaming: bool = False,
+    lowercase_columns: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV scan (batch or streaming directory tail). Column names are
+    lowercased by default — the reference sanitizes every record's keys to
+    lowercase on ingest (/root/reference/etl.go:152-159); doing it as a
+    plan-time rename is free."""
+    reader = spark.readStream if streaming else spark.read
+    reader = reader.option("header", header)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif not streaming:
+        reader = reader.option("inferSchema", True)
+    df = reader.csv(path)
+    if lowercase_columns:
+        df = df.toDF(*[c.lower() for c in df.columns])
+    return df
+
+
+def read_json_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    streaming: bool = False,
+    lowercase_columns: bool = True,
+    **options,
+) -> DataFrame:
+    """JSON-lines (or multiline JSON array with ``multiLine=True``) scan."""
+    reader = spark.readStream if streaming else spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if lowercase_columns:
+        df = df.toDF(*[c.lower() for c in df.columns])
+    return df
+
+
+def write_csv_sink(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    sorted_header: bool = True,
+    single_file: bool = False,
+) -> None:
+    """CSV sink. ``sorted_header`` mirrors the reference's
+    sorted-keys-from-first-record header (/root/reference/v2/loader/
+    file.go:190-197). ``single_file`` coalesces to one part — only for
+    small exports; a 100 TB result stays many-part."""
+    if sorted_header:
+        df = df.select(*sorted(df.columns))
+    if single_file:
+        df = df.coalesce(1)
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json_sink(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    single_file: bool = False,
+) -> None:
+    """JSON-lines sink (the scale-correct analogue of the reference's
+    append-into-one-array loader, /root/reference/v2/loader/file.go:31-171)."""
+    if single_file:
+        df = df.coalesce(1)
+    df.write.mode(mode).json(path)

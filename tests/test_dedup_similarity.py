@@ -1,0 +1,158 @@
+"""Tests for the training-data dedup and similarity operators.
+
+Semantics checks run against hand-built frames with known duplicates;
+recall checks compare the approximate paths (MinHash LSH, hyperplane LSH,
+SimHash) against their exact counterparts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+    word_shingles,
+)
+from etl_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, "  THE   quick brown fox jumps over the lazy dog again and again "),
+        (3, base.replace("lazy", "sleepy")),         # near dup of 0
+        (4, "completely different text about spark shuffles and partitions"),
+        (5, "another unrelated document mentioning broadcast joins only"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_collapses_normalized_dups(docs):
+    out = exact_dedup(docs).orderBy("doc_id").collect()
+    # 0,1,2 normalize to identical text -> one survivor (min id 0, 3 dups)
+    by_id = {r["doc_id"]: r["n_dups"] for r in out}
+    assert by_id[0] == 3
+    assert set(by_id) == {0, 3, 4, 5}
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], ["doc_id", "text"])
+    row = df.select(word_shingles("text", 3).alias("s")).first()
+    assert row["s"] == ["one two"]
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] == 1.0  # normalization makes them identical
+    assert (0, 3) in pairs and pairs[(0, 3)] < 1.0
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_minhash_lsh_catches_exact_and_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, n_hashes=64, n_bands=16, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs
+    # verified-jaccard filter kills unrelated docs even if banded together
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_minhash_recall_vs_exact(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, n_hashes=64, n_bands=16, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert lsh <= exact  # verification step guarantees no false positives
+    assert len(lsh) >= 0.9 * len(exact)  # 16 bands of 4 rows: high recall at J>=0.5
+
+
+def test_simhash_neardup_on_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # id 100+i = tiny perturbation of id i -> guaranteed near-dup
+        rows.append((100 + i, [float(x) for x in v + rng.normal(scale=0.01, size=16)]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_brute_force_topk_finds_planted_neighbor(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    top = brute_force_topk(vectors, q, k=1).first()
+    assert top["vec_id"] == 100  # the perturbed copy
+    assert top["cos_sim"] > 0.99
+
+
+def test_embedding_neardup_exact_and_blocked(vectors):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            vectors, threshold=0.99, dim=16
+        ).collect()
+    }
+    assert (0, 100) in exact and len(exact) >= 20
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            vectors, threshold=0.99, blocked=True, dim=16, bits=8
+        ).collect()
+    }
+    assert blocked <= exact
+    # at cos >= 0.99 (angle ~8 deg) sign-blocking keeps most true pairs
+    assert len(blocked) >= 0.7 * len(exact)
+
+
+def test_lsh_topk_recall(vectors):
+    q = vectors.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(vectors, q, k=5).select("query_id", "vec_id")
+    ls = lsh_topk(vectors, q, k=5, dim=16, bits=4, n_tables=16).select(
+        "query_id", "vec_id"
+    )
+    recall = bf.intersect(ls).count() / bf.count()
+    assert recall >= 0.8
+
+
+def test_ivf_topk_schema_and_rank(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    rows = ivf_topk(vectors, q, k=5, n_lists=4, n_probe=4).collect()
+    assert len(rows) == 5
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
