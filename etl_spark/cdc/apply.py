@@ -104,6 +104,7 @@ def apply_batch(
     metrics: MetricsTable | None = None,
     dead_letter_dir: str | None = None,
     salted_dedup: bool = False,
+    transform_preserves_validity: bool = True,
 ) -> dict:
     """Apply one changelog micro-batch to the lake table, exactly once.
 
@@ -122,13 +123,22 @@ def apply_batch(
     if commit_log is not None and commit_log.is_committed(source, batch_id):
         return {"skipped": True, "batch_id": batch_id, "rows_applied": 0}
 
-    df = batch_df
+    raw = batch_df
     if watermark_store is not None:
-        df = filter_by_watermarks(df, watermark_store.get_all())
-    if transform is not None:
-        df = transform(df)
+        raw = filter_by_watermarks(raw, watermark_store.get_all())
+    df = transform(raw) if transform is not None else raw
+    # Frame the accounting pass runs on: when the transform cannot change a
+    # row's validity (the default text-normalization/role-canonicalization
+    # never nulls a non-null field), stats run on the PRE-transform frame —
+    # a column-pruned scan with no regex work — and the transform executes
+    # only once, inside the merge-write lineage.
+    stats_df = raw if (transform_preserves_validity or transform is None) else df
 
-    df = df.persist()
+    # No batch persist: with the fused stats pass, the batch lineage (WAL
+    # scan + narrow projections) is executed exactly twice — stats agg and
+    # the merge write. Re-scanning parquet is cheaper and scales with
+    # cores, while the columnar cache build is allocation-bound and does
+    # not; and at 10^10-event scale a cached batch wouldn't fit anyway.
     try:
         stats: dict = {"batch_id": batch_id, "source": source, "skipped": False}
 
@@ -138,32 +148,69 @@ def apply_batch(
             for _, p in vals[1:]:
                 valid_pred = valid_pred & p
             valid = df.filter(valid_pred)
-            if dead_letter_dir is not None:
-                err = F.coalesce(
-                    *[F.when(~p, F.lit(name)) for name, p in vals], F.lit("unknown")
-                )
-                dead = df.filter(~valid_pred).withColumn("error", err).withColumn(
-                    "batch_id", F.lit(batch_id).cast("long")
-                )
-                dead_n = dead.count()
-                if dead_n:
-                    dead.write.mode("append").parquet(dead_letter_dir)
-                stats["rows_failed"] = dead_n
         else:
+            valid_pred = F.lit(True)
             valid = df
 
-        # Per-partition accounting in ONE pass: rows_in, lsn range.
-        part_rows = (
-            valid.groupBy("source_partition")
+        # ALL batch accounting in ONE aggregation pass: per-(source
+        # partition x target bucket) valid/failed counts + applied-LSN
+        # range via conditional aggregation. One collect replaces separate
+        # dead-letter count, per-partition stats, and the merge's own
+        # per-bucket count — per-micro-batch driver actions (scheduling,
+        # planning, codegen) are the serial floor that caps streaming
+        # throughput and scaling, so each extra job per batch is real money.
+        tsnap = table.snapshot()
+        group = [
+            F.col("source_partition")
+            if "source_partition" in stats_df.columns
+            else F.lit(-1).alias("source_partition"),
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in tsnap.bucket_by]),
+                F.lit(tsnap.n_buckets),
+            )
+            .cast("int")
+            .alias("_bucket")
+            if tsnap.n_buckets > 0
+            else F.lit(0).alias("_bucket"),
+        ]
+        lsn = F.col("lsn") if "lsn" in stats_df.columns else F.lit(None).cast("long")
+        cells = (
+            stats_df.groupBy(*group)
             .agg(
-                F.count("*").alias("rows_in"),
-                F.min("lsn").alias("low_lsn"),
-                F.max("lsn").alias("high_lsn"),
+                F.count(F.when(valid_pred, 1)).alias("rows_in"),
+                F.count(F.when(~valid_pred, 1)).alias("rows_failed"),
+                F.min(F.when(valid_pred, lsn)).alias("low_lsn"),
+                F.max(F.when(valid_pred, lsn)).alias("high_lsn"),
             )
             .collect()
-            if "source_partition" in valid.columns
-            else []
         )
+        # roll the (partition x bucket) cells up both ways
+        per_bucket: dict[int, int] = {}
+        parts: dict[int, dict] = {}
+        for c in cells:
+            if c["rows_in"]:
+                per_bucket[c["_bucket"]] = per_bucket.get(c["_bucket"], 0) + c["rows_in"]
+            p = parts.setdefault(
+                c["source_partition"],
+                {"source_partition": c["source_partition"], "rows_in": 0,
+                 "rows_failed": 0, "low_lsn": None, "high_lsn": None},
+            )
+            p["rows_in"] += c["rows_in"]
+            p["rows_failed"] += c["rows_failed"]
+            for k, fn in (("low_lsn", min), ("high_lsn", max)):
+                if c[k] is not None:
+                    p[k] = c[k] if p[k] is None else fn(p[k], c[k])
+        part_rows = list(parts.values())
+        rows_failed = sum(r["rows_failed"] for r in part_rows)
+        if vals and dead_letter_dir is not None and rows_failed:
+            err = F.coalesce(
+                *[F.when(~p, F.lit(name)) for name, p in vals], F.lit("unknown")
+            )
+            stats_df.filter(~valid_pred).withColumn("error", err).withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).write.mode("append").parquet(dead_letter_dir)
+        if vals:
+            stats["rows_failed"] = rows_failed
         rows_in = sum(r["rows_in"] for r in part_rows)
         stats["rows_in"] = rows_in
         if rows_in == 0:
@@ -176,14 +223,20 @@ def apply_batch(
             valid, key=table.key, salted=salted_dedup
         )
         merge_src = deduped.drop(*[c for c in META_COLS if c in deduped.columns])
-        snap, merge_stats = table.merge(merge_src, op_col=op_col)
+        snap, merge_stats = table.merge(
+            merge_src, op_col=op_col, per_bucket=per_bucket
+        )
         stats.update(merge_stats)
         stats["rows_applied"] = merge_stats.get("source_rows", 0)
         stats["table_version"] = snap.version if snap else None
 
         if watermark_store is not None:
             watermark_store.advance(
-                {r["source_partition"]: r["high_lsn"] for r in part_rows}
+                {
+                    r["source_partition"]: r["high_lsn"]
+                    for r in part_rows
+                    if r["high_lsn"] is not None
+                }
             )
         if commit_log is not None:
             commit_log.commit(source, batch_id, stats)
@@ -199,7 +252,7 @@ def apply_batch(
                         "source_partition": r["source_partition"],
                         "rows_in": r["rows_in"],
                         "rows_applied": r["rows_in"],
-                        "rows_failed": stats.get("rows_failed", 0),
+                        "rows_failed": r["rows_failed"],
                         "low_lsn": r["low_lsn"],
                         "high_lsn": r["high_lsn"],
                         "latency_ms": stats["latency_ms"],
@@ -209,7 +262,7 @@ def apply_batch(
             )
         return stats
     finally:
-        df.unpersist()
+        pass  # no cached state to release (see note above)
 
 
 def replay(

@@ -126,48 +126,64 @@ def generate_changelog(spec: ChangelogSpec = ChangelogSpec()) -> pd.DataFrame:
     partition = ((conv.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
                  % np.uint64(spec.n_partitions)).astype(np.int32)
 
-    df = pd.DataFrame(
-        {
-            "op": op,
-            "source_partition": partition,
-            "ts": ts,
-            "conv_id": np.char.add("conv", np.char.zfill(conv.astype(str), 6)),
-            "turn_idx": turn,
-            "_seq": seq,
-        }
+    # global order (source_partition, _seq) via lexsort — the pandas
+    # sort_values + two groupby.cumcount calls this replaces were the
+    # generator's hot spots at 10^7+ events.
+    order = np.lexsort((seq, partition))
+    conv, turn, op, seq, ts, partition = (
+        a[order] for a in (conv, turn, op, seq, ts, partition)
     )
-    df = df.sort_values(["source_partition", "_seq"], kind="stable").reset_index(drop=True)
-    df["lsn"] = df.groupby("source_partition").cumcount().astype(np.int64)
+
+    def grouped_cumcount(group_ids: np.ndarray) -> np.ndarray:
+        """cumcount within each group, in current array order (vectorized)."""
+        o = np.argsort(group_ids, kind="stable")
+        g = group_ids[o]
+        starts = np.concatenate(([0], np.flatnonzero(g[1:] != g[:-1]) + 1))
+        counts = np.diff(np.concatenate((starts, [g.size])))
+        pos = np.arange(g.size) - np.repeat(starts, counts)
+        out = np.empty(g.size, dtype=np.int64)
+        out[o] = pos
+        return out
+
+    lsn = grouped_cumcount(partition.astype(np.int64))
 
     # payload: role/text/tool; NULL payload on deletes
-    rev = df.groupby(["conv_id", "turn_idx"]).cumcount().to_numpy()
-    turn_v = df["turn_idx"].to_numpy()
-    role = np.where(turn_v == 0, "system",
-                    np.where(turn_v % 2 == 1, "user", "assistant")).astype(object)
+    conv_names = np.array([f"conv{i:06d}" for i in range(n_conv)], dtype=object)
+    reply_names = np.array([f"reply {i:06d}" for i in range(n_conv)], dtype=object)
+    conv_id = conv_names[conv]
+    rev = grouped_cumcount(conv.astype(np.int64) * (spec.max_turns + 1) + turn)
+    role = np.where(turn == 0, "system",
+                    np.where(turn % 2 == 1, "user", "assistant")).astype(object)
     mess_pre = rng.choice(_MESS, n)
     mess_post = rng.choice(_MESS, n)
     text = (
         pd.Series(mess_pre)
-        + df["conv_id"].str.replace("conv", "reply ", regex=False)
-        + " turn " + pd.Series(turn_v).astype(str)
+        + pd.Series(reply_names[conv])
+        + " turn " + pd.Series(turn).astype(str)
         + " rev " + pd.Series(rev).astype(str)
         + pd.Series(np.where(rng.random(n) < 0.2, "  double  spaced", ""))
         + pd.Series(mess_post)
     ).to_numpy(dtype=object)
 
-    after_cutover = df["_seq"].to_numpy() >= int(n * spec.evolution_cutover)
+    after_cutover = seq >= int(n * spec.evolution_cutover)
     has_tool = after_cutover & (role == "assistant") & (rng.random(n) < 0.4)
     tool = np.where(has_tool, rng.choice(_TOOLS, n), None).astype(object)
 
-    is_delete = df["op"].to_numpy() == "D"
-    df["role"] = np.where(is_delete, None, role)
-    df["text"] = np.where(is_delete, None, text)
-    df["tool"] = np.where(is_delete, None, tool)
-    df["ts"] = df["ts"].astype("datetime64[us]")
-    return df[
-        ["op", "lsn", "source_partition", "ts", "conv_id", "turn_idx",
-         "role", "text", "tool", "_seq"]
-    ]
+    is_delete = op == "D"
+    return pd.DataFrame(
+        {
+            "op": op,
+            "lsn": lsn,
+            "source_partition": partition,
+            "ts": ts.astype("datetime64[us]"),
+            "conv_id": conv_id,
+            "turn_idx": turn,
+            "role": np.where(is_delete, None, role),
+            "text": np.where(is_delete, None, text),
+            "tool": np.where(is_delete, None, tool),
+            "_seq": seq,
+        }
+    )
 
 
 def write_changelog(df: pd.DataFrame, wal_dir: str, spec: ChangelogSpec) -> list[str]:

@@ -37,29 +37,45 @@ class MetricsTable:
         os.makedirs(self.path, exist_ok=True)
 
     def record(self, spark: SparkSession, rows: list[dict]) -> None:
+        """Append one parquet file with the batch's metric rows. Driver-side
+        pyarrow write — the payload is O(#source partitions) rows, and a
+        Spark job per micro-batch just for metrics is measurable overhead."""
         if not rows:
             return
         import datetime
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
         now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
-        data = [
-            (
-                r.get("source", "wal"),
-                r.get("batch_id", -1),
-                r.get("source_partition", -1),
-                r.get("rows_in", 0),
-                r.get("rows_applied", 0),
-                r.get("rows_failed", 0),
-                r.get("low_lsn"),
-                r.get("high_lsn"),
-                r.get("latency_ms", 0),
-                now,
-            )
-            for r in rows
-        ]
-        spark.createDataFrame(data, METRICS_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(self.path)
+        table = pa.table(
+            {
+                "source": [r.get("source", "wal") for r in rows],
+                "batch_id": pa.array(
+                    [r.get("batch_id", -1) for r in rows], pa.int64()
+                ),
+                "source_partition": pa.array(
+                    [r.get("source_partition", -1) for r in rows], pa.int32()
+                ),
+                "rows_in": pa.array([r.get("rows_in", 0) for r in rows], pa.int64()),
+                "rows_applied": pa.array(
+                    [r.get("rows_applied", 0) for r in rows], pa.int64()
+                ),
+                "rows_failed": pa.array(
+                    [r.get("rows_failed", 0) for r in rows], pa.int64()
+                ),
+                "low_lsn": pa.array([r.get("low_lsn") for r in rows], pa.int64()),
+                "high_lsn": pa.array([r.get("high_lsn") for r in rows], pa.int64()),
+                "latency_ms": pa.array(
+                    [r.get("latency_ms", 0) for r in rows], pa.int64()
+                ),
+                "ts": pa.array([now for _ in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(
+            table, os.path.join(self.path, f"metrics-{uuid.uuid4().hex[:12]}.parquet")
+        )
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         try:

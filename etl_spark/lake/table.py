@@ -332,24 +332,32 @@ class LakeTable:
         if n_buckets > 0:
             df = df.repartition(n_buckets, F.col(_BUCKET_COL))
         df.write.partitionBy(_BUCKET_COL).mode("errorifexists").parquet(out)
-        entries: list[dict[str, Any]] = []
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
+        files: list[tuple[str, int]] = []
         for root, _dirs, names in os.walk(out):
-            for n in names:
-                if not n.endswith(".parquet"):
-                    continue
-                full = os.path.join(root, n)
-                bucket_part = os.path.basename(root)
-                bucket = int(bucket_part.split("=", 1)[1]) if "=" in bucket_part else 0
-                entries.append(
-                    {
-                        "path": os.path.relpath(full, self.path),
-                        "bucket": bucket,
-                        "rows": pq.ParquetFile(full).metadata.num_rows,
-                    }
-                )
-        return entries
+            bucket_part = os.path.basename(root)
+            bucket = int(bucket_part.split("=", 1)[1]) if "=" in bucket_part else 0
+            files.extend(
+                (os.path.join(root, n), bucket)
+                for n in names
+                if n.endswith(".parquet")
+            )
+
+        def entry(item: tuple[str, int]) -> dict[str, Any]:
+            full, bucket = item
+            return {
+                "path": os.path.relpath(full, self.path),
+                "bucket": bucket,
+                "rows": pq.ParquetFile(full).metadata.num_rows,
+            }
+
+        # footer reads are tiny but latency-bound; a commit lists O(buckets)
+        # files and this runs once per micro-batch on the driver
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            return list(ex.map(entry, files))
 
     def _commit(
         self,
@@ -407,7 +415,8 @@ class LakeTable:
         source: DataFrame,
         op_col: str | None = None,
         delete_op: str = "D",
-        broadcast_threshold: int = 4_000_000,
+        broadcast_threshold: int = 200_000,
+        per_bucket: dict[int, int] | None = None,
     ) -> tuple[Snapshot | None, dict[str, int]]:
         """Copy-on-write MERGE INTO keyed on the table key.
 
@@ -422,6 +431,15 @@ class LakeTable:
         same deduped batch is a no-op on converged state, which is what
         makes streaming replays after a crash safe (idempotence).
 
+        ``per_bucket`` (bucket -> row count for the batch, upper bound ok)
+        lets a caller that already aggregated the batch (apply_batch's
+        stats pass) skip this method's own counting action — the merge then
+        runs exactly ONE job (the write), with the dedup shuffle executed
+        once inside it. Without it, an extra count job + a persist of the
+        source are needed. Driver-side serial floor per micro-batch (job
+        scheduling, planning, codegen) is what caps streaming throughput —
+        fewer actions per batch matters more than any executor-side tweak.
+
         Returns (new snapshot | None if source empty, stats dict).
         """
         base = self.snapshot()
@@ -434,13 +452,18 @@ class LakeTable:
         schema = evolve_schema(base.schema, payload_schema)
 
         src = source.withColumn(_BUCKET_COL, self._bucket_expr(base))
-        src.persist()
+        caller_counts = per_bucket is not None
+        if not caller_counts:
+            src.persist()
         try:
-            # One action yields affected-bucket set AND batch size.
-            per_bucket = {
-                r[_BUCKET_COL]: r["n"]
-                for r in src.groupBy(_BUCKET_COL).agg(F.count("*").alias("n")).collect()
-            }
+            if not caller_counts:
+                # One action yields affected-bucket set AND batch size.
+                per_bucket = {
+                    r[_BUCKET_COL]: r["n"]
+                    for r in src.groupBy(_BUCKET_COL)
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
             src_rows = sum(per_bucket.values())
             if src_rows == 0:
                 return None, {"source_rows": 0, "rewritten_buckets": 0}
@@ -450,18 +473,6 @@ class LakeTable:
             read_entries = [f for f in base.files if f["bucket"] in affected]
             target_rows_affected = sum(f.get("rows", 0) for f in read_entries)
 
-            target_aff = self._read_files(
-                base, read_entries, target_schema=schema
-            ).withColumn(_BUCKET_COL, self._bucket_expr(base))
-
-            # Survivors: target rows in affected buckets whose key is NOT in
-            # the batch. Broadcast the batch key set when small so the target
-            # scan stays shuffle-free (the common CDC micro-batch case).
-            src_keys = src.select(*base.key).dropDuplicates(base.key)
-            if src_rows <= broadcast_threshold:
-                src_keys = F.broadcast(src_keys)
-            survivors = target_aff.join(src_keys, on=base.key, how="left_anti")
-
             upserts = src
             if op_col is not None:
                 upserts = upserts.filter(F.col(op_col) != F.lit(delete_op))
@@ -469,7 +480,27 @@ class LakeTable:
                 _BUCKET_COL, self._bucket_expr(base)
             )
 
-            result = survivors.select(upserts.columns).unionByName(upserts)
+            if not read_entries:
+                # Bootstrap / untouched-bucket fast path: nothing to anti-join
+                # against — the batch IS the new bucket content.
+                result = upserts
+            else:
+                target_aff = self._read_files(
+                    base, read_entries, target_schema=schema
+                ).withColumn(_BUCKET_COL, self._bucket_expr(base))
+
+                # Survivors: target rows in affected buckets whose key is NOT
+                # in the batch. Force-broadcast only a genuinely small batch
+                # key set (keeps the target scan shuffle-free — the common
+                # CDC micro-batch case); for bulk batches let AQE pick the
+                # strategy from real sizes: building a multi-hundred-MB
+                # broadcast hash relation serializes on the driver and
+                # collapses under concurrency.
+                src_keys = src.select(*base.key).dropDuplicates(base.key)
+                if src_rows <= broadcast_threshold:
+                    src_keys = F.broadcast(src_keys)
+                survivors = target_aff.join(src_keys, on=base.key, how="left_anti")
+                result = survivors.select(upserts.columns).unionByName(upserts)
             new_files = self._write_data_files(base.version + 1, result, base.n_buckets)
             snap = self._commit(base, keep_files, new_files, schema, "merge")
             return snap, {
@@ -480,7 +511,8 @@ class LakeTable:
                 "rows_after": snap.total_rows,
             }
         finally:
-            src.unpersist()
+            if not caller_counts:
+                src.unpersist()
 
     # -------------------------------------------------------------- maintain
     def compact(self, target_file_rows: int = 5_000_000) -> Snapshot:

@@ -79,6 +79,38 @@ def _sqlify(s: str) -> str:
     return s
 
 
+def _resolve_source(df: DataFrame, src: str) -> tuple[Column, list[str]] | None:
+    """Resolve a non-template mapping value against the frame at plan time,
+    mirroring lib.GetValue (/root/reference/lib/value.go:12-73):
+
+      exact column          -> col
+      ``a+b`` concat parts  -> concat of each resolved part (value.go:12-32)
+      ``*_suffix``/``pre*`` -> first column matching the wildcard
+                               (value.go:66-73,187-194)
+    Returns (column, consumed source names) or None if unresolvable."""
+    if src in df.columns:
+        return F.col(src), [src]
+    if "+" in src:
+        parts = [p.strip() for p in src.split("+")]
+        resolved, used = [], []
+        for p in parts:
+            r = _resolve_source(df, p)
+            if r is None:
+                resolved.append(F.lit(p))
+            else:
+                resolved.append(r[0])
+                used.extend(r[1])
+        return F.concat(*resolved), used
+    if "*" in src:
+        import fnmatch
+
+        for c in df.columns:
+            if fnmatch.fnmatch(c, src):
+                return F.col(c), [c]
+        return None
+    return None
+
+
 def field_map(
     df: DataFrame,
     mapping: dict[str, str],
@@ -86,8 +118,9 @@ def field_map(
     additional: dict[str, Any] | None = None,
 ) -> DataFrame:
     """``dest <- src`` projection. ``mapping`` values may be source column
-    names or ``{{...}}`` templates; unmapped source columns are dropped
-    unless ``keep_unmatched`` (KeepUnmatchedFields,
+    names, ``{{...}}`` templates, ``a+b`` concats, or ``*_suffix``
+    wildcards; unmapped source columns are dropped unless
+    ``keep_unmatched`` (KeepUnmatchedFields,
     /root/reference/mapper/mapper.go:49-55). ``additional`` adds constant
     columns (/root/reference/v2/mapper/field.go:44-49)."""
     cols: list[Column] = []
@@ -95,9 +128,11 @@ def field_map(
     for dest, src in mapping.items():
         if isinstance(src, str) and _TEMPLATE_RE.match(src.strip()):
             cols.append(template_expr(src).alias(dest))
-        elif isinstance(src, str) and src in df.columns:
-            cols.append(F.col(src).alias(dest))
-            used.add(src)
+            continue
+        resolved = _resolve_source(df, src) if isinstance(src, str) else None
+        if resolved is not None:
+            cols.append(resolved[0].alias(dest))
+            used.update(resolved[1])
         else:
             cols.append(F.lit(src).alias(dest))
     if keep_unmatched:

@@ -58,9 +58,14 @@ def get_session(
         # timestamp type across sources, lake tables, and the DuckDB oracle.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        # Files: 128 MiB split target is the right default for TB-scale scans;
-        # harmless locally because test files are tiny.
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Files: 32 MiB split target, NOT the stock 128 MiB. This engine's
+        # scan tasks are CPU-heavy (snappy decompress + regex normalize +
+        # hash dedup combine, ~4-5x expansion from compressed bytes), so
+        # 128 MiB splits under-partition the WAL — a 2 GB micro-batch
+        # becomes 18 tasks and half a 32-core executor pool sits idle.
+        # 32 MiB keeps ~3-4 waves per core at the same batch size; on a
+        # 1000-executor cluster the same reasoning holds per executor.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

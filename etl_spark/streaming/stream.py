@@ -24,6 +24,8 @@ DDL, and resume safety is what the commit log + watermarks guarantee.
 from __future__ import annotations
 
 import os
+import random
+import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -36,14 +38,45 @@ from etl_spark.cdc.state import CommitLog, WatermarkStore
 from etl_spark.lake import LakeTable
 
 
+def retry_with_backoff(fn, attempts: int = 3, base_delay: float = 0.1):
+    """Exponential backoff with +/-20% jitter around a sink operation —
+    the reference's retry loop (/root/reference/v2/etl.go:15-28). Safe to
+    wrap around ``apply_batch``: the commit log makes a replay of an
+    already-committed batch a no-op, and a re-MERGE of the same deduped
+    batch converges to the same snapshot."""
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - sink errors are heterogeneous
+            last = e
+            if i == attempts - 1:
+                break
+            time.sleep(base_delay * (2**i) * random.uniform(0.8, 1.2))
+    raise last  # type: ignore[misc]
+
+
 def discover_wal_schema(spark: SparkSession, wal_dir: str) -> T.StructType:
-    """Union schema of the WAL segments as of now (mergeSchema over parquet
-    footers only — a metadata-only job). `source_partition` comes back as a
-    directory-partition column."""
+    """Union schema of the WAL segments as of now. Reads the FIRST and LAST
+    segment footer per partition dir rather than mergeSchema over every
+    file: binlog schema changes are ordered (a column appears at a cut-over
+    LSN and stays), so the endpoints bound the schema set — and footer-
+    reading all of a 10^5-segment WAL just to (re)learn 2 schemas is a
+    startup-time tax on every resume."""
+    sample: list[str] = []
+    for part in sorted(os.listdir(wal_dir)):
+        pdir = os.path.join(wal_dir, part)
+        if not os.path.isdir(pdir):
+            continue
+        segs = sorted(n for n in os.listdir(pdir) if n.endswith(".parquet"))
+        for n in {segs[0], segs[-1]} if segs else ():
+            sample.append(os.path.join(pdir, n))
+    if not sample:
+        raise FileNotFoundError(f"no parquet segments under {wal_dir}")
     df = (
         spark.read.option("mergeSchema", "true")
         .option("basePath", wal_dir)
-        .parquet(wal_dir)
+        .parquet(*sample)
     )
     return df.schema
 
@@ -59,6 +92,13 @@ class CdcStream:
     max_files_per_trigger: int = 8
     salted_dedup: bool = False
     dead_letter: bool = True
+    # Multi-destination fan-out: the same batch is applied to each extra
+    # table after the primary (reference re-runs the whole ETL per
+    # destination, /root/reference/etl.go:463-477; here the batch is
+    # persisted once and each sink has its own commit-log stream so a
+    # crash between sinks replays only the unapplied ones).
+    extra_tables: list[LakeTable] = field(default_factory=list)
+    retry_attempts: int = 3
     query: object = field(default=None, init=False)
 
     def __post_init__(self) -> None:
@@ -73,19 +113,36 @@ class CdcStream:
         self.batch_stats: list[dict] = []
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
-        stats = apply_batch(
-            self.spark,
-            batch_df,
-            self.table,
-            batch_id=batch_id,
-            source=self.source_name,
-            transform=self.transform,
-            commit_log=self.commit_log,
-            watermark_store=self.watermarks,
-            metrics=self.metrics,
-            dead_letter_dir=self.dead_letter_dir,
-            salted_dedup=self.salted_dedup,
+        stats = retry_with_backoff(
+            lambda: apply_batch(
+                self.spark,
+                batch_df,
+                self.table,
+                batch_id=batch_id,
+                source=self.source_name,
+                transform=self.transform,
+                commit_log=self.commit_log,
+                watermark_store=self.watermarks,
+                metrics=self.metrics,
+                dead_letter_dir=self.dead_letter_dir,
+                salted_dedup=self.salted_dedup,
+            ),
+            attempts=self.retry_attempts,
         )
+        for i, extra in enumerate(self.extra_tables):
+            retry_with_backoff(
+                lambda t=extra, i=i: apply_batch(
+                    self.spark,
+                    batch_df,
+                    t,
+                    batch_id=batch_id,
+                    source=f"{self.source_name}:dest{i + 1}",
+                    transform=self.transform,
+                    commit_log=self.commit_log,
+                    salted_dedup=self.salted_dedup,
+                ),
+                attempts=self.retry_attempts,
+            )
         self.batch_stats.append(stats)
 
     def start(self):
