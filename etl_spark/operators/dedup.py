@@ -66,9 +66,42 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def shingle_hashes(text: Column | str, n: int = 3) -> Column:
-    """Distinct 64-bit shingle hashes (the minhash input set)."""
+    """Distinct 64-bit shingle hashes (the minhash input set), built from
+    the shingle STRINGS — exact but string-building-heavy; prefer
+    ``with_shingle_hashes`` in hot paths."""
     return F.array_distinct(
         F.transform(word_shingles(text, n), lambda s: F.xxhash64(s))
+    )
+
+
+def with_shingle_hashes(
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "__sh"
+) -> DataFrame:
+    """Append distinct 64-bit shingle hashes WITHOUT materializing shingle
+    strings: hash each word once, then combine n consecutive word hashes
+    with one xxhash64 per shingle. Spark higher-order functions are
+    interpreted (CodegenFallback), so per-element work dominates — this
+    does 1 hash + n array lookups per shingle instead of slice +
+    concat_ws + string-hash, ~4x less interpreted work. The word-hash
+    array is staged as its own column so it is computed once per row, not
+    once per shingle."""
+    c = F.col(text_col)
+    words = F.split(F.lower(normalize_text(c)), " ")
+    staged = df.withColumn(
+        "__words", words
+    ).withColumn("__wh", F.transform(F.col("__words"), lambda w: F.xxhash64(w)))
+    wh = F.col("__wh")
+    combined = F.transform(
+        F.sequence(F.lit(0), F.size(wh) - n),
+        lambda i: F.xxhash64(*[F.element_at(wh, i + k + 1) for k in range(n)]),
+    )
+    short = F.array(F.xxhash64(F.concat_ws(" ", F.col("__words"))))
+    return (
+        staged.withColumn(
+            out_col,
+            F.when(F.size(wh) < n, short).otherwise(F.array_distinct(combined)),
+        )
+        .drop("__words", "__wh")
     )
 
 
@@ -101,20 +134,14 @@ def minhash_signature(
 ) -> DataFrame:
     """Append an ``array<bigint>`` minhash signature column.
 
-    sig[i] = min over shingles s of xxhash64(salt_i, xxhash64(s)) — a
-    salted-rehash permutation family. All expression lambdas — one pass over
-    the shingle array per permutation, vectorized in the JVM."""
+    sig[i] = min over shingles of xxhash64(salt_i, shingle_hash) — a
+    salted-rehash permutation family, computed over the staged word-hash
+    shingles (see ``with_shingle_hashes``; the shingle array is a column
+    reference so it is built once per row, not once per permutation)."""
     def perm(salt: int):
-        # Re-hash with a per-permutation salt: xxhash64(salt, h) is an
-        # independent deterministic permutation per i — no arithmetic, so
-        # no ANSI overflow concerns, and one JVM hash per shingle per perm.
         return lambda h: F.xxhash64(F.lit(salt), h)
 
-    # Materialize the shingle-hash array as its own column first: the sig
-    # expression references it n_hashes times, and an attribute reference is
-    # evaluated once per row, whereas inlining the subtree would re-tokenize
-    # and re-hash the document n_hashes times.
-    staged = df.withColumn("__sh", shingle_hashes(text_col, shingle_words))
+    staged = with_shingle_hashes(df, text_col, shingle_words, "__sh")
     sig = F.array(
         *[
             F.array_min(F.transform(F.col("__sh"), perm(_i64(_splitmix64(seed + i)))))
@@ -197,14 +224,31 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     if jaccard_threshold is not None:
-        exact = ngram_jaccard_pairs(
-            df, id_col=id_col, text_col=text_col, shingle_words=shingle_words,
-            threshold=jaccard_threshold,
-            candidates=pairs.select("id_a", "id_b"),
+        # Exact verification on the CANDIDATE pairs only: join each side's
+        # shingle-hash set and score with array_intersect — candidate
+        # count is tiny post-LSH, so this never touches the full
+        # inverted-index join that scoring all pairs would need.
+        sets_ = with_shingle_hashes(
+            df.select(id_col, text_col), text_col, shingle_words, "__sh"
+        ).select(id_col, "__sh")
+        a_sets = sets_.select(
+            F.col(id_col).alias("id_a"), F.col("__sh").alias("_sa")
         )
-        return pairs.join(exact, on=["id_a", "id_b"]).select(
-            "id_a", "id_b", "jaccard_est", "jaccard"
+        b_sets = sets_.select(
+            F.col(id_col).alias("id_b"), F.col("__sh").alias("_sb")
         )
+        scored = (
+            pairs.join(a_sets, on="id_a")
+            .join(b_sets, on="id_b")
+            .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+            .withColumn(
+                "jaccard",
+                F.col("_inter")
+                / (F.size("_sa") + F.size("_sb") - F.col("_inter")),
+            )
+            .filter(F.col("jaccard") >= jaccard_threshold)
+        )
+        return scored.select("id_a", "id_b", "jaccard_est", "jaccard")
     return pairs
 
 
@@ -214,8 +258,12 @@ def simhash(
     """SimHash fingerprint: sign of the per-bit sum of shingle-hash bit
     vectors, packed into one bigint. aggregate+zip_with over the shingle
     array — a single expression tree, no UDF."""
-    hashes = shingle_hashes(text_col, shingle_words)
+    return simhash_from_hashes(shingle_hashes(text_col, shingle_words), bits)
 
+
+def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
+    """SimHash over a precomputed shingle-hash array column (stage the
+    array with ``with_shingle_hashes`` so it is built once per row)."""
     def bit_vec(h: Column) -> Column:
         # +1/-1 per bit of the shingle hash (bit positions unrolled at plan
         # time — shift amounts must be literals).
@@ -263,7 +311,9 @@ def simhash_neardup_pairs(
     never a cross join."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    fp = df.select(id_col, simhash(text_col, 64, shingle_words).alias("simhash"))
+    fp = with_shingle_hashes(
+        df.select(id_col, text_col), text_col, shingle_words, "__sh"
+    ).select(id_col, simhash_from_hashes(F.col("__sh"), 64).alias("simhash"))
     fp = fp.persist()
     chunks = fp.select(
         id_col,

@@ -61,6 +61,7 @@ from etl_spark.operators.multimodal import (
 from etl_spark.operators.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -645,6 +646,17 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only; probe/re-rank plumbing covered by
+    tests/test_dedup_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, q, k=10, n_lists=16, n_probe=4).select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact threshold scan)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -785,6 +797,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
+    "similarity_ivf": q_similarity_ivf,
     "embedding_neardup": q_embedding_neardup,
     "text_stats": q_text_stats,
     "multimodal_meta": q_multimodal_meta,
