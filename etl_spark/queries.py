@@ -147,6 +147,20 @@ SELECT user_id, ts, lsn, event_type, value FROM ranked WHERE rn = 1
 """
 
 
+def q_lww_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted LWW dedup (hot-key skew mitigation, SURVEY §2.6
+    skew note): max() is associative so the salted two-phase aggregation
+    must produce EXACTLY the unsalted result — checked against the same
+    SQL oracle as ``lww_dedup``."""
+    events = _t(spark, sf_dir, "events")
+    d = events.select(
+        "user_id", "ts", F.col("event_id").alias("lsn"), "event_type", "value"
+    )
+    return dedup_last_writer_wins(
+        d, key=["user_id"], order_by=["ts", "lsn"], salted=True, salt_buckets=16
+    ).select("user_id", "ts", "lsn", "event_type", "value")
+
+
 def q_incremental_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: resume scan past per-partition high-watermark LSNs
     (/root/reference/etl.go:412-424, migration.go:11-32)."""
@@ -773,6 +787,7 @@ def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "cdc_apply_final_state": q_cdc_apply_final_state,
     "lww_dedup": q_lww_dedup,
+    "lww_dedup_salted": q_lww_dedup_salted,
     "incremental_tail": q_incremental_tail,
     "sessionize": q_sessionize,
     "field_map_template": q_field_map_template,
@@ -807,6 +822,7 @@ QUERIES = {
 ORACLE_SQL = {
     "cdc_apply_final_state": _ORACLE_CDC_FINAL,
     "lww_dedup": _ORACLE_LWW,
+    "lww_dedup_salted": _ORACLE_LWW,
     "incremental_tail": _ORACLE_TAIL,
     "sessionize": _ORACLE_SESSIONIZE,
     "field_map_template": _ORACLE_FIELD_MAP,
