@@ -185,7 +185,12 @@ def replay_only(cpus: int, wal_dir: str, n_events: int, out_path: str) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def run_scaling(wal_dir: str, n_events: int, levels: list[int], trials: int = 2) -> dict:
+def run_scaling(
+    wal_dir: str,
+    n_events: int,
+    levels: list[int],
+    trials: int = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "1")),
+) -> dict:
     """Same job + same input at two parallelism levels, each level in a
     fresh Python/JVM process; best-of-trials per level (the sandbox proxy
     for the N vs 4N executor-cluster criterion in BASELINE.json)."""

@@ -21,8 +21,8 @@ Scale notes:
   the shuffle. That *is* the skew mitigation for the dedup stage; an
   explicit two-level salted variant is provided for degenerate cases where
   even the post-combine per-key fan-in is too wide.
-- Validators are pure predicates — the split is two scans of a cached
-  batch, no Python.
+- Validators are pure predicates; their accounting rides the single
+  fused stats aggregation (no extra scans, no Python).
 """
 
 from __future__ import annotations
