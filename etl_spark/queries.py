@@ -67,7 +67,20 @@ from etl_spark.operators.similarity import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _pin_session(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _pin_session(spark: SparkSession) -> None:
+    """Defensive runtime conf for driver-owned sessions: results must be
+    bit-comparable to the DuckDB oracle regardless of how the harness
+    built its SparkSession (UTC timestamps, TimestampType for tz-naive
+    parquet). Both are runtime-settable SQL confs."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass  # read-only conf in some harnesses; defaults then apply
 
 
 # --------------------------------------------------------------------------
