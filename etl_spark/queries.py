@@ -260,6 +260,40 @@ FROM orders
 """
 
 
+def q_field_map_dotted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14: dotted struct-path + job-context namespace resolution
+    (/root/reference/lib/value.go:34-210). Events are nested into a struct
+    column first, then mapped back out through ``meta.x`` paths plus a
+    ``param.x`` context literal — the reference-YAML access pattern."""
+    events = _t(spark, sf_dir, "events")
+    nested = events.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("kind"),
+            F.col("value").alias("score"),
+            F.struct(F.col("user_id").alias("uid")).alias("who"),
+        ).alias("meta"),
+    )
+    return field_map(
+        nested,
+        {
+            "eid": "event_id",
+            "kind": "meta.kind",
+            "score": "meta.score",
+            "uid": "meta.who.uid",
+            "tenant": "param.tenant",
+        },
+        context={"param": {"tenant": "acme"}},
+    )
+
+
+_ORACLE_FIELD_MAP_DOTTED = """
+SELECT event_id AS eid, event_type AS kind, value AS score,
+       user_id AS uid, 'acme' AS tenant
+FROM events
+"""
+
+
 def q_concat_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6: concat_ws + drop sources (/root/reference/concat/concat.go:25-46)."""
     customer = _t(spark, sf_dir, "customer").select(
@@ -804,6 +838,7 @@ QUERIES = {
     "incremental_tail": q_incremental_tail,
     "sessionize": q_sessionize,
     "field_map_template": q_field_map_template,
+    "field_map_dotted": q_field_map_dotted,
     "concat_fields": q_concat_fields,
     "slug": q_slug,
     "uppercase_values": q_uppercase_values,
@@ -839,6 +874,7 @@ ORACLE_SQL = {
     "incremental_tail": _ORACLE_TAIL,
     "sessionize": _ORACLE_SESSIONIZE,
     "field_map_template": _ORACLE_FIELD_MAP,
+    "field_map_dotted": _ORACLE_FIELD_MAP_DOTTED,
     "concat_fields": _ORACLE_CONCAT,
     "slug": _ORACLE_SLUG,
     "uppercase_values": _ORACLE_UPPER,

@@ -35,6 +35,61 @@ def test_field_map_wildcard_and_concat(spark):
     assert out["tag"] == "b1"
 
 
+def test_field_map_dotted_struct_paths(spark):
+    df = spark.createDataFrame(
+        [(1, ("x", 2.5, (7,)))],
+        "id long, a struct<b:string, c:double, d:struct<e:long>>",
+    )
+    out = field_map(
+        df,
+        {
+            "i": "id",
+            "b": "a.b",           # one-level struct path
+            "e": "a.d.e",         # two-level struct path
+            "bad": "a.nope",      # unresolvable path -> literal (warned)
+            "bodyb": "body.id",   # body.x namespace -> column
+        },
+    ).first()
+    assert out["i"] == 1
+    assert out["b"] == "x"
+    assert out["e"] == 7
+    assert out["bad"] == "a.nope"
+    assert out["bodyb"] == 1
+
+
+def test_field_map_context_namespaces(spark):
+    df = spark.createDataFrame([(1, "t")], ["id", "param"])
+    ctx = {
+        "param": {"tenant": "acme", "user_code": "u9"},
+        "query": {"page": 3},
+        "consts": {"version": "v2"},
+        "enums": {"status": {"A": "active"}},
+        "request_id": "r-77",
+    }
+    out = field_map(
+        df,
+        {
+            "t": "param.tenant",        # namespace beats the 'param' column
+            "wild": "param.*_code",     # *_suffix wildcard inside namespace
+            "pg": "query.page",
+            "ver": "consts.version",
+            "st": "enums.status.A",
+            "rid": "header.request_id",  # header. prefix strip
+            "rid2": "request_id",        # bare header-data key (after columns)
+            "expr": "eval.{{id + 1}}",
+        },
+        context=ctx,
+    ).first()
+    assert out["t"] == "acme"
+    assert out["wild"] == "u9"
+    assert out["pg"] == 3
+    assert out["ver"] == "v2"
+    assert out["st"] == "active"
+    assert out["rid"] == "r-77"
+    assert out["rid2"] == "r-77"
+    assert out["expr"] == 2
+
+
 def test_retry_with_backoff_retries_then_raises():
     calls = {"n": 0}
 
