@@ -104,7 +104,7 @@ def apply_batch(
     metrics: MetricsTable | None = None,
     dead_letter_dir: str | None = None,
     salted_dedup: bool = False,
-    transform_preserves_validity: bool = True,
+    transform_preserves_keys_and_validity: bool = True,
 ) -> dict:
     """Apply one changelog micro-batch to the lake table, exactly once.
 
@@ -127,12 +127,21 @@ def apply_batch(
     if watermark_store is not None:
         raw = filter_by_watermarks(raw, watermark_store.get_all())
     df = transform(raw) if transform is not None else raw
-    # Frame the accounting pass runs on: when the transform cannot change a
-    # row's validity (the default text-normalization/role-canonicalization
-    # never nulls a non-null field), stats run on the PRE-transform frame —
-    # a column-pruned scan with no regex work — and the transform executes
-    # only once, inside the merge-write lineage.
-    stats_df = raw if (transform_preserves_validity or transform is None) else df
+    # Frame the accounting pass runs on. The stats aggregation groups by
+    # (source_partition, target bucket) and its bucket set is ALSO the
+    # merge's affected-bucket set — so running it on the PRE-transform
+    # frame is only sound when the transform rewrites neither validity NOR
+    # any key/bucket_by/source_partition/lsn column. That is exactly what
+    # ``transform_preserves_keys_and_validity`` promises (true for the
+    # default text-normalization/role-canonicalization transforms, which
+    # touch payload columns only); the payoff is a column-pruned scan with
+    # no regex work, and the transform executing once, inside the
+    # merge-write lineage. A transform that renames/trims/coerces a KEY
+    # column MUST pass False, otherwise MERGE would anti-join the wrong
+    # buckets and leave duplicate keys behind.
+    stats_df = (
+        raw if (transform_preserves_keys_and_validity or transform is None) else df
+    )
 
     # No batch persist: with the fused stats pass, the batch lineage (WAL
     # scan + narrow projections) is executed exactly twice — stats agg and
@@ -227,7 +236,12 @@ def apply_batch(
             merge_src, op_col=op_col, per_bucket=per_bucket
         )
         stats.update(merge_stats)
-        stats["rows_applied"] = merge_stats.get("source_rows", 0)
+        # Post-dedup count observed on the merge-write job — NOT the
+        # pre-dedup per_bucket sum (in-batch duplicates don't count as
+        # applied rows).
+        stats["rows_applied"] = merge_stats.get(
+            "rows_applied", merge_stats.get("source_rows", 0)
+        )
         stats["table_version"] = snap.version if snap else None
 
         if watermark_store is not None:
@@ -251,7 +265,10 @@ def apply_batch(
                         "batch_id": batch_id,
                         "source_partition": r["source_partition"],
                         "rows_in": r["rows_in"],
-                        "rows_applied": r["rows_in"],
+                        # Applied counts exist only at batch grain (dedup
+                        # crosses partitions); a per-partition number here
+                        # would be the pre-dedup rows_in mislabeled.
+                        "rows_applied": None,
                         "rows_failed": r["rows_failed"],
                         "low_lsn": r["low_lsn"],
                         "high_lsn": r["high_lsn"],

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _BUCKET_COL = "__bucket"
+_ORIGIN_COL = "__origin"
 _META_DIR = "_meta"
 _DATA_DIR = "data"
 
@@ -316,7 +317,8 @@ class LakeTable:
         ).cast("int")
 
     def _write_data_files(
-        self, snap_version: int, df: DataFrame, n_buckets: int = 0
+        self, snap_version: int, df: DataFrame, n_buckets: int = 0,
+        origin_partition: bool = False,
     ) -> list[dict[str, Any]]:
         """Write df (must carry __bucket) partitioned by bucket under a
         unique dir; return manifest entries with parquet-footer row counts.
@@ -326,33 +328,50 @@ class LakeTable:
         into each of the B bucket dirs (S x B files per commit — at 64
         shuffle partitions x 32 buckets that is 2048 files per micro-batch,
         and the next merge's survivors scan pays one task per sliver).
-        With it, a commit writes ~1 file per affected bucket."""
+        With it, a commit writes ~1 file per affected bucket.
+
+        ``origin_partition`` additionally partitions by the ``__origin``
+        marker column (survivor/upsert/delete) — MERGE uses it so the
+        footer row counts double as exact post-dedup apply accounting with
+        ZERO extra Spark jobs (a driver-side Observation would be the
+        alternative, but observed-metrics listeners never fire for actions
+        inside streaming foreachBatch, so footers are the only channel
+        that works on every path). Partition values live in dir names, not
+        the data files, so the stored schema is untouched."""
         rel_dir = os.path.join(_DATA_DIR, f"snap-{snap_version:012d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.path, rel_dir)
         if n_buckets > 0:
             df = df.repartition(n_buckets, F.col(_BUCKET_COL))
-        df.write.partitionBy(_BUCKET_COL).mode("errorifexists").parquet(out)
+        part_cols = [_BUCKET_COL] + ([_ORIGIN_COL] if origin_partition else [])
+        df.write.partitionBy(*part_cols).mode("errorifexists").parquet(out)
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
 
-        files: list[tuple[str, int]] = []
+        files: list[tuple[str, int, str | None]] = []
         for root, _dirs, names in os.walk(out):
-            bucket_part = os.path.basename(root)
-            bucket = int(bucket_part.split("=", 1)[1]) if "=" in bucket_part else 0
+            bucket, origin = 0, None
+            for part in os.path.relpath(root, out).split(os.sep):
+                if part.startswith(_BUCKET_COL + "="):
+                    bucket = int(part.split("=", 1)[1])
+                elif part.startswith(_ORIGIN_COL + "="):
+                    origin = part.split("=", 1)[1]
             files.extend(
-                (os.path.join(root, n), bucket)
+                (os.path.join(root, n), bucket, origin)
                 for n in names
                 if n.endswith(".parquet")
             )
 
-        def entry(item: tuple[str, int]) -> dict[str, Any]:
-            full, bucket = item
-            return {
+        def entry(item: tuple[str, int, str | None]) -> dict[str, Any]:
+            full, bucket, origin = item
+            e: dict[str, Any] = {
                 "path": os.path.relpath(full, self.path),
                 "bucket": bucket,
                 "rows": pq.ParquetFile(full).metadata.num_rows,
             }
+            if origin is not None:
+                e["origin"] = origin
+            return e
 
         # footer reads are tiny but latency-bound; a commit lists O(buckets)
         # files and this runs once per micro-batch on the driver
@@ -473,17 +492,26 @@ class LakeTable:
             read_entries = [f for f in base.files if f["bucket"] in affected]
             target_rows_affected = sum(f.get("rows", 0) for f in read_entries)
 
-            upserts = src
-            if op_col is not None:
-                upserts = upserts.filter(F.col(op_col) != F.lit(delete_op))
-            upserts = align_to_schema(upserts, schema).withColumn(
-                _BUCKET_COL, self._bucket_expr(base)
+            # Source rows tagged upsert/delete BEFORE alignment strips
+            # op_col; the marker becomes a write-partition dir, giving
+            # exact per-origin row counts from the parquet footers.
+            origin = (
+                F.when(F.col(op_col) == F.lit(delete_op), F.lit("d")).otherwise(
+                    F.lit("u")
+                )
+                if op_col is not None
+                else F.lit("u")
             )
+            schema_o = T.StructType(
+                list(schema.fields) + [T.StructField(_ORIGIN_COL, T.StringType())]
+            )
+            src_all = align_to_schema(src.withColumn(_ORIGIN_COL, origin), schema_o)
+            src_all = src_all.withColumn(_BUCKET_COL, self._bucket_expr(base))
 
             if not read_entries:
                 # Bootstrap / untouched-bucket fast path: nothing to anti-join
                 # against — the batch IS the new bucket content.
-                result = upserts
+                result = src_all
             else:
                 target_aff = self._read_files(
                     base, read_entries, target_schema=schema
@@ -499,12 +527,35 @@ class LakeTable:
                 src_keys = src.select(*base.key).dropDuplicates(base.key)
                 if src_rows <= broadcast_threshold:
                     src_keys = F.broadcast(src_keys)
-                survivors = target_aff.join(src_keys, on=base.key, how="left_anti")
-                result = survivors.select(upserts.columns).unionByName(upserts)
-            new_files = self._write_data_files(base.version + 1, result, base.n_buckets)
+                survivors = target_aff.join(
+                    src_keys, on=base.key, how="left_anti"
+                ).withColumn(_ORIGIN_COL, F.lit("s"))
+                result = survivors.select(src_all.columns).unionByName(src_all)
+            written = self._write_data_files(
+                base.version + 1, result, base.n_buckets, origin_partition=True
+            )
+            # Delete tombstone files hold the batch's post-dedup D-rows —
+            # counted via their footers, then dropped before the commit so
+            # the table never contains them. The write cost is O(delete
+            # rows), typically a sliver of the batch.
+            rows_upserted = sum(f["rows"] for f in written if f.get("origin") == "u")
+            rows_deleted = sum(f["rows"] for f in written if f.get("origin") == "d")
+            new_files = []
+            for f in written:
+                if f.pop("origin", None) == "d":
+                    os.remove(os.path.join(self.path, f["path"]))
+                else:
+                    new_files.append(f)
             snap = self._commit(base, keep_files, new_files, schema, "merge")
             return snap, {
                 "source_rows": src_rows,
+                # post-dedup distinct source keys that were applied:
+                # upserts written + delete events processed (matched or
+                # not) — exact, from footers, on every path incl. inside
+                # streaming foreachBatch.
+                "rows_applied": rows_upserted + rows_deleted,
+                "rows_upserted": rows_upserted,
+                "rows_deleted": rows_deleted,
                 "rewritten_buckets": len(affected),
                 "kept_buckets": base.n_buckets - len(affected),
                 "target_rows_scanned": target_rows_affected,

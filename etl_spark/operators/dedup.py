@@ -296,24 +296,84 @@ def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
     )
 
 
+def simhash_signatures_pandas(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    shingle_words: int = 2,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """(id, simhash) with the sign-accumulation done in ONE vectorized
+    numpy pass per Arrow batch instead of the interpreted
+    aggregate/zip_with expression tree (``simhash_from_hashes`` builds
+    64 ``when`` branches per shingle — CodegenFallback, ~1000x slower
+    than codegen; same bottleneck class the hyperplane signatures had).
+
+    The shingle HASHES still come from the JVM expression stage
+    (``with_shingle_hashes``, xxhash64 over word hashes), so the pandas
+    fingerprints are bit-identical to the expression version — asserted in
+    tests. Per batch: unpack each hash's ``bits`` bits (+1/-1), segment-sum
+    per document with np.add.reduceat, pack sign bits."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    staged = with_shingle_hashes(
+        df.select(id_col, text_col), text_col, shingle_words, "__sh"
+    ).select(id_col, "__sh")
+    id_field = df.schema[id_col]
+    out_schema = T.StructType([id_field, T.StructField(out_col, T.LongType())])
+    positions = np.arange(bits, dtype=np.uint64)
+
+    def fn(batches):
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            lens = b["__sh"].map(len).to_numpy()
+            flat = np.concatenate(b["__sh"].to_numpy()).astype(np.int64)
+            H = flat.astype(np.uint64)  # wraps mod 2^64: same bit pattern
+            pm = (((H[:, None] >> positions) & 1) * 2 - 1).astype(np.int32)
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            counts = np.add.reduceat(pm, offsets, axis=0)  # (n_docs, bits)
+            packed = ((counts > 0).astype(np.uint64) << positions).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame(
+                {id_col: b[id_col], out_col: packed.astype(np.int64)}
+            )
+
+    return staged.mapInPandas(fn, out_schema)
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     shingle_words: int = 2,
+    use_pandas: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
 
     Blocking: split the 64-bit fingerprint into ``max_hamming+1`` chunks —
     by pigeonhole any pair within distance k agrees on >= 1 of k+1 chunks —
     and join on (chunk_idx, chunk_value). Equality join + bit_count filter;
-    never a cross join."""
+    never a cross join. ``use_pandas`` picks the vectorized signature
+    builder (default; the expression builder is interpreted-HOF and exists
+    as the equality reference)."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    fp = with_shingle_hashes(
-        df.select(id_col, text_col), text_col, shingle_words, "__sh"
-    ).select(id_col, simhash_from_hashes(F.col("__sh"), 64).alias("simhash"))
+    if use_pandas:
+        fp = simhash_signatures_pandas(
+            df, id_col, text_col, 64, shingle_words, "simhash"
+        )
+    else:
+        fp = with_shingle_hashes(
+            df.select(id_col, text_col), text_col, shingle_words, "__sh"
+        ).select(id_col, simhash_from_hashes(F.col("__sh"), 64).alias("simhash"))
     fp = fp.persist()
     chunks = fp.select(
         id_col,
@@ -355,15 +415,25 @@ def ngram_jaccard_pairs(
     shingle_words: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    max_doc_frequency: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= t).
 
     Inverted-index join: explode distinct shingles, self-join on the
     shingle, count matches per pair = |A ∩ B|; |A ∪ B| = |A| + |B| - inter.
-    The shuffle key is the shingle — a stop-shingle cap (drop shingles in
-    > ``df.count()**0.5`` docs would be the 100-TB guard) is unnecessary at
-    test scale but the join never materializes non-candidate pairs. If
+    The shuffle key is the shingle, so ONE stop-shingle appearing in k docs
+    would put a k^2 hot bucket in the self-join — the 100-TB killer.
+    Guard: shingles with document frequency > ``max_doc_frequency``
+    (default ``max(16, isqrt(n_docs))``) are dropped from the JOIN side
+    before pairing; pass ``max_doc_frequency=0`` to disable. Set sizes stay
+    exact (computed pre-cap), so only intersection counts running through
+    a dropped near-stopword shingle are affected — for true near-dup pairs
+    (which share many rare shingles) the error is bounded by
+    #hot-shingles/|A ∪ B|. Dropped-shingle counts are logged. If
     ``candidates`` (id_a, id_b) is given, only those pairs are scored."""
+    import logging
+    import math
+
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_words))).alias(
@@ -372,8 +442,38 @@ def ngram_jaccard_pairs(
     )
     sh = sh.persist()
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    sh_join = sh
+    if max_doc_frequency is None or max_doc_frequency > 0:
+        cap = max_doc_frequency
+        if cap is None:
+            cap = max(16, math.isqrt(df.count()))
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > cap)
+        )
+        # The hot set is tiny by construction (each member covers > cap
+        # docs); collect it and prune with a plan-literal NOT IN — no join,
+        # and the collect doubles as the drop-count log. Degenerate corpora
+        # with a huge hot set fall back to a broadcast anti-join.
+        hot_rows = hot.select("shingle").limit(10_001).collect()
+        if hot_rows:
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropping %s%d shingles with doc "
+                "frequency > %d from the inverted-index join",
+                ">" if len(hot_rows) > 10_000 else "", min(len(hot_rows), 10_000),
+                cap,
+            )
+            if len(hot_rows) > 10_000:
+                sh_join = sh.join(
+                    F.broadcast(hot.select("shingle")), on="shingle", how="left_anti"
+                )
+            else:
+                sh_join = sh.filter(
+                    ~F.col("shingle").isin([r["shingle"] for r in hot_rows])
+                )
+    a = sh_join.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh_join.select(F.col("_id").alias("id_b"), "shingle")
     inter = (
         a.join(b, on="shingle")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -38,6 +38,10 @@ def _unit(df: DataFrame, id_col: str, vec_col: str, out: str) -> DataFrame:
             "__n",
             F.sqrt(F.aggregate("__v", F.lit(0.0), lambda acc, x: acc + x * x)),
         )
+        # zero-norm guard: divide degenerate vectors by 1 instead of 0 so
+        # they score cos=0 everywhere rather than null/NaN — the same
+        # convention as the numpy paths (norms[norms == 0] = 1).
+        .withColumn("__n", F.when(F.col("__n") == 0.0, F.lit(1.0)).otherwise(F.col("__n")))
         .select(
             id_col,
             F.transform("__v", lambda x: x / F.col("__n")).alias(out),
@@ -310,32 +314,101 @@ def embedding_neardup_pairs(
     blocked: bool = False,
     dim: int = 64,
     bits: int = 8,
+    n_tables: int = 1,
     seed: int = 7,
+    max_exact_rows: int = 1_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold (id_a < id_b).
 
-    ``blocked=False``: exact — self-join scored pairwise (quadratic; the
-    verification/baseline path). ``blocked=True``: hyperplane-bucket join
-    first (high-cosine pairs almost always share all sign bits), then exact
-    scoring inside buckets — the 10^10-scale path."""
+    Two regimes, by threshold:
+
+    ``blocked=True`` — hyperplane LSH bucketing (``n_tables`` independent
+    tables of ``bits`` sign bits; a pair is a candidate if it shares any
+    table's full signature), exact scoring inside buckets. Sub-quadratic:
+    the join is key-equality on (table, signature). Candidate volume per
+    table ~ sum of bucket^2 ~ n^2 * (1 - theta/pi)^bits for the typical
+    inter-pair angle theta — pruning is exponential in ``bits``, so this
+    is THE 10^10-vector path for realistic dedup thresholds (>= ~0.8),
+    where high ``bits`` keeps recall. At LOW thresholds (wide angles) sign
+    bits stop discriminating and no LSH prunes; recall for a given
+    (threshold, bits, n_tables) is P[miss] = (1 - (1-theta/pi)^bits)^T,
+    asserted in tests.
+
+    ``blocked=False`` — EXACT, as a tiled BLAS matmul: the unit-normalized
+    corpus (n x d float64) is collected once and shipped in the
+    ``mapInPandas`` closure; each partition multiplies its row block
+    against the matrix (one dgemm per Arrow batch) and emits pairs over
+    threshold. Quadratic FLOPs but vectorized and partition-parallel —
+    2-3 orders faster than a crossJoin of interpreted per-element dots,
+    and the only exact option at thresholds where LSH cannot prune.
+    Bounded by ``max_exact_rows`` (n x d doubles must fit in every
+    executor; at 10^10 vectors use ``blocked=True``)."""
     if blocked:
         sigs = hyperplane_signatures_pandas(
-            df, id_col, vec_col, dim, bits, n_tables=1, seed=seed
-        ).select(id_col, "_v", F.element_at("_sigs", 1).alias("_sig"))
-        a = sigs.select(
-            F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_sig"
+            df, id_col, vec_col, dim, bits, n_tables=n_tables, seed=seed
         )
-        b = sigs.select(
-            F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_sig"
+        exploded = sigs.select(
+            id_col, "_v", F.posexplode("_sigs").alias("_t", "_sig")
         )
-        pairs = a.join(b, on="_sig").drop("_sig")
-    else:
-        a = _unit(df, id_col, vec_col, "_va").withColumnRenamed(id_col, "id_a")
-        b = _unit(df, id_col, vec_col, "_vb").withColumnRenamed(id_col, "id_b")
-        pairs = a.crossJoin(b)
-    return (
-        pairs.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", dot("_va", "_vb"))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        a = exploded.select(
+            F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_t", "_sig"
+        )
+        b = exploded.select(
+            F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_t", "_sig"
+        )
+        pairs = (
+            a.join(b, on=["_t", "_sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return (
+            pairs.withColumn("cos_sim", dot("_va", "_vb"))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim")
+        )
+
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    src = df.select(id_col, F.col(vec_col).cast("array<double>").alias("_vec"))
+    rows = src.collect()
+    if len(rows) > max_exact_rows:
+        raise ValueError(
+            f"exact near-dup scan collected {len(rows)} rows > "
+            f"max_exact_rows={max_exact_rows}; use blocked=True at this scale"
+        )
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r["_vec"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    M = M / norms
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_field.dataType),
+            T.StructField("id_b", id_field.dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
+
+    def fn(batches):
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            V = np.stack(b["_vec"].to_numpy()).astype(np.float64)
+            bn = np.linalg.norm(V, axis=1, keepdims=True)
+            bn[bn == 0.0] = 1.0
+            V = V / bn
+            bids = b[id_col].to_numpy()
+            S = V @ M.T                          # (batch, n) — one dgemm
+            # id_a < id_b ordering dedups the symmetric matrix
+            mask = (S >= threshold) & (bids[:, None] < ids[None, :])
+            bi, ci = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": bids[bi], "id_b": ids[ci], "cos_sim": S[bi, ci]}
+            )
+
+    return src.mapInPandas(fn, out_schema)

@@ -719,13 +719,28 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact threshold scan)."""
+    """Embedding-cosine near-duplicate pairs — EXACT, via the tiled-GEMM
+    mapInPandas scan (one BLAS matmul per Arrow batch; the baseline path,
+    bounded to ~1e6 vectors)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     return embedding_neardup_pairs(emb, threshold=0.4).select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     )
+
+
+def q_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via the SUB-QUADRATIC path: multi-table
+    hyperplane-LSH bucket join + exact scoring inside buckets — the
+    10^10-vector architecture. Checked against the SAME exact oracle: at
+    (bits=3, n_tables=24, seed=7) the deterministic signatures give full
+    recall at threshold 0.4 on this corpus, so the outputs are equal;
+    recall for other settings is asserted in tests/test_dedup_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, threshold=0.4, blocked=True, dim=64, bits=3, n_tables=24
+    ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 _ORACLE_EMB_NEARDUP = """
@@ -862,6 +877,7 @@ QUERIES = {
     "similarity_lsh": q_similarity_lsh,
     "similarity_ivf": q_similarity_ivf,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_blocked": q_embedding_neardup_blocked,
     "text_stats": q_text_stats,
     "multimodal_meta": q_multimodal_meta,
     "streaming_cdc_replay": q_streaming_cdc_replay,
@@ -894,5 +910,6 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": _ORACLE_JACCARD,
     "similarity_topk": _ORACLE_TOPK,
     "embedding_neardup": _ORACLE_EMB_NEARDUP,
+    "embedding_neardup_blocked": _ORACLE_EMB_NEARDUP,
     "text_stats": _ORACLE_TEXT_STATS,
 }

@@ -161,3 +161,61 @@ def test_dead_letter_split(spark, tmp_path):
     assert dead.count() == 3
     assert set(dead.select("error").distinct().toPandas()["error"]) == {"op_known"}
     assert_state_equals_oracle(table, expected_final_state(pdf))
+
+
+def test_rows_applied_is_post_dedup(spark, tmp_path):
+    """In-batch duplicates must not inflate rows_applied: the metric is the
+    post-dedup (distinct-key) count observed on the merge-write job, on
+    both the bootstrap path and the anti-join path."""
+    pdf = generate_changelog(SPEC)
+    table = make_target(spark, tmp_path)
+    sdf = changelog_sdf(spark, pdf)
+    n_keys = (
+        sdf.filter(F.col("conv_id").isNotNull())
+        .select("conv_id", "turn_idx").distinct().count()
+    )
+    # bootstrap: empty table, no anti-join
+    s1 = apply_batch(spark, sdf, table, batch_id=0)
+    assert s1["rows_in"] == len(pdf)
+    assert s1["rows_applied"] < s1["rows_in"]  # churn=2.0 guarantees dups
+    # applied = post-dedup distinct keys (upserts + delete events), exact
+    # from the origin-partitioned write footers
+    assert s1["rows_applied"] == n_keys
+    n_final = table.row_count()
+    assert s1["rows_upserted"] == n_final
+    assert s1["rows_deleted"] == n_keys - n_final
+    # incremental: same batch again against non-empty table -> anti-join
+    # path; same accounting
+    s2 = apply_batch(spark, sdf, table, batch_id=1)
+    assert s2["rows_applied"] == n_keys
+    assert table.row_count() == n_final  # idempotent on converged state
+
+
+def test_key_rewriting_transform_needs_flag_false(spark, tmp_path):
+    """A transform that REWRITES a bucket-key column must run with
+    transform_preserves_keys_and_validity=False so the affected-bucket set
+    is computed post-transform; the converged table then has no duplicate
+    keys even across two batches that remap the same keys."""
+    pdf = generate_changelog(SPEC)
+    table = make_target(spark, tmp_path)
+
+    def remap_keys(df):
+        return df.withColumn("conv_id", F.concat(F.lit("t-"), F.col("conv_id")))
+
+    sdf = changelog_sdf(spark, pdf)
+    half = len(pdf) // 2
+    b0 = changelog_sdf(spark, pdf.iloc[:half])
+    b1 = changelog_sdf(spark, pdf.iloc[half:])
+    apply_batch(
+        spark, b0, table, batch_id=0, transform=remap_keys,
+        transform_preserves_keys_and_validity=False,
+    )
+    apply_batch(
+        spark, b1, table, batch_id=1, transform=remap_keys,
+        transform_preserves_keys_and_validity=False,
+    )
+    got = table.read()
+    assert got.count() == got.select("conv_id", "turn_idx").distinct().count()
+    exp = expected_final_state(pdf)
+    exp = exp.assign(conv_id="t-" + exp["conv_id"])
+    assert_state_equals_oracle(table, exp)

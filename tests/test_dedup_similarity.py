@@ -64,6 +64,42 @@ def test_ngram_jaccard_finds_near_dups(docs):
     assert all(4 not in p and 5 not in p for p in pairs)
 
 
+def test_ngram_jaccard_stop_shingle_cap_bounds_candidates(spark):
+    """Adversarial corpus: every doc shares one 3-gram ('common filler
+    phrase'). Uncapped, the inverted index pairs all C(n,2) docs through
+    that single hot shingle; the doc-frequency cap drops it and leaves
+    ZERO candidate pairs (docs are otherwise disjoint) while true near-dup
+    pairs on a normal corpus are unaffected."""
+    n = 60
+    rows = [
+        (i, f"common filler phrase unique{i}a unique{i}b unique{i}c")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0, max_doc_frequency=0)
+    assert uncapped.count() == n * (n - 1) // 2  # quadratic hot bucket
+    capped = ngram_jaccard_pairs(docs, threshold=0.0)  # auto cap sqrt(60)<60
+    assert capped.count() == 0
+
+    # normal corpus (every shingle in <= 2 docs, under the cap): the auto
+    # cap drops nothing -> identical results
+    pairs = []
+    for i in range(20):
+        base = f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+        pairs.append((i, base))
+        pairs.append((100 + i, base.replace(f"zeta{i}", "omega")))
+    normal = spark.createDataFrame(pairs, ["doc_id", "text"])
+    with_cap = set(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(normal, threshold=0.3).collect()
+    )
+    without = set(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(normal, threshold=0.3, max_doc_frequency=0).collect()
+    )
+    assert with_cap == without
+
+
 def test_minhash_lsh_catches_exact_and_near_dups(docs):
     pairs = {
         (r["id_a"], r["id_b"])
@@ -99,6 +135,25 @@ def test_simhash_neardup_on_dups(docs):
     }
     assert pairs[(0, 1)] == 0
     assert pairs[(0, 2)] == 0
+
+
+def test_simhash_pandas_equals_expression(spark):
+    """The vectorized numpy signature builder must be bit-identical to the
+    expression (aggregate/zip_with) reference on real corpus text."""
+    from etl_spark.operators.dedup import (
+        simhash_from_hashes,
+        simhash_signatures_pandas,
+        with_shingle_hashes,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(200)
+    expr_fp = with_shingle_hashes(
+        docs.select("doc_id", "text"), "text", 2, "__sh"
+    ).select("doc_id", simhash_from_hashes(F.col("__sh"), 64).alias("simhash"))
+    pd_fp = simhash_signatures_pandas(docs, "doc_id", "text", 64, 2)
+    a = {r["doc_id"]: r["simhash"] for r in expr_fp.collect()}
+    b = {r["doc_id"]: r["simhash"] for r in pd_fp.collect()}
+    assert a == b
 
 
 @pytest.fixture(scope="module")
@@ -139,6 +194,35 @@ def test_embedding_neardup_exact_and_blocked(vectors):
     assert blocked <= exact
     # at cos >= 0.99 (angle ~8 deg) sign-blocking keeps most true pairs
     assert len(blocked) >= 0.7 * len(exact)
+
+
+def test_embedding_neardup_blocked_multitable_recall(vectors):
+    """Multi-table LSH: even at a LOW threshold (wide angles, where single-
+    table sign blocking cannot prune/recall), enough low-bit tables reach
+    full recall; P[miss] = (1 - (1-theta/pi)^bits)^n_tables."""
+    exact = {
+        (r["id_a"], r["id_b"], round(r["cos_sim"], 9))
+        for r in embedding_neardup_pairs(vectors, threshold=0.4).collect()
+    }
+    assert len(exact) >= 20
+    blocked = {
+        (r["id_a"], r["id_b"], round(r["cos_sim"], 9))
+        for r in embedding_neardup_pairs(
+            vectors, threshold=0.4, blocked=True, dim=16, bits=2, n_tables=24
+        ).collect()
+    }
+    assert blocked <= exact
+    assert len(blocked) >= 0.95 * len(exact)
+
+
+def test_embedding_neardup_zero_norm_vector_is_guarded(spark):
+    """A zero vector must score cos=0 (not null/NaN) on every path."""
+    rows = [(0, [0.0] * 8), (1, [1.0] + [0.0] * 7), (2, [1.0] + [0.0] * 7)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = embedding_neardup_pairs(df, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {(1, 2)}
+    top = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert all(r["cos_sim"] == 0.0 for r in top)
 
 
 def test_lsh_topk_recall(vectors):

@@ -47,6 +47,17 @@ def test_stream_full_replay_converges(spark, tmp_path):
     stats = stream.run_to_completion()
     assert len(stats) >= 2  # rate limit forced multiple micro-batches
     assert_converged(table, pdf)
+    # rows_applied is the POST-dedup distinct-key count per batch — never
+    # the raw event count (churn guarantees in-batch duplicates), and
+    # never more than the events that came in
+    applied = [s["rows_applied"] for s in stats if not s.get("skipped")]
+    rows_in = [s["rows_in"] for s in stats if not s.get("skipped")]
+    assert all(0 < a <= r for a, r in zip(applied, rows_in))
+    assert sum(applied) < sum(rows_in)  # dedup collapsed something
+    assert all(
+        s["rows_applied"] == s["rows_upserted"] + s["rows_deleted"]
+        for s in stats if not s.get("skipped")
+    )
     # metrics carry per-partition lineage
     m = stream.metrics.to_df(spark).toPandas()
     assert set(m["source_partition"]) == set(range(SPEC.n_partitions))
