@@ -565,6 +565,80 @@ class LakeTable:
             if not caller_counts:
                 src.unpersist()
 
+    # ---------------------------------------------------------------- update
+    def update(
+        self,
+        set_exprs: dict[str, Any],
+        where: Any = None,
+    ) -> tuple[Snapshot | None, dict[str, int]]:
+        """Row-level UPDATE: ``SET col = <expr> ... WHERE <cond>`` as a
+        bucket-pruned copy-on-write rewrite — the lake analogue of the
+        reference's destination-side ``update_query``
+        (/root/reference/migrate/migrate.go:142-150, driven by
+        /root/reference/examples/user_settings.yaml:21).
+
+        ``set_exprs`` maps column -> SQL expression string (or Column);
+        every expression is evaluated against the OLD row (standard SQL
+        UPDATE semantics — assignments never see each other). ``where`` is
+        a SQL predicate string/Column; None updates every row.
+
+        Plan shape at scale: one pruned scan finds the affected-bucket
+        set (predicate pushdown applies), only those buckets are read and
+        rewritten; the write is origin-partitioned so ``rows_updated``
+        comes from parquet footers, no extra job."""
+        base = self.snapshot()
+        cond = (
+            F.expr(where)
+            if isinstance(where, str)
+            else (where if where is not None else F.lit(True))
+        )
+        full = self.read().withColumn(_BUCKET_COL, self._bucket_expr(base))
+        if base.n_buckets > 0 and where is not None:
+            affected = {
+                r[_BUCKET_COL]
+                for r in full.filter(cond).select(_BUCKET_COL).distinct().collect()
+            }
+        else:
+            affected = {f["bucket"] for f in base.files}
+        if not affected:
+            return None, {"rows_updated": 0, "rewritten_buckets": 0}
+        keep_files = [f for f in base.files if f["bucket"] not in affected]
+        read_entries = [f for f in base.files if f["bucket"] in affected]
+        tgt = self._read_files(base, read_entries).withColumn(
+            _BUCKET_COL, self._bucket_expr(base)
+        )
+        cols = []
+        for f in base.schema.fields:
+            if f.name in set_exprs:
+                v = set_exprs[f.name]
+                new = F.expr(v) if isinstance(v, str) else v
+                cols.append(
+                    F.when(cond, new.cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        unknown = set(set_exprs) - {f.name for f in base.schema.fields}
+        if unknown:
+            raise ValueError(f"UPDATE SET on unknown columns: {sorted(unknown)}")
+        result = tgt.select(
+            *cols,
+            F.col(_BUCKET_COL),
+            F.when(cond, F.lit("u")).otherwise(F.lit("s")).alias(_ORIGIN_COL),
+        )
+        written = self._write_data_files(
+            base.version + 1, result, base.n_buckets, origin_partition=True
+        )
+        rows_updated = sum(f["rows"] for f in written if f.get("origin") == "u")
+        new_files = [{k: v for k, v in f.items() if k != "origin"} for f in written]
+        snap = self._commit(base, keep_files, new_files, base.schema, "update")
+        return snap, {
+            "rows_updated": rows_updated,
+            "rewritten_buckets": len(affected),
+            "rows_after": snap.total_rows,
+        }
+
     # -------------------------------------------------------------- maintain
     def compact(self, target_file_rows: int = 5_000_000) -> Snapshot:
         """Rewrite small files per bucket into fewer large ones (snapshot-

@@ -21,10 +21,22 @@ def lookup_in(
     value_column: str,
     output_column: str | None = None,
     default=None,
+    broadcast: bool | str = "auto",
+    broadcast_threshold: int = 200_000,
 ) -> DataFrame:
     """Append ``output_column`` = dim[value_column] where
     fact[fact_key] == dim[dim_key] (first match wins, like the reference's
-    linear scan; enforced by dropDuplicates on the dim key)."""
+    linear scan; enforced by dropDuplicates on the dim key).
+
+    ``broadcast``: True forces the hint, False leaves the strategy to
+    AQE (shuffle hash/sort-merge — the safe shape when the "dimension"
+    is actually big), "auto" (default) probes the dim with a
+    ``limit(threshold+1).count()`` — the scan short-circuits at the
+    limit, so the probe costs one tiny job — and only force-broadcasts
+    a dim that is provably under ``broadcast_threshold`` rows. The
+    reference loads the whole dim into driver memory unconditionally
+    (/root/reference/migrate/migrate.go:215-255), which is exactly the
+    failure mode the guard exists to avoid at scale."""
     output_column = output_column or value_column
     d = (
         dim.select(
@@ -32,8 +44,10 @@ def lookup_in(
         )
         .dropDuplicates(["__lk"])
     )
+    if broadcast == "auto":
+        broadcast = dim.limit(broadcast_threshold + 1).count() <= broadcast_threshold
     out = fact.join(
-        F.broadcast(d), on=fact[fact_key] == d["__lk"], how="left"
+        F.broadcast(d) if broadcast else d, on=fact[fact_key] == d["__lk"], how="left"
     ).drop("__lk")
     if default is not None:
         out = out.withColumn(

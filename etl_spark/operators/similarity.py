@@ -236,6 +236,109 @@ def lsh_topk(
     )
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    sample_target: int = 50_000,
+    kmeans_iters: int = 5,
+    seed: int = 7,
+):
+    """Spherical-kmeans centroids as an (n_lists, dim) float64 numpy matrix.
+
+    Training data is a DETERMINISTIC hash sample of the corpus
+    (``pmod(xxhash64(id), m) == 0``, m sized from the corpus count so the
+    driver collects ~``sample_target`` vectors regardless of scale — at
+    10^10 rows the sample, not the corpus, is what fits on the driver).
+    Init picks ``n_lists`` splitmix64-shuffled sample rows; a few Lloyd
+    iterations with cosine assignment follow (empty clusters re-seeded).
+    The centroid matrix ships to executors inside mapInPandas closures —
+    never as plan literals (an F.lit per element made the PLAN itself the
+    bottleneck at realistic n_lists x dim)."""
+    import numpy as np
+
+    n = corpus.count()
+    m = max(1, n // max(n_lists * 8, min(sample_target, n)))
+    sample = (
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+        .collect()
+    )
+    S = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in sample])
+    norms = np.linalg.norm(S, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    S = S / norms
+    n_lists = min(n_lists, len(S))
+    # deterministic shuffle via splitmix64 sort keys
+    order = np.argsort([_splitmix64_np(seed + i) for i in range(len(S))])
+    C = S[order[:n_lists]].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(S @ C.T, axis=1)
+        for j in range(n_lists):
+            members = S[assign == j]
+            if len(members) == 0:
+                # re-seed an empty cluster from the farthest sample point
+                C[j] = S[np.argmin(np.max(S @ C.T, axis=1))]
+                continue
+            c = members.sum(axis=0)
+            nc = np.linalg.norm(c)
+            C[j] = c / (nc if nc > 0 else 1.0)
+    return C
+
+
+def _splitmix64_np(seed: int) -> int:
+    from etl_spark.operators.dedup import _splitmix64
+
+    return _splitmix64(seed)
+
+
+def _assign_lists_pandas(
+    df: DataFrame, id_col: str, vec_col: str, out_name: str, centroids, n: int
+) -> DataFrame:
+    """(renamed id, unit vector, list_id) with the ``n`` nearest IVF lists
+    per row — one BLAS matmul per Arrow batch against the closure-shipped
+    centroid matrix, then an explode of the per-row top-n list ids."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(out_name, id_field.dataType),
+            T.StructField(f"_{out_name}_v", T.ArrayType(T.DoubleType())),
+            T.StructField("list_id", T.IntegerType()),
+        ]
+    )
+    src = df.select(id_col, F.col(vec_col).cast("array<double>").alias("_vec"))
+    C = centroids
+
+    def fn(batches):
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            V = np.stack(b["_vec"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            U = V / norms
+            sims = U @ C.T                                  # (rows, n_lists)
+            nn = min(n, sims.shape[1])
+            top = np.argpartition(-sims, nn - 1, axis=1)[:, :nn]
+            rows = np.repeat(np.arange(len(U)), nn)
+            yield pd.DataFrame(
+                {
+                    out_name: b[id_col].to_numpy()[rows],
+                    f"_{out_name}_v": list(U[rows]),
+                    "list_id": top.ravel().astype(np.int32),
+                }
+            )
+
+    return src.mapInPandas(fn, out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -244,50 +347,20 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_lists: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 5,
+    seed: int = 7,
 ) -> DataFrame:
-    """IVF approximate top-k. Centroids are sampled deterministically from
-    the corpus (every n-th row by id order — kmeans would converge better
-    but adds an iterative dependency; the probe/re-rank plumbing is
-    identical). Corpus rows join their nearest list; queries probe the
-    ``n_probe`` nearest lists and re-rank exactly within them."""
-    cents = (
-        _unit(corpus, id_col, vec_col, "cv")
-        .orderBy(id_col)
-        .limit(n_lists)
-        .withColumn("list_id", F.row_number().over(Window.orderBy(id_col)) - 1)
-        .select("list_id", "cv")
+    """IVF approximate top-k: spherical-kmeans centroids over a
+    deterministic hash sample (``ivf_train_centroids``), corpus rows
+    assigned to their nearest list and queries to their ``n_probe``
+    nearest — both via numpy-matmul mapInPandas with the centroid matrix
+    in the closure — then a key-equality join on ``list_id`` and exact
+    cosine re-rank inside the probed lists."""
+    C = ivf_train_centroids(
+        corpus, id_col, vec_col, n_lists, kmeans_iters=kmeans_iters, seed=seed
     )
-    cent_rows = cents.collect()
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(r["list_id"]).alias("list_id"),
-                F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("centroid"),
-            )
-            for r in cent_rows
-        ]
-    )
-
-    def nearest_lists(df: DataFrame, name: str, n: int) -> DataFrame:
-        u = _unit(df, id_col, vec_col, f"_{name}_v").withColumnRenamed(
-            id_col, name
-        )
-        scored = F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                dot(F.col(f"_{name}_v"), c["centroid"]).alias("sim"),
-                c["list_id"].alias("list_id"),
-            ),
-        )
-        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
-        return u.select(
-            name,
-            f"_{name}_v",
-            F.explode(F.transform(top, lambda s: s["list_id"])).alias("list_id"),
-        )
-
-    cl = nearest_lists(corpus, "cand_id", 1)
-    ql = nearest_lists(queries, "query_id", n_probe)
+    cl = _assign_lists_pandas(corpus, id_col, vec_col, "cand_id", C, 1)
+    ql = _assign_lists_pandas(queries, id_col, vec_col, "query_id", C, n_probe)
     scored = (
         ql.join(cl, on="list_id")
         .filter(F.col("query_id") != F.col("cand_id"))

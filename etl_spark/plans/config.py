@@ -16,14 +16,16 @@ Dispatch parity with migrate.Data:
   d) ``key_value``        -> kv_unpivot (etl.go:226-300)
   e) ``old_name: nil``    -> single literal row (migrate.go:157-176)
   f) ``truncate``         -> overwrite instead of append (migrate.go:128-136)
-``update_query`` (migrate.go:142-150) and postgres sequence resync
-(migrate.go:177-210) are destination-DB-side operations with no lake
-analogue; they raise with pointers to the MERGE/overwrite equivalents.
+``update_query`` (migrate.go:142-150) is parsed (UPDATE <t> SET ... WHERE
+...) and executed as a bucket-pruned ``LakeTable.update``; postgres
+sequence resync (migrate.go:177-210) is a sequence-counter repair with no
+lake analogue (keys are natural, not sequence-assigned) and raises.
 """
 
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -80,9 +82,7 @@ class MigrationConfig:
         )
 
 
-def load_config(path: str) -> MigrationConfig:
-    """Load JSON (always) or YAML (if a parser is available) config files —
-    the cmd/main.go loadYaml/loadJson pair (/root/reference/cmd/main.go:78-107)."""
+def _load_config_dict(path: str) -> dict:
     with open(path) as fh:
         text = fh.read()
     if path.endswith((".yaml", ".yml")):
@@ -92,8 +92,87 @@ def load_config(path: str) -> MigrationConfig:
             raise RuntimeError(
                 "YAML config requires pyyaml; convert to JSON or install it"
             ) from e
-        return MigrationConfig.from_dict(yaml.safe_load(text))
-    return MigrationConfig.from_dict(json.loads(text))
+        return yaml.safe_load(text)
+    return json.loads(text)
+
+
+def load_config(path: str) -> MigrationConfig:
+    """Load JSON (always) or YAML (if a parser is available) config files —
+    the cmd/main.go loadYaml/loadJson pair (/root/reference/cmd/main.go:78-107).
+
+    A config with a ``files`` list is a file-of-files: each entry (joined
+    with ``path`` if given) is loaded and its table/skip/clone lists are
+    concatenated in order (/root/reference/cmd/main.go:38-67 runs each
+    sub-file as its own migration; with a single lake destination the
+    ordered merge is equivalent). One level of indirection, as in the
+    reference."""
+    import os
+
+    d = _load_config_dict(path)
+    files = d.get("files") or []
+    if not files:
+        return MigrationConfig.from_dict(d)
+    root = d.get("path") or os.path.dirname(path)
+    merged = MigrationConfig()
+    for f in files:
+        sub = MigrationConfig.from_dict(_load_config_dict(os.path.join(root, f)))
+        merged.tables.extend(sub.tables)
+        merged.skip_tables.extend(sub.skip_tables)
+        merged.clone_tables.extend(sub.clone_tables)
+    return merged
+
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(\S+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` at paren/quote depth 0 (SET lists contain function
+    calls and string literals with commas)."""
+    parts, depth, quote, cur = [], 0, None, []
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def parse_update_query(sql: str) -> tuple[str, dict[str, str], str | None]:
+    """Parse ``UPDATE <table> SET col = expr[, ...] [WHERE cond]`` into
+    (table, {col: sql_expr}, where). Expressions/predicates are Spark SQL,
+    matching the reference's raw destination SQL
+    (/root/reference/migrate/migrate.go:142-150); FROM-subquery updates
+    are out of scope (use LakeTable.merge for join-shaped updates)."""
+    m = _UPDATE_RE.match(sql)
+    if not m:
+        raise ValueError(f"unparseable UPDATE statement: {sql!r}")
+    table, set_part, where = m.group(1), m.group(2), m.group(3)
+    sets: dict[str, str] = {}
+    for assign in _split_top_level(set_part, ","):
+        col, eq, expr = assign.partition("=")
+        if not eq:
+            raise ValueError(f"bad SET assignment: {assign!r}")
+        sets[col.strip().strip('"`')] = expr.strip()
+    return table, sets, where.strip() if where else None
 
 
 def build_table_frame(
@@ -102,8 +181,9 @@ def build_table_frame(
     """Compile one TableConfig to its output DataFrame."""
     if cfg.update_query:
         raise NotImplementedError(
-            "update_query is a destination-DB mutation; use LakeTable.merge "
-            "(row-level upsert) or overwrite instead"
+            "update_query configs are executed by run_migration against the "
+            "destination lake table (LakeTable.update); they do not produce "
+            "a source frame"
         )
     if cfg.query:
         df = spark.sql(cfg.query)
@@ -163,6 +243,16 @@ def run_migration(
     out: dict[str, LakeTable] = {}
     for cfg in config.tables:
         if cfg.old_name in config.skip_tables:
+            continue
+        if cfg.update_query:
+            # destination-side row-level UPDATE over an existing lake
+            # table (reference runs it raw on the destination DB,
+            # /root/reference/migrate/migrate.go:142-150)
+            tname, sets, where = parse_update_query(cfg.update_query)
+            name = cfg.new_name or tname
+            table = LakeTable.load(spark, f"{dest_root}/{name}")
+            table.update(sets, where)
+            out[name] = table
             continue
         df = build_table_frame(spark, cfg, sources.get(cfg.old_name))
         name = cfg.new_name or cfg.old_name

@@ -599,6 +599,47 @@ WHERE c_custkey <= 5
 """
 
 
+def q_update_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10: config-driven destination UPDATE (reference
+    /root/reference/migrate/migrate.go:142-150) — customer is loaded into
+    a bucketed lake table, an ``update_query`` TableConfig rewrites the
+    negative-balance rows via bucket-pruned copy-on-write, converged state
+    read back."""
+    from etl_spark.plans.config import MigrationConfig, TableConfig, run_migration
+
+    customer = _t(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="etl_spark_upd_q_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "cust"), customer.schema,
+        key=["c_custkey"], n_buckets=8,
+    )
+    table.append(customer)
+    cfg = MigrationConfig(
+        tables=[
+            TableConfig(
+                new_name="cust",
+                update_query=(
+                    "UPDATE cust SET c_mktsegment = concat(c_mktsegment, '-NEG'), "
+                    "c_acctbal = c_acctbal * 2 WHERE c_acctbal < 0"
+                ),
+            )
+        ]
+    )
+    run_migration(spark, cfg, sources={}, dest_root=tmp)
+    return table.read().select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+_ORACLE_UPDATE = """
+SELECT c_custkey, c_name, c_nationkey,
+       CASE WHEN c_acctbal < 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+       CASE WHEN c_acctbal < 0 THEN c_mktsegment || '-NEG' ELSE c_mktsegment END
+         AS c_mktsegment
+FROM customer
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline: dedup / similarity / text analysis / multimodal
 # --------------------------------------------------------------------------
@@ -869,6 +910,7 @@ QUERIES = {
     "distinct_segments": q_distinct_segments,
     "top_orders": q_top_orders,
     "entity_relation": q_entity_relation,
+    "update_query": q_update_query,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -906,6 +948,7 @@ ORACLE_SQL = {
     "distinct_segments": _ORACLE_DISTINCT,
     "top_orders": _ORACLE_TOP,
     "entity_relation": _ORACLE_ENTITY,
+    "update_query": _ORACLE_UPDATE,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": _ORACLE_JACCARD,
     "similarity_topk": _ORACLE_TOPK,

@@ -1,4 +1,5 @@
 from etl_spark.sources.files import (
+    console_sink,
     read_csv_source,
     read_json_source,
     write_csv_sink,
@@ -8,6 +9,7 @@ from etl_spark.sources.http import http_json_source
 
 __all__ = [
     "read_csv_source",
+    "console_sink",
     "read_json_source",
     "write_csv_sink",
     "write_json_sink",

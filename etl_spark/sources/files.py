@@ -97,3 +97,18 @@ def write_json_sink(
     if single_file:
         df = df.coalesce(1)
     df.write.mode(mode).json(path)
+
+
+def console_sink(
+    df: DataFrame, n: int = 20, truncate: bool = True, verbose: bool = False
+) -> int:
+    """Console / verbose loader (/root/reference/v2/loader/loaders.go:11-47):
+    prints up to ``n`` rows; ``verbose`` also prints the schema (the
+    reference's payload-dump variant). Returns the number of rows shown.
+    Debug-only by design — it collects ``n`` rows to the driver and
+    nothing else."""
+    if verbose:
+        df.printSchema()
+    shown = df.limit(n)
+    shown.show(n, truncate=truncate)
+    return shown.count()

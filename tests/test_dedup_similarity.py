@@ -240,3 +240,32 @@ def test_ivf_topk_schema_and_rank(vectors):
     rows = ivf_topk(vectors, q, k=5, n_lists=4, n_probe=4).collect()
     assert len(rows) == 5
     assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+
+
+def test_ivf_recall_at_64_lists(spark):
+    """Real-corpus recall: kmeans centroids + probed-list re-rank must
+    recover >= 0.8 of the exact top-10 at n_lists=64 (VERDICT round-1
+    acceptance for the IVF path)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    bf = brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
+    # embeddings are near-uniform (planted pairs sit at cos ~0.4), so
+    # exact top-10 neighbors spread across lists: probing 24/64 lists
+    # (37% of the corpus) reaches the bar; clustered real corpora need far
+    # fewer probes
+    ivf = ivf_topk(emb, q, k=10, n_lists=64, n_probe=24).select(
+        "query_id", "vec_id"
+    )
+    recall = bf.intersect(ivf).count() / bf.count()
+    assert recall >= 0.8
+
+
+def test_ivf_centroids_are_closure_shipped_not_plan_literals(spark):
+    """The physical plan must not inline the centroid matrix as literals
+    (n_lists x dim F.lit nodes made planning itself the bottleneck)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2)
+    plan = ivf_topk(emb, q, k=5, n_lists=32, n_probe=4)._jdf.queryExecution().toString()
+    # a literal-array plan would be megabytes of text; closure-shipped
+    # centroids keep it small
+    assert len(plan) < 200_000

@@ -42,6 +42,36 @@ def test_lookup_in_uses_broadcast_join(spark):
     assert "BroadcastHashJoin" in _executed_plan(df)
 
 
+def test_lookup_in_size_guard_regimes(spark):
+    """auto-broadcast probes the dim size: a dim over the threshold must
+    NOT be force-broadcast (the hint is withheld; AQE may still choose a
+    small-side broadcast on its own, so assert on the forced regime via
+    broadcast=False), a small dim must be."""
+    customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    small = lookup_in(
+        customer, nation, "c_nationkey", "n_nationkey", "n_name",
+        broadcast="auto", broadcast_threshold=200_000,
+    )
+    assert "BroadcastHashJoin" in _executed_plan(small)
+    # over-threshold dim: auto withholds the broadcast HINT (AQE may still
+    # choose a size-based broadcast on its own — that's fine and exactly
+    # the point: strategy from real sizes, not a forced hint)
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    assert "ResolvedHint" in analyzed(small)
+    guarded = lookup_in(
+        customer, nation, "c_nationkey", "n_nationkey", "n_name",
+        broadcast="auto", broadcast_threshold=10,  # nation has 25 rows
+    )
+    assert "ResolvedHint" not in analyzed(guarded)
+    # results identical across regimes
+    a = sorted(map(tuple, small.collect()))
+    b = sorted(map(tuple, guarded.collect()))
+    assert a == b
+
+
 def test_normalize_transform_has_no_python(spark):
     df = spark.createDataFrame(
         [("a", 0, "user", " x ", None, None)],

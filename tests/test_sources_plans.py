@@ -117,9 +117,95 @@ def test_config_query_and_kv_and_literal(spark, people_csv, tmp_path):
     assert len(settings) == 1 and settings[0]["value"] == "dark"
 
 
-def test_update_query_raises(spark):
+def test_update_query_parse():
+    from etl_spark.plans.config import parse_update_query
+
+    t, sets, where = parse_update_query(
+        "UPDATE user_settings SET company_id = coalesce(company_id, 7), "
+        "note = concat(a, ',', b) WHERE key = 'user_organization'"
+    )
+    assert t == "user_settings"
+    assert sets == {
+        "company_id": "coalesce(company_id, 7)",
+        "note": "concat(a, ',', b)",  # comma inside call survives the split
+    }
+    assert where == "key = 'user_organization'"
+    t2, sets2, where2 = parse_update_query("UPDATE t SET a = 1")
+    assert (t2, sets2, where2) == ("t", {"a": "1"}, None)
+    with pytest.raises(ValueError):
+        parse_update_query("DELETE FROM t")
+
+
+def test_update_query_config_mutates_lake_table(spark, tmp_path):
+    """K10 behavior: an update_query TableConfig rewrites matched rows of
+    the destination lake table in place (bucket-pruned copy-on-write)."""
+    from etl_spark.lake import LakeTable
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -5.0), (3, "c", -1.0)], ["id", "tag", "bal"]
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), df.schema, key=["id"], n_buckets=4
+    )
+    table.append(df)
+    cfg = MigrationConfig.from_dict(
+        {
+            "tables": [
+                {
+                    "new_name": "t",
+                    "update_query": (
+                        "UPDATE t SET bal = 0.0, tag = upper(tag) WHERE bal < 0"
+                    ),
+                }
+            ]
+        }
+    )
+    run_migration(spark, cfg, {}, str(tmp_path))
+    got = {r["id"]: (r["tag"], r["bal"]) for r in table.read().collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 0.0), 3: ("C", 0.0)}
+    snap, stats = table.update({"bal": "bal + 1"})  # no WHERE -> all rows
+    assert stats["rows_updated"] == 3
+
+
+def test_build_frame_for_update_query_raises(spark):
     cfg = MigrationConfig.from_dict(
         {"tables": [{"new_name": "x", "update_query": "UPDATE t SET a=1"}]}
     )
     with pytest.raises(NotImplementedError):
         build_table_frame(spark, cfg.tables[0], None)
+
+
+def test_multi_file_config_indirection(tmp_path):
+    """files: fan-out (/root/reference/cmd/main.go:38-67): a file-of-files
+    config loads each sub-config (joined with `path`) and concatenates
+    table lists in order."""
+    import json
+
+    sub = tmp_path / "confs"
+    sub.mkdir()
+    (sub / "a.json").write_text(json.dumps(
+        {"tables": [{"old_name": "x", "new_name": "x2"}], "skip_tables": ["s1"]}
+    ))
+    (sub / "b.json").write_text(json.dumps(
+        {"tables": [{"old_name": "y", "new_name": "y2"},
+                    {"old_name": "z", "new_name": "z2"}]}
+    ))
+    main = tmp_path / "main.json"
+    main.write_text(json.dumps({"files": ["a.json", "b.json"], "path": str(sub)}))
+    cfg = load_config(str(main))
+    assert [t.new_name for t in cfg.tables] == ["x2", "y2", "z2"]
+    assert cfg.skip_tables == ["s1"]
+    # relative to the config file's dir when `path` is absent
+    main2 = sub / "main2.json"
+    main2.write_text(json.dumps({"files": ["a.json"]}))
+    assert [t.new_name for t in load_config(str(main2)).tables] == ["x2"]
+
+
+def test_console_sink_shows_rows(spark, capfd):
+    from etl_spark.sources import console_sink
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    n = console_sink(df, n=10, verbose=True)
+    out, _ = capfd.readouterr()
+    assert n == 2
+    assert "id" in out and "a" in out  # show() table reached stdout
