@@ -36,8 +36,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_topk",
+    "similarity_ivf",
     "embedding_neardup",
+    "embedding_neardup_blocked_hi",
     "text_stats",
 ]
 

@@ -335,9 +335,19 @@ def simhash_signatures_pandas(
             lens = b["__sh"].map(len).to_numpy()
             flat = np.concatenate(b["__sh"].to_numpy()).astype(np.int64)
             H = flat.astype(np.uint64)  # wraps mod 2^64: same bit pattern
-            pm = (((H[:, None] >> positions) & 1) * 2 - 1).astype(np.int32)
             offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            counts = np.add.reduceat(pm, offsets, axis=0)  # (n_docs, bits)
+            # (total_shingles, bits) of +/-1 in int16 — the uint64
+            # intermediate from the shifts is the memory hog, so build it
+            # in bounded row chunks
+            pm = np.empty((len(H), bits), dtype=np.int16)
+            step = 1 << 16
+            for i in range(0, len(H), step):
+                pm[i:i + step] = (
+                    ((H[i:i + step, None] >> positions) & 1) * 2 - 1
+                ).astype(np.int16)
+            counts = np.add.reduceat(
+                pm.astype(np.int32), offsets, axis=0
+            )  # (n_docs, bits)
             packed = ((counts > 0).astype(np.uint64) << positions).sum(
                 axis=1, dtype=np.uint64
             )
@@ -345,7 +355,9 @@ def simhash_signatures_pandas(
                 {id_col: b[id_col], out_col: packed.astype(np.int64)}
             )
 
-    return staged.mapInPandas(fn, out_schema)
+    # one parquet file = one partition would serialize the numpy work
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return staged.repartition(par).mapInPandas(fn, out_schema)
 
 
 def simhash_neardup_pairs(
@@ -434,14 +446,22 @@ def ngram_jaccard_pairs(
     import logging
     import math
 
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_words))).alias(
-            "shingle"
-        ),
+    # Inverted index over 64-bit shingle HASHES, not shingle strings: the
+    # self-join shuffles ~|docs| x |shingles/doc| rows, so 8-byte bigint
+    # keys vs multi-word strings is a direct shuffle-volume/compare win,
+    # and set sizes fall out of the array length (no extra groupBy over
+    # the exploded rows). Hash collisions would need two distinct shingles
+    # colliding within one doc pair's union (~2^-64 per pair) to perturb a
+    # count.
+    staged = with_shingle_hashes(
+        df.select(id_col, text_col), text_col, shingle_words, "__sh"
+    ).persist()
+    sizes = staged.select(
+        F.col(id_col).alias("_id"), F.size("__sh").alias("sz")
     )
-    sh = sh.persist()
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    sh = staged.select(
+        F.col(id_col).alias("_id"), F.explode("__sh").alias("shingle")
+    )
     sh_join = sh
     if max_doc_frequency is None or max_doc_frequency > 0:
         cap = max_doc_frequency

@@ -189,7 +189,9 @@ def hyperplane_signatures_pandas(
                 {id_col: b[id_col], unit_col: list(U), "_sigs": list(packed)}
             )
 
-    return src.mapInPandas(fn, out_schema)
+    # one parquet file = one partition would serialize the BLAS work
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(par).mapInPandas(fn, out_schema)
 
 
 def lsh_topk(
@@ -336,7 +338,8 @@ def _assign_lists_pandas(
                 }
             )
 
-    return src.mapInPandas(fn, out_schema)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(par).mapInPandas(fn, out_schema)
 
 
 def ivf_topk(
@@ -484,4 +487,7 @@ def embedding_neardup_pairs(
                 {"id_a": bids[bi], "id_b": ids[ci], "cos_sim": S[bi, ci]}
             )
 
-    return src.mapInPandas(fn, out_schema)
+    # spread the row blocks across cores — the corpus often arrives as one
+    # parquet file = one partition, which would serialize the matmul
+    par = src.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(par).mapInPandas(fn, out_schema)

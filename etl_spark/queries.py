@@ -793,6 +793,23 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def q_embedding_neardup_blocked_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^10-scale near-dup configuration: REALISTIC dedup threshold
+    (0.95) with deep signatures (bits=16, 8 tables), where sign-LSH prunes
+    exponentially — candidates ~ n^2/2^16 per table instead of n^2. Same
+    exact oracle at the same threshold (this corpus has no pairs >= 0.95,
+    so blocked == exact == empty; the entry exists to bench/verify the
+    sub-quadratic machinery at the threshold it is built for — the
+    nontrivial-result equality evidence is `embedding_neardup_blocked`)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, threshold=0.95, blocked=True, dim=64, bits=16, n_tables=8
+    ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+_ORACLE_EMB_NEARDUP_HI = _ORACLE_EMB_NEARDUP.replace(">= 0.4", ">= 0.95")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID + quality + token counts per document."""
     docs = _t(spark, sf_dir, "documents")
@@ -920,6 +937,7 @@ QUERIES = {
     "similarity_ivf": q_similarity_ivf,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_blocked": q_embedding_neardup_blocked,
+    "embedding_neardup_blocked_hi": q_embedding_neardup_blocked_hi,
     "text_stats": q_text_stats,
     "multimodal_meta": q_multimodal_meta,
     "streaming_cdc_replay": q_streaming_cdc_replay,
@@ -954,5 +972,6 @@ ORACLE_SQL = {
     "similarity_topk": _ORACLE_TOPK,
     "embedding_neardup": _ORACLE_EMB_NEARDUP,
     "embedding_neardup_blocked": _ORACLE_EMB_NEARDUP,
+    "embedding_neardup_blocked_hi": _ORACLE_EMB_NEARDUP_HI,
     "text_stats": _ORACLE_TEXT_STATS,
 }
