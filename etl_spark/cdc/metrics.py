@@ -3,9 +3,14 @@
 Replaces the reference's printf accounting (`Total rows: %d ... Batch %d
 stored`, /root/reference/etl.go:364,380-385 and failed-row counts at
 /root/reference/etl.go:325-330) with a queryable parquet table: one row per
-(batch, source_partition) carrying rows in/applied/failed, the LSN range
-applied (per-partition lineage), and wall latency. Append-only parquet —
-O(#batches x #partitions) rows, written once per micro-batch."""
+(batch, source_partition) carrying rows in/failed, the LSN range applied
+(per-partition lineage), and wall latency. Append-only parquet —
+O(#batches x #partitions) rows, written once per micro-batch.
+
+``rows_applied`` is populated only at batch grain (in the batch stats /
+commit log): the LWW dedup crosses source partitions, so a per-partition
+applied count does not exist — the column is NULL here rather than a
+mislabeled pre-dedup count."""
 
 from __future__ import annotations
 

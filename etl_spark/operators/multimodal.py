@@ -2,10 +2,12 @@
 
 Media travel as opaque ``binary`` columns plus a typed metadata struct —
 the lake-table schema, partitioning, and UDF batch shapes are real and
-tested; the *codec* step is stubbed because no image/audio libraries exist
-in this container. Each stub is an Arrow-batched ``mapInPandas`` with the
-exact signature a real decoder would have: swap the marked function body
-for PIL/torchaudio/ffmpeg and nothing else changes.
+tested. Decode, feature-extraction, nearest-neighbor resize, and frame
+sampling are fully IMPLEMENTED for the engine's raw raster format
+(numpy, no native deps); compressed/container formats (JPEG/PNG/MP4)
+raise at the marked plug-point because no image/audio libraries exist in
+this container — swap the decode/encode lines for PIL/torchaudio/ffmpeg
+and nothing else changes.
 
 Scale notes: binary payloads dominate row size, so media tables bucket by
 asset id and transforms run ``mapInPandas`` with small
@@ -58,7 +60,13 @@ def pack_fake_media(width: int, height: int, duration_ms: int, payload: bytes) -
 
 
 def synthesize_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic tiny media table for tests/benches (no external data)."""
+    """Deterministic tiny media table for tests/benches (no external data).
+
+    Payloads are REAL rasters in the fake format: an image payload is a
+    w*h grayscale byte grid; a video payload is ``k`` such frames
+    concatenated (one frame per 100 ms of duration); audio is raw
+    byte samples. That makes decode/resize/frame-sample genuinely
+    computable (numpy), not just parseable."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -68,7 +76,15 @@ def synthesize_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
         kind = kinds[i % 3]
         w, h = (int(rng.integers(8, 64)), int(rng.integers(8, 64))) if kind != "audio" else (0, 0)
         dur = int(rng.integers(100, 10_000)) if kind != "image" else 0
-        payload = rng.integers(0, 256, size=int(rng.integers(16, 256)), dtype=np.uint8).tobytes()
+        if kind == "image":
+            payload = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        elif kind == "video":
+            k = max(1, dur // 100)
+            payload = rng.integers(0, 256, size=k * w * h, dtype=np.uint8).tobytes()
+        else:
+            payload = rng.integers(
+                0, 256, size=int(rng.integers(16, 256)), dtype=np.uint8
+            ).tobytes()
         rows.append(
             (
                 f"asset{i:06d}",
@@ -156,23 +172,107 @@ def extract_features(df: DataFrame, data_col: str = "data", n_features: int = 8)
 
 
 def resize_image(df: DataFrame, width: int, height: int, data_col: str = "data") -> DataFrame:
-    """Image resize — STUB. Real implementation requires an image library
-    not present in this container; the Spark-side contract (mapInPandas over
-    binary, returns same schema with replaced payload + updated meta) is
-    what this function documents."""
-    raise NotImplementedError(
-        "image decode libraries are not available in this environment; "
-        "plug PIL/opencv into the mapInPandas body — the plumbing "
-        "(schema, Arrow batching, bucketing) is provided by this module"
-    )
+    """Image resize over the binary column — REAL for the engine's raw
+    grayscale format (numpy nearest-neighbor resampling, no native deps);
+    compressed formats (JPEG/PNG) raise with the documented plug-point —
+    swap the decode/encode lines for PIL/opencv, the Spark plumbing
+    (schema, Arrow batching, meta update) is identical.
+
+    Non-image rows pass through untouched; image rows get a resized
+    payload and updated ``meta.width/height/n_bytes``."""
+    out_schema = df.schema
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct as _st
+
+        import numpy as np
+
+        for b in batches:
+            blobs, metas = [], []
+            for blob, kind, meta in zip(b[data_col], b["kind"], b["meta"]):
+                if kind != "image" or blob is None:
+                    blobs.append(blob)
+                    metas.append(meta)
+                    continue
+                raw = bytes(blob)
+                _, w, h, d = _st.unpack(_HDR_FMT, raw[:_HDR_SIZE])
+                body = raw[_HDR_SIZE:]
+                if len(body) != w * h:
+                    raise NotImplementedError(
+                        "compressed image payloads need an image library "
+                        "(PIL/opencv) plugged into this decode step"
+                    )
+                img = np.frombuffer(body, dtype=np.uint8).reshape(h, w)
+                ys = (np.arange(height) * h // height).clip(0, h - 1)
+                xs = (np.arange(width) * w // width).clip(0, w - 1)
+                out = img[ys][:, xs]  # nearest-neighbor
+                blobs.append(pack_fake_media(width, height, d, out.tobytes()))
+                metas.append(
+                    {
+                        "width": width,
+                        "height": height,
+                        "duration_ms": meta["duration_ms"],
+                        "n_bytes": width * height + _HDR_SIZE,
+                    }
+                )
+            yield b.assign(**{data_col: blobs, "meta": metas})
+
+    import pandas as pd  # noqa: F401
+
+    return df.mapInPandas(fn, out_schema)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
 
 
 def sample_frames(df: DataFrame, every_ms: int, data_col: str = "data") -> DataFrame:
-    """Video frame sampling — STUB (see resize_image)."""
-    raise NotImplementedError(
-        "video decode libraries are not available in this environment; "
-        "plug ffmpeg/pyav into the mapInPandas body"
-    )
+    """Video frame sampling: one output row per sampled frame (the fan-out
+    shape a training pipeline feeds to a vision encoder) — REAL for the
+    engine's raw format (frames are w*h grids at 100 ms cadence);
+    container formats raise with the ffmpeg/pyav plug-point. Non-video
+    rows produce no output rows."""
+    frame_ms = 100
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct as _st
+
+        import pandas as pd
+
+        for b in batches:
+            out = {k: [] for k in ("asset_id", "frame_idx", "ts_ms", "width", "height", "frame")}
+            for blob, kind, aid in zip(b[data_col], b["kind"], b["asset_id"]):
+                if kind != "video" or blob is None:
+                    continue
+                raw = bytes(blob)
+                _, w, h, dur = _st.unpack(_HDR_FMT, raw[:_HDR_SIZE])
+                body = raw[_HDR_SIZE:]
+                fsize = w * h
+                n_frames = len(body) // fsize if fsize else 0
+                if fsize == 0 or len(body) != n_frames * fsize:
+                    raise NotImplementedError(
+                        "container video formats need ffmpeg/pyav plugged "
+                        "into this decode step"
+                    )
+                for ts in range(0, n_frames * frame_ms, every_ms):
+                    idx = min(ts // frame_ms, n_frames - 1)
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(ts)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame"].append(body[idx * fsize:(idx + 1) * fsize])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, FRAME_SCHEMA)
 
 
 def media_stats(df: DataFrame) -> DataFrame:

@@ -112,8 +112,11 @@ def q_cdc_apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     tmp = tempfile.mkdtemp(prefix="etl_spark_cdc_q_")
+    # 32 buckets = 32-way parallel bucketed write (the copy-on-write unit
+    # sizing rule: enough buckets that a commit's write saturates the
+    # executor pool while a bucket stays a rewrite-sized chunk)
     table = LakeTable.create(
-        spark, os.path.join(tmp, "t"), schema, key=["user_id"], n_buckets=8
+        spark, os.path.join(tmp, "t"), schema, key=["user_id"], n_buckets=32
     )
     replay(spark, chg, table)
     return table.read().select(
@@ -854,6 +857,29 @@ FROM h
 """
 
 
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: the 64-bit content fingerprint must be a
+    bijection onto distinct normalized texts (no collisions at this
+    scale), which IS oracle-checkable even though DuckDB cannot reproduce
+    xxhash64 values: distinct-fingerprint count == distinct-normalized-
+    text count, plus total docs."""
+    from etl_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.countDistinct(fingerprint("text")).alias("n_distinct"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+_ORACLE_FINGERPRINT = r"""
+SELECT CAST(COUNT(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+            AS BIGINT) AS n_distinct,
+       COUNT(*) AS n_docs
+FROM documents
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: synthesize media, decode headers
     via Arrow-batched mapInPandas, metadata rollup. Rows-only check (the
@@ -939,6 +965,7 @@ QUERIES = {
     "embedding_neardup_blocked": q_embedding_neardup_blocked,
     "embedding_neardup_blocked_hi": q_embedding_neardup_blocked_hi,
     "text_stats": q_text_stats,
+    "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "streaming_cdc_replay": q_streaming_cdc_replay,
 }
@@ -974,4 +1001,5 @@ ORACLE_SQL = {
     "embedding_neardup_blocked": _ORACLE_EMB_NEARDUP,
     "embedding_neardup_blocked_hi": _ORACLE_EMB_NEARDUP_HI,
     "text_stats": _ORACLE_TEXT_STATS,
+    "doc_fingerprint": _ORACLE_FINGERPRINT,
 }

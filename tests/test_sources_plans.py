@@ -209,3 +209,37 @@ def test_console_sink_shows_rows(spark, capfd):
     out, _ = capfd.readouterr()
     assert n == 2
     assert "id" in out and "a" in out  # show() table reached stdout
+
+
+def test_http_json_source_loopback(spark):
+    """S6: drive the HTTP source against an in-process loopback server (no
+    external network needed) — JSON array fetch, key lowercasing, schema
+    pass-through."""
+    import http.server
+    import threading
+
+    payload = b'[{"ID": 1, "Name": "a"}, {"ID": 2, "Name": "b"}]'
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from etl_spark.sources import http_json_source
+
+        url = f"http://127.0.0.1:{srv.server_address[1]}/dim.json"
+        df = http_json_source(spark, url)
+        rows = {r["id"]: r["name"] for r in df.collect()}
+        assert rows == {1: "a", 2: "b"}
+        assert set(df.columns) == {"id", "name"}
+    finally:
+        srv.shutdown()
