@@ -308,6 +308,38 @@ class LakeTable:
     def row_count(self) -> int:
         return self.snapshot().total_rows
 
+    def read_for_keys(self, values: list, version: int | None = None) -> DataFrame:
+        """Point-lookup scan: read ONLY the buckets that can contain the
+        given bucket-key values, manifest-pruned on the driver. ``values``
+        is a list of bucket_by tuples (or scalars for a single-column
+        bucket key). The serving-path complement of the MERGE's bucket
+        pruning: at a 4k-bucket 100 TB table a key lookup reads ~1/4000th
+        of the files instead of scanning everything. The bucket of each
+        value is computed by a tiny Spark job on the literal values (the
+        engine's xxhash64 bucketing must match bit-for-bit, so it is never
+        re-implemented driver-side); the result still carries the exact
+        key filter, so collisions inside a bucket are filtered out."""
+        snap = self.snapshot(version)
+        if snap.n_buckets <= 0:
+            raise ValueError("read_for_keys requires a bucketed table")
+        cols = snap.bucket_by
+        tuples = [v if isinstance(v, tuple) else (v,) for v in values]
+        schema = T.StructType([snap.schema[c] for c in cols])
+        vals_df = self.spark.createDataFrame(tuples, schema)
+        buckets = {
+            r["__b"]
+            for r in vals_df.select(self._bucket_expr(snap).alias("__b")).collect()
+        }
+        entries = [f for f in snap.files if f["bucket"] in buckets]
+        out = self._read_files(snap, entries)
+        pred = None
+        for t in tuples:
+            this = F.lit(True)
+            for c, v in zip(cols, t):
+                this = this & (F.col(c) == F.lit(v))
+            pred = this if pred is None else (pred | this)
+        return out.filter(pred) if pred is not None else out
+
     # ----------------------------------------------------------------- write
     def _bucket_expr(self, snap: Snapshot):
         if snap.n_buckets <= 0:
@@ -663,6 +695,8 @@ class LakeTable:
         for i in range(0, v + 1):
             if i in keep_versions:
                 continue
+            if not os.path.exists(self._snap_path(i)):
+                continue  # already expired by an earlier pass
             snap = self.snapshot(i)
             for f in snap.files:
                 if f["path"] not in live:

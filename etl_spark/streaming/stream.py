@@ -99,6 +99,15 @@ class CdcStream:
     # crash between sinks replays only the unapplied ones).
     extra_tables: list[LakeTable] = field(default_factory=list)
     retry_attempts: int = 3
+    # Maintenance cadence: every N applied batches, rewrite each bucket's
+    # accumulated per-commit files into one (LakeTable.compact) and drop
+    # snapshots/files older than the newest `expire_keep_last`. A merge
+    # commit writes one survivor + one upsert file per affected bucket, so
+    # an unmaintained month of micro-batches turns the survivors scan into
+    # thousands of tiny reads — this bounds it. 0 disables (tests /
+    # short-lived streams).
+    compact_every: int = 0
+    expire_keep_last: int = 3
     query: object = field(default=None, init=False)
 
     def __post_init__(self) -> None:
@@ -144,6 +153,15 @@ class CdcStream:
                 attempts=self.retry_attempts,
             )
         self.batch_stats.append(stats)
+        if (
+            self.compact_every
+            and not stats.get("skipped")
+            and len([s for s in self.batch_stats if not s.get("skipped")])
+            % self.compact_every == 0
+        ):
+            self.table.compact()
+            if self.expire_keep_last:
+                self.table.expire_snapshots(keep_last=self.expire_keep_last)
 
     def start(self):
         schema = discover_wal_schema(self.spark, self.wal_dir)

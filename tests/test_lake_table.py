@@ -166,3 +166,78 @@ def test_compact_and_expire(spark, tmp_path):
     removed = t.expire_snapshots(keep_last=1)
     assert removed > 0
     assert t.read().count() == 3
+
+
+def test_read_for_keys_prunes_buckets(spark, tmp_path):
+    """Point-lookup reads only the buckets containing the requested keys,
+    and returns exactly the full-scan-filter result."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), df.schema, key=["k"], n_buckets=16
+    )
+    table.append(df)
+    keys = [3, 500, 999]
+    got = sorted((r["k"], r["v"]) for r in table.read_for_keys(keys).collect())
+    assert got == [(3, 6), (500, 1000), (999, 1998)]
+    # pruning evidence: the pruned plan reads fewer files than the table has
+    snap = table.snapshot()
+    vals = spark.createDataFrame([(k,) for k in keys], "k long")
+    buckets = {
+        r["b"]
+        for r in vals.select(
+            F.pmod(F.xxhash64("k"), F.lit(snap.n_buckets)).cast("int").alias("b")
+        ).collect()
+    }
+    assert len(buckets) < snap.n_buckets  # the lookup genuinely pruned
+    # compound-key table accepts tuples
+    df2 = df.withColumn("k2", F.col("k") % 7)
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "t2"), df2.schema, key=["k", "k2"],
+        n_buckets=8, bucket_by=["k", "k2"],
+    )
+    t2.append(df2)
+    got2 = [(r["k"], r["k2"]) for r in t2.read_for_keys([(10, 3)]).collect()]
+    assert got2 == [(10, 3)]
+
+
+def test_stream_compaction_bounds_files(spark, tmp_path):
+    """compact_every: the file count stays bounded across micro-batches
+    and converged state is unchanged."""
+    from etl_spark.cdc.changelog import (
+        ChangelogSpec, TRANSCRIPTS_SCHEMA, expected_final_state,
+        generate_changelog, write_changelog,
+    )
+    from etl_spark.streaming import CdcStream
+
+    spec = ChangelogSpec(
+        n_conversations=40, churn=2.0, n_partitions=2, segments_per_partition=4,
+    )
+    pdf = generate_changelog(spec)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, spec)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA,
+        key=["conv_id", "turn_idx"], n_buckets=4, bucket_by=["conv_id"],
+    )
+    stream = CdcStream(
+        spark, wal, table, str(tmp_path / "state"),
+        max_files_per_trigger=2, compact_every=2, expire_keep_last=2,
+    )
+    stats = stream.run_to_completion()
+    assert len([s for s in stats if not s.get("skipped")]) >= 2
+    snap = table.snapshot()
+    assert len(snap.files) <= snap.n_buckets  # compacted: <=1 file/bucket
+    got = (
+        table.read().orderBy("conv_id", "turn_idx").toPandas()
+        [["conv_id", "turn_idx", "role", "text"]].reset_index(drop=True)
+    )
+    exp = expected_final_state(pdf)[
+        ["conv_id", "turn_idx", "role", "text"]
+    ].reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
