@@ -93,3 +93,66 @@ def test_evolve_schema_model(cur, inc):
     for k, v in inc.items():
         if k not in cur:
             assert by_name[k] == v
+
+
+_paths = st.lists(
+    st.sampled_from(["a", "a.b", "a.c", "a.d.e", "x", "nope", "a.zz"]),
+    min_size=1, max_size=5, unique=True,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(srcs=_paths)
+def test_field_map_paths_match_select_model(spark, srcs):
+    """Any dotted path that df.select can resolve must resolve to the same
+    value through field_map; unresolvable ones become literals."""
+    from etl_spark.operators import field_map
+
+    df = spark.createDataFrame(
+        [(7, ("s", 1.5, (9,)))],
+        "x long, a struct<b:string, c:double, d:struct<e:long>>",
+    )
+    mapping = {f"d{i}": s for i, s in enumerate(srcs)}
+    row = field_map(df, mapping).first()
+    for i, s in enumerate(srcs):
+        try:
+            exp = df.select(s).first()[0]
+        except Exception:
+            exp = s  # unresolvable -> literal fallback
+        got = row[f"d{i}"]
+        if s == "a":  # struct value comes back as a Row
+            got = tuple(got)
+            exp = tuple(exp)
+        elif s == "a.d":
+            got, exp = tuple(got), tuple(exp)
+        assert got == exp, (s, got, exp)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-5, 5)),
+        min_size=1, max_size=30, unique_by=lambda r: r[0],
+    ),
+    threshold=st.integers(-4, 4),
+)
+def test_lake_update_matches_case_model(spark, tmp_path_factory, rows, threshold):
+    """LakeTable.update == the CASE WHEN projection of the same expressions
+    over the pre-update state (standard SQL UPDATE semantics)."""
+    from etl_spark.lake import LakeTable
+
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    df = spark.createDataFrame(pdf.astype({"k": "int64", "v": "int64"}))
+    path = str(tmp_path_factory.mktemp("upd") / "t")
+    table = LakeTable.create(spark, path, df.schema, key=["k"], n_buckets=4)
+    table.append(df)
+    table.update({"v": "v * 10 + 1"}, where=f"v < {threshold}")
+    got = table.read().toPandas().sort_values("k").reset_index(drop=True)
+    exp = pdf.copy()
+    exp.loc[exp["v"] < threshold, "v"] = exp["v"] * 10 + 1
+    exp = exp.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"k": "int64", "v": "int64"}), exp.astype({"k": "int64", "v": "int64"})
+    )
