@@ -671,6 +671,37 @@ class LakeTable:
             "rows_after": snap.total_rows,
         }
 
+    # -------------------------------------------------------------- sequence
+    def resync_sequence(self, col: str | None = None) -> int:
+        """Lake analogue of the reference's Postgres sequence resync
+        (/root/reference/migrate/migrate.go:177-210, ``setval(seq,
+        MAX(pk)+1)``): recompute the next surrogate id as max(col)+1 over
+        current table state and persist it in the table metadata. Returns
+        the new next-id. One small aggregation job (min/max prune on
+        parquet stats makes it a metadata-ish scan)."""
+        col = col or self.key[0]
+        dtype = self.schema[col].dataType.typeName()
+        if dtype not in ("byte", "short", "integer", "long"):
+            raise ValueError(
+                f"sequence resync needs an integral key column; {col!r} is "
+                f"{dtype} (the reference's sequences are Postgres serial "
+                "columns, migrate.go:177-210)"
+            )
+        row = self.read().agg(F.max(F.col(col)).alias("m")).first()
+        next_id = int(row["m"]) + 1 if row["m"] is not None else 1
+        with open(os.path.join(self._meta, "sequence.json"), "w") as fh:
+            json.dump({"column": col, "next_id": next_id, "ts": time.time()}, fh)
+        return next_id
+
+    def next_id(self) -> int | None:
+        """The persisted sequence counter (``resync_sequence`` result), or
+        None if never resynced."""
+        p = os.path.join(self._meta, "sequence.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)["next_id"]
+
     # -------------------------------------------------------------- maintain
     def compact(self, target_file_rows: int = 5_000_000) -> Snapshot:
         """Rewrite small files per bucket into fewer large ones (snapshot-

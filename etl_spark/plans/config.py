@@ -18,8 +18,9 @@ Dispatch parity with migrate.Data:
   f) ``truncate``         -> overwrite instead of append (migrate.go:128-136)
 ``update_query`` (migrate.go:142-150) is parsed (UPDATE <t> SET ... WHERE
 ...) and executed as a bucket-pruned ``LakeTable.update``; postgres
-sequence resync (migrate.go:177-210) is a sequence-counter repair with no
-lake analogue (keys are natural, not sequence-assigned) and raises.
+sequence resync (migrate.go:177-210, ``update_sequence: true``) maps to
+``LakeTable.resync_sequence`` — MAX(key)+1 persisted as the table's
+next-surrogate-id counter.
 """
 
 from __future__ import annotations
@@ -60,6 +61,7 @@ class TableConfig:
     value_field: str = "value"
     type_field: str = ""
     truncate: bool = False
+    update_sequence: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "TableConfig":
@@ -266,5 +268,10 @@ def run_migration(
             table.overwrite(df)
         else:
             table.append(df)
+        if cfg.update_sequence:
+            # K11: reference resyncs the destination's Postgres sequence to
+            # MAX(pk)+1 after load (migrate.go:177-210); the lake analogue
+            # persists the next surrogate id in table metadata.
+            table.resync_sequence()
         out[name] = table
     return out

@@ -243,3 +243,32 @@ def test_http_json_source_loopback(spark):
         assert set(df.columns) == {"id", "name"}
     finally:
         srv.shutdown()
+
+
+def test_update_sequence_resync(spark, tmp_path):
+    """K11: `update_sequence: true` persists MAX(key)+1 as the table's
+    next-id counter (reference setval(seq, MAX(pk)+1),
+    migrate.go:177-210)."""
+    from etl_spark.lake import LakeTable
+
+    src = spark.createDataFrame([(5, "a"), (11, "b")], ["id", "v"])
+    src.createOrReplaceTempView("src")
+    cfg = MigrationConfig.from_dict(
+        {
+            "tables": [
+                {
+                    "old_name": "src",
+                    "new_name": "dst",
+                    "query": "SELECT * FROM src",
+                    "update_sequence": True,
+                }
+            ]
+        }
+    )
+    tables = run_migration(spark, cfg, {"src": src}, str(tmp_path), keys={"dst": ["id"]})
+    assert tables["dst"].next_id() == 12
+    t = LakeTable.load(spark, str(tmp_path / "dst"))
+    assert t.next_id() == 12
+    # resync after more data advances the counter
+    t.append(spark.createDataFrame([(40, "c")], ["id", "v"]))
+    assert t.resync_sequence() == 41
