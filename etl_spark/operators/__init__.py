@@ -16,6 +16,7 @@ from etl_spark.operators.dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     simhash_neardup_pairs,
+    simhash_signatures_pandas,
 )
 from etl_spark.operators.similarity import (
     brute_force_topk,
@@ -43,6 +44,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_neardup_pairs",
+    "simhash_signatures_pandas",
     "brute_force_topk",
     "lsh_topk",
     "ivf_topk",

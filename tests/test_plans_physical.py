@@ -80,3 +80,33 @@ def test_normalize_transform_has_no_python(spark):
     plan = _executed_plan(normalize_transcripts_expr(df))
     # expression-only: no Arrow/Python eval nodes in the CDC hot path
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_no_cartesian_product_in_query_plans(spark):
+    """Plan audit over the side-effect-free driver queries: no
+    CartesianProduct anywhere (the only all-pairs scoring path is the
+    tiled-GEMM mapInPandas, and LSH/IVF candidates are key-equality
+    joins); Python nodes (Arrow mapInPandas) appear only in the operators
+    documented to use them."""
+    from etl_spark.queries import QUERIES
+
+    # excluded: queries that materialize state as a side effect of plan
+    # construction (lake replay, streaming run, media synth, update)
+    skip = {
+        "cdc_apply_final_state", "update_query", "streaming_cdc_replay",
+        "multimodal_meta",
+    }
+    python_ok = {
+        # Arrow-batched numpy stages, by design (never per-row Python)
+        "similarity_lsh", "similarity_ivf", "embedding_neardup",
+        "embedding_neardup_blocked", "embedding_neardup_blocked_hi",
+        "dedup_simhash",
+    }
+    sf = "/root/testdata/sf0.001"
+    for name, fn in QUERIES.items():
+        if name in skip:
+            continue
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        if name not in python_ok:
+            assert "EvalPython" not in plan and "MapInPandas" not in plan, name
