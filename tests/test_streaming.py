@@ -156,3 +156,27 @@ def test_stream_with_normalization_transform(spark, tmp_path):
     txt = table.read().toPandas()["text"].dropna()
     assert not txt.str.contains("  ").any()
     assert (txt == txt.str.strip()).all()
+
+
+def test_normalize_pandas_equals_expr(spark):
+    """The Arrow mapInPandas normalization must agree exactly with the
+    expression version on generated changelog payloads (incl. nulls on
+    deletes, exotic whitespace, role aliases)."""
+    from etl_spark.cdc import CHANGELOG_SCHEMA
+    from etl_spark.functions.text import (
+        normalize_transcripts_expr,
+        normalize_transcripts_pandas,
+    )
+
+    pdf = generate_changelog(SPEC)
+    sdf = spark.createDataFrame(pdf.drop(columns=["_seq"]), CHANGELOG_SCHEMA)
+    cols = ["conv_id", "turn_idx", "lsn", "source_partition", "role", "text"]
+    a = (
+        normalize_transcripts_expr(sdf).select(cols)
+        .orderBy("source_partition", "lsn").toPandas()
+    )
+    b = (
+        normalize_transcripts_pandas(sdf).select(cols)
+        .orderBy("source_partition", "lsn").toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
