@@ -97,6 +97,9 @@ def run_cdc_replay(
     stats = run_stream(
         spark, wal_dir, table, state_dir,
         transform=normalize_transcripts_expr,
+        # row-wise payload transform -> run it on the deduped survivors
+        # (one row per key) instead of every change event
+        transform_stage="post",
         max_files_per_trigger=max_files_per_trigger,
     )
     wall = time.time() - t0
@@ -260,9 +263,13 @@ def run_scaling_procs(
 
     def one_trial(shard_dirs: list[str]) -> float:
         """Run one replay process per shard dir concurrently; return the
-        wall seconds from first spawn to last exit."""
+        level's replay seconds = max over shards of each process's
+        internally-measured replay_sec (JVM/session startup excluded on
+        BOTH levels, exactly as the thread-mode numbers are measured —
+        executors on a real cluster amortize startup over long jobs).
+        Startups run concurrently, so the slowest shard's replay window
+        is the level's wall."""
         outs = [tempfile.mktemp(suffix=".json") for _ in shard_dirs]
-        t0 = time.time()
         procs = [
             subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--replay-only",
@@ -274,10 +281,12 @@ def run_scaling_procs(
         for p in procs:
             if p.wait() != 0:
                 raise RuntimeError("shard replay failed")
-        wall = time.time() - t0
+        walls = []
         for out in outs:
+            with open(out) as fh:
+                walls.append(json.load(fh)["replay_sec"])
             os.remove(out)
-        return wall
+        return max(walls)
 
     best: dict[int, float] = {}
     for _ in range(trials):

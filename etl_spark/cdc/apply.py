@@ -105,6 +105,7 @@ def apply_batch(
     dead_letter_dir: str | None = None,
     salted_dedup: bool = False,
     transform_preserves_keys_and_validity: bool = True,
+    transform_stage: str = "pre",
 ) -> dict:
     """Apply one changelog micro-batch to the lake table, exactly once.
 
@@ -126,7 +127,20 @@ def apply_batch(
     raw = batch_df
     if watermark_store is not None:
         raw = filter_by_watermarks(raw, watermark_store.get_all())
-    df = transform(raw) if transform is not None else raw
+    # transform_stage="post" runs the transform AFTER the LWW dedup — for a
+    # row-wise payload transform (the text-normalization contract:
+    # deterministic per row, touches no key/validity/order column) the
+    # result is identical, and the regex/allocation work runs on one row
+    # per key instead of every change event (~churn x fewer rows). Only
+    # valid together with transform_preserves_keys_and_validity; non-row-
+    # wise transforms (anything reading across rows) must stay "pre".
+    post_transform = transform is not None and transform_stage == "post"
+    if post_transform and not transform_preserves_keys_and_validity:
+        raise ValueError(
+            "transform_stage='post' requires a key/validity-preserving "
+            "row-wise transform"
+        )
+    df = transform(raw) if (transform is not None and not post_transform) else raw
     # Frame the accounting pass runs on. The stats aggregation groups by
     # (source_partition, target bucket) and its bucket set is ALSO the
     # merge's affected-bucket set — so running it on the PRE-transform
@@ -231,6 +245,8 @@ def apply_batch(
         deduped = dedup_last_writer_wins(
             valid, key=table.key, salted=salted_dedup
         )
+        if post_transform:
+            deduped = transform(deduped)
         merge_src = deduped.drop(*[c for c in META_COLS if c in deduped.columns])
         snap, merge_stats = table.merge(
             merge_src, op_col=op_col, per_bucket=per_bucket
@@ -290,14 +306,20 @@ def replay(
     op_col: str = "op",
     transform: Callable[[DataFrame], DataFrame] | None = None,
     salted_dedup: bool = False,
+    transform_stage: str = "pre",
 ) -> dict:
     """Bulk backfill: collapse the ENTIRE changelog to final per-key state
     with one LWW dedup, then one MERGE. This is the bootstrap path — at
     10^10 events it is one shuffle on the key (with map-side combine
     reducing each key to one row per map task) + one bucketed write, the
-    minimum possible data movement for CDC compaction."""
-    df = transform(changelog_df) if transform is not None else changelog_df
+    minimum possible data movement for CDC compaction.
+    ``transform_stage='post'`` (row-wise transforms only) defers the
+    transform to the deduped survivors — see apply_batch."""
+    post = transform is not None and transform_stage == "post"
+    df = transform(changelog_df) if (transform is not None and not post) else changelog_df
     deduped = dedup_last_writer_wins(df, key=table.key, salted=salted_dedup)
+    if post:
+        deduped = transform(deduped)
     merge_src = deduped.drop(*[c for c in META_COLS if c in deduped.columns])
     snap, stats = table.merge(merge_src, op_col=op_col)
     stats["table_version"] = snap.version if snap else None

@@ -89,6 +89,9 @@ class CdcStream:
     state_dir: str
     source_name: str = "wal"
     transform: Callable[[DataFrame], DataFrame] | None = None
+    # "post" defers a row-wise payload transform to after the LWW dedup —
+    # ~churn x less transform work per batch (see apply_batch)
+    transform_stage: str = "pre"
     max_files_per_trigger: int = 8
     salted_dedup: bool = False
     dead_letter: bool = True
@@ -130,6 +133,7 @@ class CdcStream:
                 batch_id=batch_id,
                 source=self.source_name,
                 transform=self.transform,
+                transform_stage=self.transform_stage,
                 commit_log=self.commit_log,
                 watermark_store=self.watermarks,
                 metrics=self.metrics,
@@ -147,6 +151,7 @@ class CdcStream:
                     batch_id=batch_id,
                     source=f"{self.source_name}:dest{i + 1}",
                     transform=self.transform,
+                    transform_stage=self.transform_stage,
                     commit_log=self.commit_log,
                     salted_dedup=self.salted_dedup,
                 ),

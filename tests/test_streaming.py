@@ -180,3 +180,28 @@ def test_normalize_pandas_equals_expr(spark):
         .orderBy("source_partition", "lsn").toPandas()
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_post_stage_transform_equals_pre(spark, tmp_path):
+    """transform_stage='post' (normalize after LWW dedup) must converge to
+    the same table state as the default pre-dedup stage — the transform is
+    row-wise, so only the amount of regex work differs."""
+    pdf = generate_changelog(SPEC)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+    results = {}
+    for stage in ("pre", "post"):
+        table = LakeTable.create(
+            spark, str(tmp_path / f"t_{stage}"), TRANSCRIPTS_SCHEMA,
+            key=["conv_id", "turn_idx"], n_buckets=8, bucket_by=["conv_id"],
+        )
+        CdcStream(
+            spark, wal, table, str(tmp_path / f"state_{stage}"),
+            transform=normalize_transcripts_expr, transform_stage=stage,
+            max_files_per_trigger=2,
+        ).run_to_completion()
+        results[stage] = (
+            table.read().orderBy("conv_id", "turn_idx").toPandas()
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(results["pre"], results["post"])
