@@ -205,3 +205,29 @@ def test_post_stage_transform_equals_pre(spark, tmp_path):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(results["pre"], results["post"])
+
+
+def test_extreme_hot_conversation_skew_converges(spark, tmp_path):
+    """Degenerate Zipf skew (one conversation absorbs most churn) with the
+    salted two-level dedup: converged state still equals the oracle and
+    per-batch applied counts stay consistent."""
+    spec = ChangelogSpec(
+        n_conversations=30, max_turns=4, churn=6.0, skew=3.0,
+        n_partitions=2, segments_per_partition=3,
+    )
+    pdf = generate_changelog(spec)
+    # sanity: the skew knob really concentrates churn
+    top = pdf["conv_id"].value_counts()
+    assert top.iloc[0] > 5 * top.iloc[-1]
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, spec)
+    table = make_target(spark, tmp_path)
+    stream = CdcStream(
+        spark, wal, table, str(tmp_path / "state"),
+        salted_dedup=True, max_files_per_trigger=2,
+    )
+    stats = stream.run_to_completion()
+    assert_converged(table, pdf)
+    for s in stats:
+        if not s.get("skipped"):
+            assert s["rows_applied"] == s["rows_upserted"] + s["rows_deleted"]
