@@ -889,6 +889,82 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(decode_media_meta(media))
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful STREAMING sessionization (applyInPandasWithState,
+    event-time timeout) over the events table, flushed with a far-future
+    sentinel so every session closes — the final output then equals the
+    batch sessionization aggregate, which IS the DuckDB oracle. Exercises
+    state store, watermark advance, and the timeout path end-to-end."""
+    import shutil
+
+    from pyspark.sql.functions import max as fmax
+
+    from etl_spark.streaming.sessions import stream_sessionize
+
+    events = _t(spark, sf_dir, "events").select("user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="etl_spark_sess_q_")
+    src = os.path.join(tmp, "src")
+    # batch 1: every real event in one file; batch 2: the sentinel.
+    # FileStreamSource orders by modification time — pin the first file
+    # well into the past so a sub-second mtime tie can never process the
+    # sentinel first (which would advance the watermark and drop every
+    # real event as late).
+    events.coalesce(1).write.parquet(src)
+    for root, _d, names in os.walk(src):
+        for n in names:
+            os.utime(os.path.join(root, n), (1_000_000, 1_000_000))
+    max_ts = events.agg(fmax("ts")).first()[0]
+    sent = spark.createDataFrame(
+        [(int(-1), max_ts + __import__("datetime").timedelta(days=30))],
+        "user_id long, ts timestamp",
+    )
+    sent.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = os.path.join(tmp, "out")
+    q = (
+        stream_sessionize(stream, gap_sec=1800)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("user_id") >= 0)  # drop the sentinel's own session
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    out = out.cache()
+    out.count()  # materialize before tmp cleanup
+    shutil.rmtree(os.path.join(tmp, "ckpt"), ignore_errors=True)
+    return out
+
+
+_ORACLE_STREAM_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full streaming engine path: deterministic transcript changelog ->
     WAL segments -> Structured Streaming tail -> exactly-once MERGE ->
@@ -967,6 +1043,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
+    "stream_sessionize": q_stream_sessionize,
     "streaming_cdc_replay": q_streaming_cdc_replay,
 }
 
@@ -1002,4 +1079,5 @@ ORACLE_SQL = {
     "embedding_neardup_blocked_hi": _ORACLE_EMB_NEARDUP_HI,
     "text_stats": _ORACLE_TEXT_STATS,
     "doc_fingerprint": _ORACLE_FINGERPRINT,
+    "stream_sessionize": _ORACLE_STREAM_SESSIONIZE,
 }
