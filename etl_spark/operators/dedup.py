@@ -515,3 +515,61 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate candidate pairs into components:
+    (doc_id, cluster_id = min member id). The step a real dedup pipeline
+    runs AFTER pair generation — survivors are then one doc per cluster.
+
+    Min-label propagation over the undirected pair graph: every vertex
+    starts labeled with itself; each round every vertex takes the min of
+    its own and its neighbors' labels; fixpoint when no label changes
+    (checked with one tiny count action per round). Rounds needed = graph
+    diameter — near-dup components are cliques-ish (diameter 1-3), so this
+    converges in a couple of shuffles even at 10^9 docs; for adversarial
+    long-chain graphs switch to the O(log n) small-star/large-star
+    alternation (same join shape). Labels are carried per-vertex, never
+    materializing the transitive closure."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    ).persist()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.b == labels.v)
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.v == neigh.a, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -693,6 +693,52 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation: n-gram Jaccard pairs -> connected
+    components (min-label propagation) -> (doc_id, cluster_id). The oracle
+    recomputes the same pairs in SQL and closes them transitively with a
+    recursive CTE — so the distributed label propagation is checked
+    against exact graph semantics."""
+    from etl_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return connected_components(pairs)
+
+
+_ORACLE_CLUSTERS = r"""
+WITH RECURSIVE words AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+              ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] END AS shingle
+  FROM words,
+       UNNEST(CASE WHEN len(w) < 3 THEN [1]
+                   ELSE range(1, len(w) - 1) END) AS t(i)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS v, a AS r FROM edges
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v)
+SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup candidates, verified with exact Jaccard.
     No SQL oracle: band bucketing depends on engine hashing; recall vs the
@@ -1032,6 +1078,7 @@ QUERIES = {
     "update_query": q_update_query,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "similarity_topk": q_similarity_topk,
@@ -1073,6 +1120,7 @@ ORACLE_SQL = {
     "update_query": _ORACLE_UPDATE,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": _ORACLE_JACCARD,
+    "dedup_clusters": _ORACLE_CLUSTERS,
     "similarity_topk": _ORACLE_TOPK,
     "embedding_neardup": _ORACLE_EMB_NEARDUP,
     "embedding_neardup_blocked": _ORACLE_EMB_NEARDUP,

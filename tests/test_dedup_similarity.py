@@ -269,3 +269,25 @@ def test_ivf_centroids_are_closure_shipped_not_plan_literals(spark):
     # a literal-array plan would be megabytes of text; closure-shipped
     # centroids keep it small
     assert len(plan) < 200_000
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 6-node chain (needs several rounds), a
+    triangle, and an isolated pair resolve to the right components."""
+    from etl_spark.operators.dedup import connected_components
+
+    pairs = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # chain -> cluster 1
+        (10, 11), (11, 12), (10, 12),             # triangle -> cluster 10
+        (20, 21),                                  # pair -> cluster 20
+    ]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
