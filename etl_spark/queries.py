@@ -739,6 +739,69 @@ SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
 """
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline: the corpus that SURVIVES near-dup
+    removal — every unclustered doc plus one representative (min id) per
+    near-dup cluster. pairs -> components -> anti-join; the materialized
+    view a training run would actually read."""
+    from etl_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = connected_components(pairs)
+    victims = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(victims, on="doc_id", how="left_anti").select("doc_id")
+
+
+_ORACLE_SURVIVORS = _ORACLE_CLUSTERS.replace(
+    "SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v",
+    """, cc AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)""",
+)
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality gate: keep documents over a quality score
+    with enough tokens — the filter stage between text analysis and
+    tokenization in a data pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+    ).filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20)).select(
+        "doc_id", F.round("quality", 6).alias("quality"), "n_tokens"
+    )
+
+
+_ORACLE_QUALITY_FILTER = r"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+         CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|in|is|for|that|with|a)\b')) AS DOUBLE) AS stop_hits,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS INTEGER)
+           AS n_tokens
+  FROM documents),
+q AS (
+  SELECT doc_id, n_tokens,
+         greatest(least(
+           0.3 * least(n / 500.0, 1.0)
+           + 0.35 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
+           + 0.25 * least(stop_hits / 8.0, 1.0)
+           - 0.1 * (CASE WHEN n > 0 THEN least(punct / n * 5.0, 1.0) ELSE 0.0 END),
+           1.0), 0.0) AS quality
+  FROM h)
+SELECT doc_id, round(quality, 6) AS quality, n_tokens
+FROM q WHERE quality >= 0.5 AND n_tokens >= 20
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup candidates, verified with exact Jaccard.
     No SQL oracle: band bucketing depends on engine hashing; recall vs the
@@ -1079,6 +1142,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
+    "quality_filter": q_quality_filter,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "similarity_topk": q_similarity_topk,
@@ -1121,6 +1186,8 @@ ORACLE_SQL = {
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": _ORACLE_JACCARD,
     "dedup_clusters": _ORACLE_CLUSTERS,
+    "dedup_survivors": _ORACLE_SURVIVORS,
+    "quality_filter": _ORACLE_QUALITY_FILTER,
     "similarity_topk": _ORACLE_TOPK,
     "embedding_neardup": _ORACLE_EMB_NEARDUP,
     "embedding_neardup_blocked": _ORACLE_EMB_NEARDUP,
