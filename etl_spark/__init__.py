@@ -16,4 +16,4 @@ Layout:
   plans/      config-driven pipeline builder (YAML/JSON table configs)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

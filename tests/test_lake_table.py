@@ -241,3 +241,25 @@ def test_stream_compaction_bounds_files(spark, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_update_prunes_buckets_and_time_travel(spark, tmp_path):
+    """A selective UPDATE rewrites only the buckets holding matched rows;
+    the pre-update snapshot stays readable (time travel)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), F.lit("x").alias("tag")
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), df.schema, key=["k"], n_buckets=16
+    )
+    table.append(df)
+    v_before = table.current_version()
+    snap, stats = table.update({"tag": "'y'"}, where="k IN (7, 8)")
+    assert stats["rows_updated"] == 2
+    assert stats["rewritten_buckets"] < 16  # pruned: only matched buckets
+    now = {r["k"]: r["tag"] for r in table.read().filter("k IN (6,7,8)").collect()}
+    assert now == {6: "x", 7: "y", 8: "y"}
+    old = {r["k"]: r["tag"] for r in table.read(version=v_before).filter("k IN (7,8)").collect()}
+    assert old == {7: "x", 8: "x"}  # time travel sees pre-update rows
