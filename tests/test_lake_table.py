@@ -263,3 +263,36 @@ def test_update_prunes_buckets_and_time_travel(spark, tmp_path):
     assert now == {6: "x", 7: "y", 8: "y"}
     old = {r["k"]: r["tag"] for r in table.read(version=v_before).filter("k IN (7,8)").collect()}
     assert old == {7: "x", 8: "x"}  # time travel sees pre-update rows
+
+
+def test_merge_widens_types_from_batch(spark, tmp_path):
+    """A CDC batch whose payload types are WIDER than the table's (int ->
+    long, float -> double) evolves the table schema lazily: old files stay
+    as written, reads cast-align, merged state is correct."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    narrow = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("cnt", T.IntegerType()),
+            T.StructField("score", T.FloatType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), narrow, key=["k"], n_buckets=4
+    )
+    table.append(
+        spark.createDataFrame([(1, 10, 0.5), (2, 20, 1.5)], narrow)
+    )
+    wide = spark.createDataFrame(
+        [(2, 2**40, 2.5), (3, 30, 3.5)],
+        "k long, cnt long, score double",
+    ).withColumn("op", F.lit("U"))
+    table.merge(wide, op_col="op")
+    sch = {f.name: f.dataType.typeName() for f in table.schema.fields}
+    assert sch["cnt"] == "long" and sch["score"] == "double"
+    got = {r["k"]: (r["cnt"], r["score"]) for r in table.read().collect()}
+    assert got[1] == (10, 0.5)          # old narrow file cast-aligned
+    assert got[2] == (2**40, 2.5)       # widened value survives
+    assert got[3] == (30, 3.5)

@@ -156,3 +156,48 @@ def test_lake_update_matches_case_model(spark, tmp_path_factory, rows, threshold
     pd.testing.assert_frame_equal(
         got.astype({"k": "int64", "v": "int64"}), exp.astype({"k": "int64", "v": "int64"})
     )
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_conv=st.integers(10, 60),
+    churn=st.floats(0.5, 4.0),
+    skew=st.floats(1.0, 2.5),
+    n_parts=st.integers(1, 5),
+    segs=st.integers(1, 5),
+    cutover=st.floats(0.0, 1.0),
+    seed=st.integers(0, 10_000),
+)
+def test_whole_engine_converges_on_random_changelogs(
+    spark, tmp_path_factory, n_conv, churn, skew, n_parts, segs, cutover, seed
+):
+    """End-to-end fuzz: ANY changelog shape (churn, skew, partitioning,
+    segmentation, schema-evolution cut point, seed) streamed through the
+    full engine must converge bit-for-bit to the pandas oracle."""
+    from etl_spark.cdc import ChangelogSpec, generate_changelog, write_changelog
+    from etl_spark.cdc.changelog import TRANSCRIPTS_SCHEMA, expected_final_state
+    from etl_spark.lake import LakeTable
+    from etl_spark.streaming import CdcStream
+
+    spec = ChangelogSpec(
+        n_conversations=n_conv, churn=churn, skew=skew, n_partitions=n_parts,
+        segments_per_partition=segs, evolution_cutover=cutover, seed=seed,
+    )
+    pdf = generate_changelog(spec)
+    base = tmp_path_factory.mktemp("fuzz")
+    wal = str(base / "wal")
+    write_changelog(pdf, wal, spec)
+    table = LakeTable.create(
+        spark, str(base / "t"), TRANSCRIPTS_SCHEMA,
+        key=["conv_id", "turn_idx"], n_buckets=4, bucket_by=["conv_id"],
+    )
+    CdcStream(spark, wal, table, str(base / "state")).run_to_completion()
+    got = (
+        table.read().orderBy("conv_id", "turn_idx").toPandas()
+        [["conv_id", "turn_idx", "role", "text"]].reset_index(drop=True)
+    )
+    exp = expected_final_state(pdf)[
+        ["conv_id", "turn_idx", "role", "text"]
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
