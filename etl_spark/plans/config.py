@@ -62,11 +62,32 @@ class TableConfig:
     type_field: str = ""
     truncate: bool = False
     update_sequence: bool = False
+    # reference-YAML fields accepted for config compatibility
+    # (/root/reference/examples/users.yaml): ``migrate: false`` skips the
+    # entry (migrate.go gates on it); batch_size / skip_store_error /
+    # clone_source are engine-managed here (Spark batching, dead-letter
+    # validators, create-from-schema) and retained for introspection.
+    migrate: bool = True
+    batch_size: int = 0
+    skip_store_error: bool = False
+    clone_source: bool = False
+
+    # reference field name -> engine field name
+    _ALIASES = {
+        "truncate_destination": "truncate",
+        "keep_unmatched_fields": "keep_unmatched",
+        "additional_fields": "additional_fields",
+    }
 
     @classmethod
     def from_dict(cls, d: dict) -> "TableConfig":
         known = {f for f in cls.__dataclass_fields__}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        out = {}
+        for k, v in d.items():
+            k = cls._ALIASES.get(k, k)
+            if k in known:
+                out[k] = v
+        return cls(**out)
 
 
 @dataclass
@@ -245,6 +266,11 @@ def run_migration(
     out: dict[str, LakeTable] = {}
     for cfg in config.tables:
         if cfg.old_name in config.skip_tables:
+            continue
+        # reference gate (migrate.go: `if tableConfig.Migrate {`); literal
+        # rows (old_name == "nil") are dispatched regardless, as in the
+        # reference's elif chain
+        if not cfg.migrate and cfg.old_name != "nil":
             continue
         if cfg.update_query:
             # destination-side row-level UPDATE over an existing lake

@@ -272,3 +272,66 @@ def test_update_sequence_resync(spark, tmp_path):
     # resync after more data advances the counter
     t.append(spark.createDataFrame([(40, "c")], ["id", "v"]))
     assert t.resync_sequence() == 41
+
+
+def test_reference_yaml_shaped_config(spark, people_csv, tmp_path):
+    """A config in the reference's own field vocabulary
+    (/root/reference/examples/users.yaml: migrate / truncate_destination /
+    batch_size / skip_store_error / update_sequence / {{...}} templates)
+    loads and runs: aliases map, unknown knobs don't crash, migrate:false
+    skips, templates evaluate."""
+    cfg = MigrationConfig.from_dict(
+        {
+            "tables": [
+                {
+                    "old_name": "people",
+                    "new_name": "users",
+                    "migrate": True,
+                    "clone_source": False,
+                    "batch_size": 1000,
+                    "update_sequence": False,
+                    "skip_store_error": True,
+                    "truncate_destination": True,
+                    "mapping": {
+                        "user_id": "age",
+                        "full_name": "name",
+                        "status": "{{age == 34 ? 'ACTIVE' : 'INACTIVE'}}",
+                        "created_at": "{{now()}}",
+                    },
+                },
+                {
+                    "old_name": "people",
+                    "new_name": "ignored_table",
+                    "migrate": False,
+                    "mapping": {"x": "name"},
+                },
+            ]
+        }
+    )
+    assert cfg.tables[0].truncate is True  # alias mapped
+    src = read_csv_source(spark, people_csv)
+    tables = run_migration(
+        spark, cfg, {"people": src}, str(tmp_path), keys={"users": ["user_id"]}
+    )
+    assert "ignored_table" not in tables   # migrate: false skipped
+    rows = {r["full_name"]: r["status"] for r in tables["users"].read().collect()}
+    assert rows == {"alice": "ACTIVE", "bob": "INACTIVE", "cara": "INACTIVE"}
+
+
+def test_yaml_config_loads(tmp_path):
+    """YAML config files load when pyyaml is present (the reference's
+    native config format)."""
+    y = tmp_path / "m.yaml"
+    y.write_text(
+        "tables:\n"
+        "  - old_name: people\n"
+        "    new_name: users\n"
+        "    truncate_destination: true\n"
+        "    mapping:\n"
+        "      uid: age\n"
+        "skip_tables: [old_stuff]\n"
+    )
+    cfg = load_config(str(y))
+    assert cfg.tables[0].new_name == "users"
+    assert cfg.tables[0].truncate is True
+    assert cfg.skip_tables == ["old_stuff"]
