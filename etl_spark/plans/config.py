@@ -76,6 +76,7 @@ class TableConfig:
     _ALIASES = {
         "truncate_destination": "truncate",
         "keep_unmatched_fields": "keep_unmatched",
+        "key_value_table": "key_value",
         "additional_fields": "additional_fields",
     }
 
@@ -224,7 +225,15 @@ def build_table_frame(
     for col, values in cfg.filters.items():
         df = isin_filter(df, col, values)
     if cfg.multiple_mapping:
-        df = multi_mapping(df, cfg.multiple_mapping)
+        # the shared `mapping` merges into EVERY multi-mapping entry, with
+        # `mapping` winning on key conflicts (migrate.go:106-118: cMap
+        # copied first, then mapping overwrites)
+        entries = (
+            [{**m, **cfg.mapping} for m in cfg.multiple_mapping]
+            if cfg.mapping
+            else cfg.multiple_mapping
+        )
+        df = multi_mapping(df, entries)
     elif cfg.mapping:
         df = field_map(
             df, cfg.mapping,

@@ -335,3 +335,38 @@ def test_yaml_config_loads(tmp_path):
     assert cfg.tables[0].new_name == "users"
     assert cfg.tables[0].truncate is True
     assert cfg.skip_tables == ["old_stuff"]
+
+
+def test_multiple_mapping_merges_shared_mapping(spark):
+    """When a config has BOTH multiple_mapping and mapping, every output
+    row is the multi entry MERGED with the shared mapping, mapping winning
+    on conflicts (/root/reference/migrate/migrate.go:106-118; the
+    examples/memberships.yaml user_settings shape)."""
+    src = spark.createDataFrame(
+        [(1, "7", "9")], ["user_id", "company_id", "service_id"]
+    )
+    cfg = MigrationConfig.from_dict(
+        {
+            "tables": [
+                {
+                    "old_name": "s",
+                    "new_name": "user_settings",
+                    "key_value_table": False,   # alias accepted
+                    "multiple_mapping": [
+                        {"key": "{{'default_company'}}", "value": "company_id",
+                         "value_type": "{{'int'}}"},
+                        {"key": "{{'default_service'}}", "value": "service_id",
+                         "value_type": "{{'int'}}"},
+                    ],
+                    "mapping": {"user_id": "user_id", "status": "{{'ACTIVE'}}"},
+                }
+            ]
+        }
+    )
+    df = build_table_frame(spark, cfg.tables[0], src)
+    rows = {r["key"]: (r["value"], r["user_id"], r["status"], r["value_type"])
+            for r in df.collect()}
+    assert rows == {
+        "default_company": ("7", 1, "ACTIVE", "int"),
+        "default_service": ("9", 1, "ACTIVE", "int"),
+    }
