@@ -448,14 +448,22 @@ def embedding_neardup_pairs(
     from pyspark.sql import types as T
 
     src = df.select(id_col, F.col(vec_col).cast("array<double>").alias("_vec"))
-    rows = src.collect()
+    rows = src.limit(max_exact_rows + 1).collect()
     if len(rows) > max_exact_rows:
         raise ValueError(
-            f"exact near-dup scan collected {len(rows)} rows > "
-            f"max_exact_rows={max_exact_rows}; use blocked=True at this scale"
+            f"exact near-dup scan exceeds max_exact_rows={max_exact_rows}; "
+            "use blocked=True at this scale"
         )
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     M = np.stack([np.asarray(r["_vec"], dtype=np.float64) for r in rows])
+    # the matrix ships inside the UDF closure to every python worker —
+    # bound it by BYTES, not rows (1M rows x 768 dims would be 6 GB)
+    if M.nbytes > 512 * 1024 * 1024:
+        raise ValueError(
+            f"exact near-dup matrix is {M.nbytes >> 20} MiB "
+            f"({M.shape[0]} x {M.shape[1]} float64) — too large to ship to "
+            "executors; use blocked=True (LSH) at this scale"
+        )
     norms = np.linalg.norm(M, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     M = M / norms
