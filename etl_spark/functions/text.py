@@ -177,3 +177,72 @@ def normalize_transcripts_expr(df: DataFrame, text_col: str = "text",
         role_col,
         F.when(F.col(role_col).isNotNull(), canonicalize_role(role_col)),
     )
+
+
+def winnow_fingerprints(
+    df, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, window: int = 4, out_col: str = "fingerprint",
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-gram (rolling word k-grams via the
+    staged word-hash combine), then keep each ``window``-span's MINIMUM
+    hash — guaranteeing any shared substring of length >= k + window - 1
+    contributes at least one shared fingerprint, while storing only
+    ~2/(window+1) of the hashes.
+
+    Expression-only: the per-window minimum is a windowed ``min`` over
+    (doc, position) — one partition-local sort per doc, no Python.
+    Returns (id_col, fingerprint) with one row per distinct selected
+    fingerprint per doc."""
+    from pyspark.sql import Window as W
+
+    # positions matter for winnowing, so build ORDERED (not distinct)
+    # k-gram hashes: hash each word once, combine k consecutive word
+    # hashes (same staging trick as dedup.with_shingle_hashes)
+    c = F.col(text_col)
+    words = F.split(F.lower(normalize_text(c)), " ")
+    staged = df.select(id_col, words.alias("__w")).withColumn(
+        "__wh", F.transform("__w", lambda w: F.xxhash64(w))
+    )
+    wh = F.col("__wh")
+    ordered = F.when(
+        F.size(wh) < k, F.array(F.xxhash64(F.concat_ws(" ", F.col("__w"))))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(wh) - k),
+            lambda i: F.xxhash64(*[F.element_at(wh, i + j + 1) for j in range(k)]),
+        )
+    )
+    pos = staged.select(
+        id_col, F.posexplode(ordered).alias("__p", "__h")
+    )
+    win = (
+        W.partitionBy(id_col)
+        .orderBy("__p")
+        .rowsBetween(-(window - 1), W.currentRow)
+    )
+    return (
+        pos.withColumn("__wmin", F.min("__h").over(win))
+        .filter(F.col("__h") == F.col("__wmin"))
+        .select(id_col, F.col("__h").alias(out_col))
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, window: int = 4, min_shared: int = 2,
+):
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
+    MOSS-style overlap detection as an inverted-index join on the
+    fingerprint (key-equality shuffle, never all-pairs)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, on="fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -989,6 +989,17 @@ FROM documents
 """
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing overlap pairs (rows-only: fingerprints are
+    engine-xxhash64 window minima DuckDB cannot reproduce; the winnowing
+    guarantee — any shared >= k+window-1-word substring shares a
+    fingerprint — is asserted in tests/test_dedup_similarity.py)."""
+    from etl_spark.functions.text import winnow_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, k=5, window=4, min_shared=2)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: synthesize media, decode headers
     via Arrow-batched mapInPandas, metadata rollup. Rows-only check (the
@@ -1154,6 +1165,7 @@ QUERIES = {
     "embedding_neardup_blocked_hi": q_embedding_neardup_blocked_hi,
     "text_stats": q_text_stats,
     "doc_fingerprint": q_doc_fingerprint,
+    "winnow_overlap": q_winnow_overlap,
     "multimodal_meta": q_multimodal_meta,
     "stream_sessionize": q_stream_sessionize,
     "streaming_cdc_replay": q_streaming_cdc_replay,

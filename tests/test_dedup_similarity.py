@@ -291,3 +291,30 @@ def test_connected_components_chain_and_islands(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_winnowing_guarantee_and_overlap(spark):
+    """Winnowing guarantee: two docs sharing a substring of >= k+window-1
+    words MUST share at least one fingerprint; disjoint docs share none;
+    the overlap detector surfaces exactly the overlapping pair."""
+    from etl_spark.functions.text import winnow_fingerprints, winnow_overlap_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words = k+w-1
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"{shared} nine ten eleven twelve thirteen"),
+        (3, "completely different words nothing in common here at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(docs, k=5, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]            # guarantee: shared fingerprint
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fingerprints"]
+        for r in winnow_overlap_pairs(docs, k=5, window=4, min_shared=1).collect()
+    }
+    assert set(pairs) == {(1, 2)}
