@@ -1,0 +1,147 @@
+"""Incremental near-duplicate detection at ingest time.
+
+At 10^10 documents you cannot re-run global dedup per ingest batch; the
+scale shape is a PERSISTED signature index probed and extended
+incrementally:
+
+  index table   (band, key, doc_id)  — one row per (LSH band bucket, doc)
+                bucketed by (band, key), so a probe join shuffles the
+                small BATCH side only (the index side is read
+                bucket-pruned... at cluster scale, bucket-local)
+  per batch     1. signature + band keys for the new docs (same
+                   deterministic seed as the index)
+                2. candidates = batch bands  ⋈  index bands  on
+                   (band, key)   → (new doc, existing doc) pairs
+                   + within-batch self-join pairs
+                3. [optional] exact-Jaccard verify on candidates only
+                4. append the new docs' band rows to the index
+
+The index append is idempotent per batch when driven through the CDC
+commit log (same pattern as apply_batch); the probe never touches raw
+historical text — only the O(docs x bands) band rows.
+
+Reference: the reference dedups only via destination unique-key errors
+(/root/reference/etl.go:205-216); this is the training-data analogue the
+north rule's pipeline needs at ingest.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.lake import LakeTable
+from etl_spark.operators.dedup import (
+    lsh_band_keys,
+    minhash_signature,
+    with_shingle_hashes,
+)
+
+INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.IntegerType()),
+        T.StructField("key", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+    ]
+)
+
+
+@dataclass
+class MinHashIndex:
+    """Persisted banded-MinHash index over a LakeTable."""
+
+    spark: SparkSession
+    path: str
+    n_hashes: int = 64
+    n_bands: int = 16
+    shingle_words: int = 3
+    seed: int = 42
+
+    def __post_init__(self) -> None:
+        if LakeTable.exists(self.spark, self.path):
+            self.table = LakeTable.load(self.spark, self.path)
+        else:
+            self.table = LakeTable.create(
+                self.spark, self.path, INDEX_SCHEMA,
+                key=["band", "key", "doc_id"], n_buckets=16,
+                bucket_by=["key"],
+            )
+
+    def _band_rows(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        sigs = minhash_signature(
+            docs.select(id_col, text_col), text_col,
+            self.n_hashes, self.shingle_words, self.seed,
+        )
+        rows_per_band = self.n_hashes // self.n_bands
+        return sigs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(
+                lsh_band_keys("minhash", self.n_bands, rows_per_band)
+            ).alias("bk"),
+        ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "doc_id")
+
+    def ingest(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        jaccard_threshold: float | None = None,
+    ) -> DataFrame:
+        """Probe the index with a new batch and extend it.
+
+        Returns candidate near-dup pairs for the batch:
+        (new_id, match_id, source) where source is 'index' (match against
+        a previously-ingested doc) or 'batch' (within this batch,
+        new_id < match_id). With ``jaccard_threshold``, within-batch
+        pairs are exact-verified against the batch text (index-side text
+        is not stored — verify those against your corpus table).
+
+        The band rows for this batch are appended AFTER the probe, so a
+        doc never matches itself."""
+        bands = self._band_rows(docs, id_col, text_col).persist()
+        idx = self.table.read()
+        vs_index = (
+            bands.alias("n")
+            .join(idx.alias("o"), on=["band", "key"])
+            .select(
+                F.col("n.doc_id").alias("new_id"),
+                F.col("o.doc_id").alias("match_id"),
+            )
+            .filter(F.col("new_id") != F.col("match_id"))
+            .distinct()
+            .withColumn("source", F.lit("index"))
+        )
+        a = bands.select(F.col("doc_id").alias("new_id"), "band", "key")
+        b = bands.select(F.col("doc_id").alias("match_id"), "band", "key")
+        in_batch = (
+            a.join(b, on=["band", "key"])
+            .filter(F.col("new_id") < F.col("match_id"))
+            .select("new_id", "match_id")
+            .distinct()
+            .withColumn("source", F.lit("batch"))
+        )
+        if jaccard_threshold is not None:
+            sets_ = with_shingle_hashes(
+                docs.select(id_col, text_col), text_col, self.shingle_words, "__sh"
+            ).select(F.col(id_col).cast("long").alias("_id"), "__sh")
+            sa = sets_.select(F.col("_id").alias("new_id"), F.col("__sh").alias("_sa"))
+            sb = sets_.select(F.col("_id").alias("match_id"), F.col("__sh").alias("_sb"))
+            in_batch = (
+                in_batch.join(sa, on="new_id").join(sb, on="match_id")
+                .withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
+                .filter(
+                    F.col("_i")
+                    / (F.size("_sa") + F.size("_sb") - F.col("_i"))
+                    >= jaccard_threshold
+                )
+                .select("new_id", "match_id", "source")
+            )
+        out = vs_index.unionByName(in_batch)
+        out = out.persist()
+        out.count()  # materialize the probe BEFORE the index grows
+        self.table.append(bands)
+        bands.unpersist()
+        return out

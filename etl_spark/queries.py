@@ -989,6 +989,24 @@ FROM documents
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest-time dedup: the documents table arrives as two
+    batches; the persisted MinHash band index detects near-dups across
+    AND within batches without re-running global dedup (rows-only: band
+    keys are engine-hash; cross-batch semantics pytest-verified)."""
+    from etl_spark.operators.incremental_dedup import MinHashIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    idx = MinHashIndex(spark, os.path.join(tempfile.mkdtemp("etl_idx_q_"), "idx"))
+    first = idx.ingest(docs.filter(F.col("doc_id") <= half))
+    second = idx.ingest(docs.filter(F.col("doc_id") > half))
+    out = first.unionByName(second)
+    out = out.persist()
+    out.count()
+    return out
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style winnowing overlap pairs (rows-only: fingerprints are
     engine-xxhash64 window minima DuckDB cannot reproduce; the winnowing
@@ -1166,6 +1184,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_overlap": q_winnow_overlap,
+    "incremental_dedup": q_incremental_dedup,
     "multimodal_meta": q_multimodal_meta,
     "stream_sessionize": q_stream_sessionize,
     "streaming_cdc_replay": q_streaming_cdc_replay,

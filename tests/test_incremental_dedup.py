@@ -1,0 +1,51 @@
+"""Incremental MinHash index: cross-batch near-dup detection without
+global recompute."""
+
+from __future__ import annotations
+
+from etl_spark.operators.incremental_dedup import MinHashIndex
+
+
+def test_incremental_index_detects_cross_batch_dups(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    batch1 = spark.createDataFrame(
+        [(1, base), (2, "totally unrelated text about spark physical plans")],
+        ["doc_id", "text"],
+    )
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    out1 = idx.ingest(batch1).collect()
+    assert out1 == []  # nothing indexed yet, no within-batch dups
+
+    batch2 = spark.createDataFrame(
+        [
+            (10, base),                                  # exact dup of doc 1
+            (11, base.replace("lazy", "sleepy")),        # near dup of doc 1
+            (12, "fresh content with no relatives anywhere"),
+            (13, base),                                  # within-batch dup of 10
+        ],
+        ["doc_id", "text"],
+    )
+    out2 = idx.ingest(batch2, jaccard_threshold=0.5)
+    got = {(r["new_id"], r["match_id"], r["source"]) for r in out2.collect()}
+    assert (10, 1, "index") in got        # cross-batch exact dup
+    assert (11, 1, "index") in got        # cross-batch near dup
+    assert (10, 13, "batch") in got       # within-batch dup
+    assert not any(n == 12 or m == 12 for n, m, _ in got)
+
+    # a later batch matches docs from BOTH earlier batches
+    batch3 = spark.createDataFrame([(20, base)], ["doc_id", "text"])
+    got3 = {
+        (r["new_id"], r["match_id"])
+        for r in idx.ingest(batch3).collect()
+    }
+    assert {(20, 1), (20, 10), (20, 13)} <= got3
+
+    # reopening the index from disk sees the same state
+    idx2 = MinHashIndex(spark, str(tmp_path / "idx"))
+    got4 = {
+        (r["new_id"], r["match_id"])
+        for r in idx2.ingest(
+            spark.createDataFrame([(30, base)], ["doc_id", "text"])
+        ).collect()
+    }
+    assert {(30, 1), (30, 10), (30, 13), (30, 20)} <= got4
