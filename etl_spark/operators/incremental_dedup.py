@@ -89,6 +89,7 @@ class MinHashIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         jaccard_threshold: float | None = None,
+        idempotent: bool = False,
     ) -> DataFrame:
         """Probe the index with a new batch and extend it.
 
@@ -142,6 +143,14 @@ class MinHashIndex:
         out = vs_index.unionByName(in_batch)
         out = out.persist()
         out.count()  # materialize the probe BEFORE the index grows
-        self.table.append(bands)
+        if idempotent:
+            # MERGE on the full (band, key, doc_id) key: replaying a batch
+            # (crash-recovery re-ingest) leaves the index unchanged instead
+            # of appending duplicate band rows. Costs the anti-join; plain
+            # append is the fast path when the caller already gates batches
+            # (e.g. through the CDC commit log).
+            self.table.merge(bands)
+        else:
+            self.table.append(bands)
         bands.unpersist()
         return out

@@ -49,3 +49,18 @@ def test_incremental_index_detects_cross_batch_dups(spark, tmp_path):
         ).collect()
     }
     assert {(30, 1), (30, 10), (30, 13), (30, 20)} <= got4
+
+
+def test_idempotent_reingest_leaves_index_unchanged(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    batch = spark.createDataFrame([(1, base), (2, "other words entirely here")],
+                                  ["doc_id", "text"])
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.ingest(batch, idempotent=True)
+    n1 = idx.table.row_count()
+    # crash-recovery replay of the SAME batch: index must not grow
+    out = idx.ingest(batch, idempotent=True)
+    assert idx.table.row_count() == n1
+    # the replay sees the first copy in the index (caller dedups by batch
+    # id); no self-matches
+    assert all(r["new_id"] != r["match_id"] for r in out.collect())
