@@ -80,6 +80,7 @@ def _sessionize_group(gap_sec: int):
                     out.append((user_id, cur_s, cur_e, cur_n))
                     cur_s, cur_e, cur_n = t, t, 1
                 else:
+                    cur_s = min(cur_s, t)  # late fold-in keeps boundaries
                     cur_e = max(cur_e, t)
                     cur_n += 1
             state.update((cur_s, cur_e, cur_n))
@@ -107,7 +108,22 @@ def stream_sessionize(
 ) -> DataFrame:
     """Streaming event-time sessionization with a ``gap_sec`` inactivity
     gap. ``events`` must be a STREAMING DataFrame carrying (key_col,
-    ts_col). Output (append mode): one final row per closed session."""
+    ts_col). Output (append mode): one final row per closed session.
+
+    Ordering contract: with the default ``watermark_delay='0 seconds'``
+    the state logic is EXACT — the watermark after any batch is >= that
+    batch's max event time, so every surviving later event is strictly
+    newer than the open session's end and sessions only ever extend
+    forward (cross-batch out-of-order input is impossible by
+    construction; the streaming result equals the batch sessionization,
+    asserted against the DuckDB oracle). With a nonzero delay, events
+    may arrive older than the open session's end; they are folded into
+    the open session (counts stay right, boundaries follow min/max)
+    but an out-of-order event older than ``session_start - gap`` would
+    be merged rather than forming its own earlier session — if you need
+    exact sessions under late arrivals, keep the delay at 0 and let the
+    WAL's per-partition ordering (this engine's ingest contract)
+    provide order."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     src = events.select(
