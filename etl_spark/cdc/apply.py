@@ -27,6 +27,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Callable, Sequence
 
@@ -229,9 +230,15 @@ def apply_batch(
             err = F.coalesce(
                 *[F.when(~p, F.lit(name)) for name, p in vals], F.lit("unknown")
             )
+            # one subdir per batch, overwritten: a batch retry (merge
+            # failure after this write) re-writes the same rows instead of
+            # appending duplicates — dead-letter output is idempotent like
+            # the merge itself
             stats_df.filter(~valid_pred).withColumn("error", err).withColumn(
                 "batch_id", F.lit(batch_id).cast("long")
-            ).write.mode("append").parquet(dead_letter_dir)
+            ).write.mode("overwrite").parquet(
+                os.path.join(dead_letter_dir, f"batch={batch_id}")
+            )
         if vals:
             stats["rows_failed"] = rows_failed
         rows_in = sum(r["rows_in"] for r in part_rows)

@@ -219,3 +219,21 @@ def test_key_rewriting_transform_needs_flag_false(spark, tmp_path):
     exp = expected_final_state(pdf)
     exp = exp.assign(conv_id="t-" + exp["conv_id"])
     assert_state_equals_oracle(table, exp)
+
+
+def test_dead_letter_write_is_idempotent_per_batch(spark, tmp_path):
+    """Replaying the same batch id (retry after a mid-apply crash, before
+    the commit marker) must not duplicate dead-letter rows."""
+    pdf = generate_changelog(SPEC)
+    bad = pdf.head(4).copy()
+    bad["op"] = "X"
+    mixed = pd.concat([pdf, bad], ignore_index=True)
+    table = make_target(spark, tmp_path)
+    dl = str(tmp_path / "dead")
+    apply_batch(spark, changelog_sdf(spark, mixed), table, batch_id=0,
+                dead_letter_dir=dl)
+    # simulate retry of the same batch (no commit log -> reruns fully)
+    apply_batch(spark, changelog_sdf(spark, mixed), table, batch_id=0,
+                dead_letter_dir=dl)
+    dead = spark.read.option("basePath", dl).parquet(dl)
+    assert dead.count() == 4  # not 8
