@@ -597,6 +597,54 @@ class LakeTable:
             if not caller_counts:
                 src.unpersist()
 
+    # ------------------------------------------------------------ change feed
+    def table_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change-data-feed read: the row-level diff between two snapshots
+        (the Iceberg/Delta CDF analogue — lets a DOWNSTREAM consumer
+        incrementally react to this table's history instead of rescanning
+        it). Returns key + payload columns (post-image; pre-image for
+        deletes) plus ``_change_type`` in (insert, update, delete).
+
+        Computed as a full-outer join on the table key between the two
+        snapshots — both sides are bucket-files of the same table, so at
+        cluster scale this is a co-partitioned join; rows identical on
+        every shared column are dropped (no phantom updates)."""
+        snap_to = self.snapshot(to_version)
+        old = self.read(from_version)
+        new = self.read(to_version)
+        key = snap_to.key
+        payload = [f.name for f in snap_to.schema.fields if f.name not in key]
+        shared = [c for c in payload if c in old.columns]
+        o = old.select(
+            *key, *[F.col(c).alias(f"__o_{c}") for c in shared]
+        ).withColumn("__in_old", F.lit(True))
+        n = new.select(*key, *payload).withColumn("__in_new", F.lit(True))
+        j = o.join(n, on=key, how="full_outer")
+        same = F.lit(True)
+        for c in shared:
+            same = same & (
+                F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+            )
+        change = (
+            F.when(F.col("__in_old").isNull(), F.lit("insert"))
+            .when(F.col("__in_new").isNull(), F.lit("delete"))
+            .when(~same, F.lit("update"))
+        )
+        out_cols = [
+            # deletes carry the pre-image (the new side is null)
+            F.coalesce(F.col(c), F.col(f"__o_{c}")).alias(c)
+            if c in shared
+            else F.col(c)
+            for c in payload
+        ]
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*key, *out_cols, "_change_type")
+        )
+
     # ---------------------------------------------------------------- update
     def update(
         self,

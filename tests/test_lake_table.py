@@ -296,3 +296,33 @@ def test_merge_widens_types_from_batch(spark, tmp_path):
     assert got[1] == (10, 0.5)          # old narrow file cast-aligned
     assert got[2] == (2**40, 2.5)       # widened value survives
     assert got[3] == (30, 3.5)
+
+
+def test_table_changes_feed(spark, tmp_path):
+    """Change-data-feed read: diff of two snapshots classifies inserts /
+    updates / deletes with correct images and drops no-op rows."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), df.schema, key=["k"], n_buckets=4
+    )
+    table.append(df)
+    v1 = table.current_version()
+    batch = spark.createDataFrame(
+        [(2, "B", "U"), (3, "c", "U"), (4, "d", "I"), (1, None, "D")],
+        ["k", "v", "op"],
+    )
+    table.merge(batch, op_col="op")
+    changes = {
+        r["k"]: (r["v"], r["_change_type"])
+        for r in table.table_changes(v1).collect()
+    }
+    assert changes == {
+        1: ("a", "delete"),    # pre-image carried
+        2: ("B", "update"),
+        4: ("d", "insert"),
+        # 3 re-upserted with identical payload -> no phantom update
+    }
