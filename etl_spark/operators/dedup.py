@@ -151,6 +151,71 @@ def minhash_signature(
     return staged.withColumn(out_col, sig).drop("__sh")
 
 
+def minhash_signatures_pandas(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_words: int = 3,
+    seed: int = 42,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Vectorized minhash signatures: sig[i] = min over shingles of
+    splitmix64(shingle_hash ^ salt_i), computed as one numpy pass per
+    Arrow batch (wrapping uint64 arithmetic — no interpreted HOF lambdas;
+    the expression builder evaluates 64 permutations per shingle
+    interpreted, the dominant cost of the LSH pipeline).
+
+    NOTE the hash FAMILY differs from ``minhash_signature`` (numpy cannot
+    reproduce JVM xxhash64(salt, h) cheaply; splitmix64 mixing is an
+    equally uniform 64-bit family). Signatures are engine-internal —
+    recall/containment properties are what tests assert — but a persisted
+    index must stick to ONE family (see incremental_dedup)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    staged = with_shingle_hashes(
+        df.select(id_col, text_col), text_col, shingle_words, "__sh"
+    ).select(id_col, "__sh")
+    salts = np.array(
+        [_splitmix64(seed * 7_654_321 + i) for i in range(n_hashes)],
+        dtype=np.uint64,
+    )
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [id_field, T.StructField(out_col, T.ArrayType(T.LongType()))]
+    )
+    C30, C27, C31 = np.uint64(30), np.uint64(27), np.uint64(31)
+    M1 = np.uint64(0xBF58476D1CE4E5B9)
+    M2 = np.uint64(0x94D049BB133111EB)
+
+    def fn(batches):
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            sigs: list = []
+            step = 256  # bound the (n_hashes x shingles) working set
+            for i0 in range(0, len(b), step):
+                sub = b["__sh"].iloc[i0:i0 + step]
+                lens = sub.map(len).to_numpy()
+                flat = np.concatenate(sub.to_numpy()).astype(np.int64)
+                H = flat.astype(np.uint64)
+                z = H[None, :] ^ salts[:, None]          # (n_hashes, total)
+                z = (z ^ (z >> C30)) * M1
+                z = (z ^ (z >> C27)) * M2
+                z = z ^ (z >> C31)
+                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                mins = np.minimum.reduceat(z, offsets, axis=1)
+                sigs.extend(mins[:, j].astype(np.int64) for j in range(mins.shape[1]))
+            yield pd.DataFrame({id_col: b[id_col], out_col: sigs})
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return staged.repartition(par).mapInPandas(fn, out_schema)
+
+
 def lsh_band_keys(
     sig_col: Column | str, n_bands: int, rows_per_band: int
 ) -> Column:
@@ -179,6 +244,7 @@ def minhash_lsh_pairs(
     shingle_words: int = 3,
     seed: int = 42,
     jaccard_threshold: float | None = None,
+    use_pandas: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
@@ -187,11 +253,18 @@ def minhash_lsh_pairs(
     key-equality on band buckets (shuffle on band keys); estimated Jaccard
     from signature agreement is returned as ``jaccard_est``; if
     ``jaccard_threshold`` is set, pairs are verified with EXACT shingle-set
-    Jaccard and filtered."""
+    Jaccard and filtered. ``use_pandas`` picks the vectorized signature
+    builder (default; the expression builder is interpreted-HOF)."""
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signature(
-        df.select(id_col, text_col), text_col, n_hashes, shingle_words, seed
-    ).select(id_col, "minhash")
+    if use_pandas:
+        sigs = minhash_signatures_pandas(
+            df.select(id_col, text_col), id_col, text_col,
+            n_hashes, shingle_words, seed,
+        ).select(id_col, "minhash")
+    else:
+        sigs = minhash_signature(
+            df.select(id_col, text_col), text_col, n_hashes, shingle_words, seed
+        ).select(id_col, "minhash")
     sigs = sigs.persist()
     buckets = sigs.select(
         id_col,

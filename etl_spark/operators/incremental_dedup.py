@@ -36,7 +36,7 @@ from pyspark.sql import types as T
 from etl_spark.lake import LakeTable
 from etl_spark.operators.dedup import (
     lsh_band_keys,
-    minhash_signature,
+    minhash_signatures_pandas,
     with_shingle_hashes,
 )
 
@@ -71,8 +71,11 @@ class MinHashIndex:
             )
 
     def _band_rows(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        sigs = minhash_signature(
-            docs.select(id_col, text_col), text_col,
+        # NOTE the signature family is part of the ON-DISK index format:
+        # every ingest against an index must use the same builder/seed
+        # (vectorized splitmix64 family here)
+        sigs = minhash_signatures_pandas(
+            docs.select(id_col, text_col), id_col, text_col,
             self.n_hashes, self.shingle_words, self.seed,
         )
         rows_per_band = self.n_hashes // self.n_bands
