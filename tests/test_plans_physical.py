@@ -100,7 +100,7 @@ def test_no_cartesian_product_in_query_plans(spark):
         # Arrow-batched numpy stages, by design (never per-row Python)
         "similarity_lsh", "similarity_ivf", "embedding_neardup",
         "embedding_neardup_blocked", "embedding_neardup_blocked_hi",
-        "dedup_simhash",
+        "dedup_simhash", "dedup_minhash_lsh", "incremental_dedup",
     }
     sf = "/root/testdata/sf0.001"
     for name, fn in QUERIES.items():
