@@ -326,3 +326,47 @@ def test_table_changes_feed(spark, tmp_path):
         4: ("d", "insert"),
         # 3 re-upserted with identical payload -> no phantom update
     }
+
+
+def test_incremental_downstream_via_change_feed(spark, tmp_path):
+    """A downstream aggregate maintained INCREMENTALLY from table_changes
+    must equal a full recompute after every upstream batch — the consumer
+    loop the CDF exists for."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc import ChangelogSpec, generate_changelog
+    from etl_spark.cdc.apply import apply_batch
+    from etl_spark.cdc.changelog import TRANSCRIPTS_SCHEMA
+
+    spec = ChangelogSpec(n_conversations=40, churn=2.0, n_partitions=2)
+    pdf = generate_changelog(spec)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA,
+        key=["conv_id", "turn_idx"], n_buckets=4, bucket_by=["conv_id"],
+    )
+    # downstream state: turns per conversation (dict as the consumer's
+    # materialized view)
+    downstream: dict[str, int] = {}
+    last_v = table.current_version()
+    ordered = pdf.sort_values("_seq")
+    n = len(ordered)
+    from etl_spark.cdc import CHANGELOG_SCHEMA
+
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        chunk = ordered.iloc[lo:hi]
+        apply_batch(
+            spark,
+            spark.createDataFrame(chunk.drop(columns=["_seq"]), CHANGELOG_SCHEMA),
+            table, batch_id=i,
+        )
+        v = table.current_version()
+        for r in table.table_changes(last_v, v).collect():
+            delta = {"insert": 1, "delete": -1, "update": 0}[r["_change_type"]]
+            downstream[r["conv_id"]] = downstream.get(r["conv_id"], 0) + delta
+        last_v = v
+        # consumer view == recompute from current table state
+        truth = {
+            r["conv_id"]: r["n"]
+            for r in table.read().groupBy("conv_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert {k: v for k, v in downstream.items() if v > 0} == truth
