@@ -612,11 +612,14 @@ class LakeTable:
         cluster scale this is a co-partitioned join; rows identical on
         every shared column are dropped (no phantom updates)."""
         snap_to = self.snapshot(to_version)
-        old = self.read(from_version)
+        # align the old snapshot to the NEW schema (schema evolution:
+        # columns added since `from_version` read as null on the old side,
+        # so an update that only sets a new column still surfaces)
+        old = align_to_schema(self.read(from_version), snap_to.schema)
         new = self.read(to_version)
         key = snap_to.key
         payload = [f.name for f in snap_to.schema.fields if f.name not in key]
-        shared = [c for c in payload if c in old.columns]
+        shared = payload
         o = old.select(
             *key, *[F.col(c).alias(f"__o_{c}") for c in shared]
         ).withColumn("__in_old", F.lit(True))

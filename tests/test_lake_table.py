@@ -370,3 +370,26 @@ def test_incremental_downstream_via_change_feed(spark, tmp_path):
             for r in table.read().groupBy("conv_id").agg(F.count("*").alias("n")).collect()
         }
         assert {k: v for k, v in downstream.items() if v > 0} == truth
+
+
+def test_table_changes_across_schema_evolution(spark, tmp_path):
+    """An update that ONLY sets a column added after `from_version` must
+    still surface in the change feed (old side aligns to the new schema
+    with nulls)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), df.schema, key=["k"], n_buckets=2
+    )
+    table.append(df)
+    v1 = table.current_version()
+    evolved = spark.createDataFrame(
+        [(1, "a", "T1")], "k long, v string, tool string"
+    ).withColumn("op", F.lit("U"))
+    table.merge(evolved, op_col="op")
+    changes = {
+        r["k"]: (r["v"], r["tool"], r["_change_type"])
+        for r in table.table_changes(v1).collect()
+    }
+    assert changes == {1: ("a", "T1", "update")}  # k=2 untouched -> absent
