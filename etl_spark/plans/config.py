@@ -146,10 +146,33 @@ def load_config(path: str) -> MigrationConfig:
     return merged
 
 
-_UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(\S+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
+_UPDATE_HEAD_RE = re.compile(
+    r"^\s*UPDATE\s+(\S+)\s+SET\s+(.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
+
+
+def _find_top_level_where(s: str) -> int:
+    """Index of the first ``WHERE`` keyword at paren depth 0 outside any
+    quoted string, or -1 (a regex would split on WHERE inside literals)."""
+    depth, quote, i, n = 0, None, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and s[i:i + 5].upper() == "WHERE":
+            before_ok = i == 0 or s[i - 1].isspace()
+            after = s[i + 5:i + 6]
+            if before_ok and (after == "" or after.isspace()):
+                return i
+        i += 1
+    return -1
 
 
 def _split_top_level(s: str, sep: str) -> list[str]:
@@ -186,10 +209,15 @@ def parse_update_query(sql: str) -> tuple[str, dict[str, str], str | None]:
     matching the reference's raw destination SQL
     (/root/reference/migrate/migrate.go:142-150); FROM-subquery updates
     are out of scope (use LakeTable.merge for join-shaped updates)."""
-    m = _UPDATE_RE.match(sql)
+    m = _UPDATE_HEAD_RE.match(sql)
     if not m:
         raise ValueError(f"unparseable UPDATE statement: {sql!r}")
-    table, set_part, where = m.group(1), m.group(2), m.group(3)
+    table, rest = m.group(1), m.group(2)
+    wi = _find_top_level_where(rest)
+    if wi >= 0:
+        set_part, where = rest[:wi], rest[wi + 5:].strip()
+    else:
+        set_part, where = rest, None
     sets: dict[str, str] = {}
     for assign in _split_top_level(set_part, ","):
         col, eq, expr = assign.partition("=")

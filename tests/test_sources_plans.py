@@ -370,3 +370,15 @@ def test_multiple_mapping_merges_shared_mapping(spark):
         "default_company": ("7", 1, "ACTIVE", "int"),
         "default_service": ("9", 1, "ACTIVE", "int"),
     }
+
+
+def test_update_parser_quoted_where(spark):
+    """WHERE/SET keywords inside string literals must not confuse the
+    parser (quote/paren-aware top-level scan, not a regex split)."""
+    from etl_spark.plans.config import parse_update_query
+
+    t, sets, where = parse_update_query(
+        "UPDATE t SET a = 'x WHERE y', b = 2 WHERE c = 'SET'"
+    )
+    assert sets == {"a": "'x WHERE y'", "b": "2"}
+    assert where == "c = 'SET'"
