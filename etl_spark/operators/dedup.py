@@ -644,5 +644,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: %d labels still changing after max_iter=%d "
+            "rounds — graph diameter exceeds the iteration budget; raise "
+            "max_iter or switch to small-star/large-star for long chains",
+            changed, max_iter,
+        )
     edges.unpersist()
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
