@@ -9,10 +9,15 @@ sides; float aggregates go through DECIMAL so parallel Spark sums and
 sequential DuckDB sums are bit-identical.
 
 Queries with no oracle entry (LSH/IVF approximate search, simhash/minhash
-candidate generation, the multimodal stubs, the streaming CDC replay) are
-rows-only checks by design: their outputs depend on engine-internal
-hashing or temp-dir state DuckDB cannot see; their semantics are covered
-by pytest instead (recall vs brute force, replay vs pandas oracle).
+candidate generation, winnowing overlap, the incremental dedup index, the
+engine-synthesized media table, the streaming CDC replay) are rows-only
+checks by design: their outputs depend on engine-internal hashing or
+temp-dir state DuckDB cannot see; their semantics are covered by pytest
+instead (recall vs brute force, cross-batch detection, replay vs pandas
+oracle). Notable oracle-checked non-trivials: the stateful streaming
+sessionizer (vs the batch aggregate), connected components (vs a
+recursive-CTE closure), and the blocked LSH near-dup at full-recall
+parameters (vs the exact scan).
 """
 
 from __future__ import annotations
