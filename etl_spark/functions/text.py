@@ -190,6 +190,15 @@ def winnow_fingerprints(
     contributes at least one shared fingerprint, while storing only
     ~2/(window+1) of the hashes.
 
+    Every trailing window (ending at each position) contributes its
+    minimum — NOT just hashes that happen to be the minimum of the window
+    ending at their own position, which would silently skip windows whose
+    minimum lies earlier and break the guarantee. Ties (same 64-bit hash
+    twice in a window) emit the same hash value either way, so no
+    positional tie-break is needed. Partial windows at the start of a doc
+    also emit; that only adds genuine k-gram hashes (a superset keeps the
+    guarantee) and covers docs with fewer than ``window`` k-grams.
+
     Expression-only: the per-window minimum is a windowed ``min`` over
     (doc, position) — one partition-local sort per doc, no Python.
     Returns (id_col, fingerprint) with one row per distinct selected
@@ -222,9 +231,7 @@ def winnow_fingerprints(
         .rowsBetween(-(window - 1), W.currentRow)
     )
     return (
-        pos.withColumn("__wmin", F.min("__h").over(win))
-        .filter(F.col("__h") == F.col("__wmin"))
-        .select(id_col, F.col("__h").alias(out_col))
+        pos.select(id_col, F.min("__h").over(win).alias(out_col))
         .distinct()
     )
 

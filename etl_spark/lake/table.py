@@ -636,8 +636,14 @@ class LakeTable:
             .when(~same, F.lit("update"))
         )
         out_cols = [
-            # deletes carry the pre-image (the new side is null)
-            F.coalesce(F.col(c), F.col(f"__o_{c}")).alias(c)
+            # deletes carry the pre-image (the whole new side is absent);
+            # inserts/updates ALWAYS carry the true post-image — including
+            # an update that sets a column non-null -> NULL, which a
+            # per-column coalesce would silently replace with the stale
+            # old value. Presence, not nullness, picks the side.
+            F.when(F.col("__in_new").isNull(), F.col(f"__o_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
             if c in shared
             else F.col(c)
             for c in payload

@@ -24,6 +24,20 @@ from pyspark.sql import functions as F
 
 from etl_spark.functions.text import normalize_text
 
+
+def _materialize_pairs(out: DataFrame, *intermediates: DataFrame) -> DataFrame:
+    """Persist + materialize the (small) pair/candidate output, then
+    unpersist the O(corpus) intermediates so a long-running ingest loop
+    never accumulates dead cached signature/shingle frames in executor
+    storage. The returned frame IS the unpersist handle — the caller owns
+    ``out.unpersist()`` once done with it (the one-shot driver queries just
+    let the session end)."""
+    out = out.persist()
+    out.count()
+    for df in intermediates:
+        df.unpersist()
+    return out
+
 # Mersenne prime 2^61-1: universal-hash modulus for the minhash permutation
 # family h_i(x) = (a_i*x + b_i) mod P. Constants derive from splitmix64 so
 # signatures are seed-deterministic across runs/cluster sizes.
@@ -254,7 +268,11 @@ def minhash_lsh_pairs(
     from signature agreement is returned as ``jaccard_est``; if
     ``jaccard_threshold`` is set, pairs are verified with EXACT shingle-set
     Jaccard and filtered. ``use_pandas`` picks the vectorized signature
-    builder (default; the expression builder is interpreted-HOF)."""
+    builder (default; the expression builder is interpreted-HOF).
+
+    The result is persisted + materialized inside (it is the small pair
+    set) and the O(corpus) signature frame is unpersisted before return —
+    the caller owns ``result.unpersist()``."""
     rows_per_band = n_hashes // n_bands
     if use_pandas:
         sigs = minhash_signatures_pandas(
@@ -321,8 +339,10 @@ def minhash_lsh_pairs(
             )
             .filter(F.col("jaccard") >= jaccard_threshold)
         )
-        return scored.select("id_a", "id_b", "jaccard_est", "jaccard")
-    return pairs
+        return _materialize_pairs(
+            scored.select("id_a", "id_b", "jaccard_est", "jaccard"), sigs
+        )
+    return _materialize_pairs(pairs, sigs)
 
 
 def simhash(
@@ -448,7 +468,11 @@ def simhash_neardup_pairs(
     and join on (chunk_idx, chunk_value). Equality join + bit_count filter;
     never a cross join. ``use_pandas`` picks the vectorized signature
     builder (default; the expression builder is interpreted-HOF and exists
-    as the equality reference)."""
+    as the equality reference).
+
+    The result is persisted + materialized inside and the O(corpus)
+    fingerprint frame unpersisted before return — caller owns
+    ``result.unpersist()``."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     if use_pandas:
@@ -483,7 +507,7 @@ def simhash_neardup_pairs(
     b = chunks.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "chunk", "val"
     )
-    return (
+    out = (
         a.join(b, on=["chunk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
@@ -491,6 +515,7 @@ def simhash_neardup_pairs(
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
+    return _materialize_pairs(out, fp)
 
 
 def ngram_jaccard_pairs(
@@ -514,8 +539,15 @@ def ngram_jaccard_pairs(
     exact (computed pre-cap), so only intersection counts running through
     a dropped near-stopword shingle are affected — for true near-dup pairs
     (which share many rare shingles) the error is bounded by
-    #hot-shingles/|A ∪ B|. Dropped-shingle counts are logged. If
-    ``candidates`` (id_a, id_b) is given, only those pairs are scored."""
+    #hot-shingles/|A ∪ B|. Dropped-shingle counts are logged. NOTE any
+    caller comparing against an EXACT external oracle must pass
+    ``max_doc_frequency=0`` (the driver's oracle-gated queries do) — the
+    default cap trades exactness for the hot-bucket bound. If
+    ``candidates`` (id_a, id_b) is given, only those pairs are scored.
+
+    The result is persisted + materialized inside and the O(corpus)
+    staged shingle frame unpersisted before return — caller owns
+    ``result.unpersist()``."""
     import logging
     import math
 
@@ -539,7 +571,8 @@ def ngram_jaccard_pairs(
     if max_doc_frequency is None or max_doc_frequency > 0:
         cap = max_doc_frequency
         if cap is None:
-            cap = max(16, math.isqrt(df.count()))
+            # count the persisted staged frame, not df — one scan total
+            cap = max(16, math.isqrt(staged.count()))
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
@@ -587,7 +620,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+    return _materialize_pairs(out, staged)
 
 
 def connected_components(
@@ -608,7 +641,9 @@ def connected_components(
     converges in a couple of shuffles even at 10^9 docs; for adversarial
     long-chain graphs switch to the O(log n) small-star/large-star
     alternation (same join shape). Labels are carried per-vertex, never
-    materializing the transitive closure."""
+    materializing the transitive closure. The result is persisted +
+    materialized and every loop intermediate unpersisted before return —
+    caller owns ``result.unpersist()``."""
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -653,5 +688,9 @@ def connected_components(
             "max_iter or switch to small-star/large-star for long chains",
             changed, max_iter,
         )
-    edges.unpersist()
-    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+    out = _materialize_pairs(
+        labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")),
+        labels,
+        edges,
+    )
+    return out

@@ -454,7 +454,11 @@ def embedding_neardup_pairs(
             f"exact near-dup scan exceeds max_exact_rows={max_exact_rows}; "
             "use blocked=True at this scale"
         )
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    # keep the ids' native dtype (numpy infers int64/str/object): the
+    # id_a < id_b mask below works elementwise for any orderable id type,
+    # matching the out_schema's advertised id_field.dataType — forcing
+    # int64 would crash/misbehave on string ids.
+    ids = np.array([r[id_col] for r in rows])
     M = np.stack([np.asarray(r["_vec"], dtype=np.float64) for r in rows])
     # the matrix ships inside the UDF closure to every python worker —
     # bound it by BYTES, not rows (1M rows x 768 dims would be 6 GB)

@@ -665,11 +665,15 @@ GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (inverted-index join)."""
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index join).
+    ``max_doc_frequency=0`` disables the hot-shingle cap: this entry is
+    compared against an EXACT DuckDB Jaccard, so the (approximating) cap
+    must be off — a corpus with one near-stopword shingle would otherwise
+    silently change intersection counts."""
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.5).withColumn(
-        "jaccard", F.round("jaccard", 6)
-    )
+    return ngram_jaccard_pairs(
+        docs, threshold=0.5, max_doc_frequency=0
+    ).withColumn("jaccard", F.round("jaccard", 6))
 
 
 _ORACLE_JACCARD = r"""
@@ -707,7 +711,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_spark.operators.dedup import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_doc_frequency=0)
     return connected_components(pairs)
 
 
@@ -752,7 +756,7 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_spark.operators.dedup import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_doc_frequency=0)
     clusters = connected_components(pairs)
     victims = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"

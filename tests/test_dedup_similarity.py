@@ -215,6 +215,23 @@ def test_embedding_neardup_blocked_multitable_recall(vectors):
     assert len(blocked) >= 0.95 * len(exact)
 
 
+def test_embedding_neardup_exact_path_string_ids(spark):
+    """The exact tiled-GEMM path must handle any orderable id type
+    (out_schema advertises id_field.dataType) — string vec_ids regressed
+    in round 2 when ids were forced through int64."""
+    rows = [
+        ("doc-a", [1.0, 0.0, 0.0, 0.0]),
+        ("doc-b", [1.0, 0.01, 0.0, 0.0]),
+        ("doc-c", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(df, threshold=0.99).collect()
+    }
+    assert got == {("doc-a", "doc-b")}
+
+
 def test_embedding_neardup_zero_norm_vector_is_guarded(spark):
     """A zero vector must score cos=0 (not null/NaN) on every path."""
     rows = [(0, [0.0] * 8), (1, [1.0] + [0.0] * 7), (2, [1.0] + [0.0] * 7)]
@@ -318,3 +335,78 @@ def test_winnowing_guarantee_and_overlap(spark):
         for r in winnow_overlap_pairs(docs, k=5, window=4, min_shared=1).collect()
     }
     assert set(pairs) == {(1, 2)}
+
+
+def test_dedup_family_leaves_no_cached_rdds(spark):
+    """The LSH-family operators persist O(corpus) intermediates internally;
+    after materializing the (small, persisted) result and unpersisting the
+    returned handle, NO cached RDDs may remain — a long-running ingest
+    loop must not accumulate dead signature/shingle caches.
+
+    Uses its OWN corpus (unique texts): Spark's CacheManager dedups
+    identical logical plans, so reusing the shared fixture would alias
+    caches leaked by earlier tests and make the count assertion lie."""
+    from etl_spark.operators.dedup import connected_components
+
+    docs = spark.createDataFrame(
+        [
+            (0, "unique leak check corpus alpha beta gamma delta epsilon"),
+            (1, "unique leak check corpus alpha beta gamma delta zeta"),
+            (2, "an entirely different cached rdd accounting document"),
+        ],
+        ["doc_id", "text"],
+    )
+
+    def live() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = live()
+    for make in (
+        lambda: minhash_lsh_pairs(docs, jaccard_threshold=0.5),
+        lambda: simhash_neardup_pairs(docs),
+        lambda: ngram_jaccard_pairs(docs, threshold=0.5),
+    ):
+        out = make()
+        out.collect()
+        out.unpersist(True)
+        assert live() == before
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    cc = connected_components(pairs)
+    cc.collect()
+    cc.unpersist(True)
+    pairs.unpersist(True)
+    assert live() == before
+
+
+def test_winnowing_guarantee_randomized_sweep(spark):
+    """The guarantee must hold for ANY word content, not one lucky
+    phrasing: plant the same minimal shared substring (k+window-1 words)
+    at varying offsets inside random filler across many doc pairs, and
+    require every pair to share >= 1 fingerprint. The round-2 selection
+    bug (only keeping hashes that were the min of the window ending at
+    their own position) fails this within a few seeds."""
+    import random
+
+    from etl_spark.functions.text import winnow_fingerprints
+
+    k, window = 5, 4
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(25):
+        shared = " ".join(rng.choice(vocab) for _ in range(k + window - 1))
+        pre_a = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        post_a = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        pre_b = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        post_b = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        rows.append((2 * i, f"{pre_a} {shared} {post_a}".strip()))
+        rows.append((2 * i + 1, f"{pre_b} {shared} {post_b}".strip()))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(docs, k=k, window=window)
+    by_doc: dict[int, set] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    missing = [
+        i for i in range(25) if not (by_doc[2 * i] & by_doc[2 * i + 1])
+    ]
+    assert missing == []

@@ -328,6 +328,27 @@ def test_table_changes_feed(spark, tmp_path):
     }
 
 
+def test_table_changes_update_to_null_carries_null_post_image(spark, tmp_path):
+    """An UPDATE that sets a payload column non-null -> NULL must emit the
+    NULL post-image, never the stale old value (a per-column coalesce
+    would); a NULL -> non-null update must surface symmetrically."""
+    df = spark.createDataFrame([(1, "a"), (2, None)], "k int, v string")
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), df.schema, key=["k"], n_buckets=4
+    )
+    table.append(df)
+    v1 = table.current_version()
+    batch = spark.createDataFrame(
+        [(1, None, "U"), (2, "b", "U")], "k int, v string, op string"
+    )
+    table.merge(batch, op_col="op")
+    changes = {
+        r["k"]: (r["v"], r["_change_type"])
+        for r in table.table_changes(v1).collect()
+    }
+    assert changes == {1: (None, "update"), 2: ("b", "update")}
+
+
 def test_incremental_downstream_via_change_feed(spark, tmp_path):
     """A downstream aggregate maintained INCREMENTALLY from table_changes
     must equal a full recompute after every upstream batch — the consumer
