@@ -623,11 +623,115 @@ def ngram_jaccard_pairs(
     return _materialize_pairs(out, staged)
 
 
+def _cc_star(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
+    """Small-star/large-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): converges in O(log n) rounds on
+    ANY graph — the upgrade path for adversarial long chains where
+    min-label propagation needs diameter rounds. Each round is two
+    key-equality groupBy/join passes over the (shrinking) edge set;
+    convergence is detected with a (count, 64-bit-hash-sum) checksum of
+    the edge set — one tiny aggregate per round, no full set compare.
+
+    Each round references the previous edge set several times, so the
+    logical plan would grow exponentially across rounds (the plan string
+    alone OOMs the driver after ~8 rounds); every round is therefore
+    ``localCheckpoint(eager=True)``-ed — lineage truncated to a cached
+    RDD scan — and the previous round's checkpoint RDD is released as
+    soon as the next is materialized."""
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    vertices = (
+        edges.select(F.col("u").alias("doc_id"))
+        .union(edges.select(F.col("v").alias("doc_id")))
+        .distinct()
+        .persist()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        return (
+            sym.join(mins, on="u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        direc = (
+            e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins = direc.groupBy("u").agg(F.min("v").alias("mv"))
+        return (
+            direc.join(mins, on="u")
+            .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+            .union(mins.select(F.col("u"), F.col("mv").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def checksum(e: DataFrame) -> tuple:
+        # ANSI mode: bigint SUM overflows, so hash-sum through decimal
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    cur = edges
+    handles: list = []  # java RDD handles of each round's checkpoint
+    prev_sum = checksum(cur)
+    for _ in range(max_iter):
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        handles.append(nxt._jdf.queryExecution().analyzed().rdd())
+        cur_sum = checksum(nxt)
+        cur = nxt
+        while len(handles) > 1:  # older rounds are dead once nxt exists
+            handles.pop(0).unpersist(True)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components(star): edge set still changing after "
+            "max_iter=%d rounds", max_iter,
+        )
+    # converged edges are (vertex -> component root); roots label themselves
+    labels = cur.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = vertices.join(
+        labels.select("doc_id"), on="doc_id", how="left_anti"
+    ).select("doc_id", F.col("doc_id").alias("cluster_id"))
+    out = _materialize_pairs(labels.unionByName(roots), edges, vertices)
+    # `out` is persisted + counted (MEMORY_AND_DISK: evicts to disk, never
+    # dropped in-app), so the last round's checkpoint can go too
+    while handles:
+        handles.pop().unpersist(True)
+    return out
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """Cluster near-duplicate candidate pairs into components:
     (doc_id, cluster_id = min member id). The step a real dedup pipeline
@@ -638,12 +742,17 @@ def connected_components(
     its own and its neighbors' labels; fixpoint when no label changes
     (checked with one tiny count action per round). Rounds needed = graph
     diameter — near-dup components are cliques-ish (diameter 1-3), so this
-    converges in a couple of shuffles even at 10^9 docs; for adversarial
-    long-chain graphs switch to the O(log n) small-star/large-star
-    alternation (same join shape). Labels are carried per-vertex, never
-    materializing the transitive closure. The result is persisted +
-    materialized and every loop intermediate unpersisted before return —
-    caller owns ``result.unpersist()``."""
+    converges in a couple of shuffles even at 10^9 docs. For adversarial
+    long-chain graphs pass ``algorithm="star"``: the O(log n)
+    small-star/large-star alternation (``_cc_star``) converges in
+    ~log2(diameter) rounds regardless of chain length. Labels are carried
+    per-vertex, never materializing the transitive closure. The result is
+    persisted + materialized and every loop intermediate unpersisted
+    before return — caller owns ``result.unpersist()``."""
+    if algorithm == "star":
+        return _cc_star(pairs, id_a, id_b, max_iter)
+    if algorithm != "min_label":
+        raise ValueError(f"unknown algorithm {algorithm!r}: min_label | star")
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -653,6 +762,12 @@ def connected_components(
     labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
         "label", F.col("v")
     ).persist()
+    # every round's labels frame is localCheckpoint-ed: each round's plan
+    # references the previous labels twice (propagate + change count), so
+    # WITHOUT lineage truncation the logical plan grows exponentially
+    # across rounds and the driver OOMs just BUILDING the plan string
+    # around round ~10 — same disease _cc_star documents.
+    handles: list = []  # java RDD handles of round checkpoints
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.b == labels.v)
@@ -667,15 +782,19 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
+        handles.append(new_labels._jdf.queryExecution().analyzed().rdd())
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
+        if len(handles) == 1:
+            labels.unpersist()  # the initial persisted frame
+        else:
+            handles.pop(0).unpersist(True)  # previous round's checkpoint
         labels = new_labels
         if changed == 0:
             break
@@ -690,7 +809,8 @@ def connected_components(
         )
     out = _materialize_pairs(
         labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")),
-        labels,
         edges,
     )
+    while handles:
+        handles.pop().unpersist(True)
     return out

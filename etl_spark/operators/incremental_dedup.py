@@ -5,9 +5,16 @@ scale shape is a PERSISTED signature index probed and extended
 incrementally:
 
   index table   (band, key, doc_id)  — one row per (LSH band bucket, doc)
-                bucketed by (band, key), so a probe join shuffles the
-                small BATCH side only (the index side is read
-                bucket-pruned... at cluster scale, bucket-local)
+  probe join    the BATCH side is small by construction (one micro-batch),
+                so it is size-guarded and BROADCAST: the persisted index
+                streams through a map-side BroadcastHashJoin with ZERO
+                shuffle on the index side — the index is O(total docs x
+                bands) and reshuffling it per micro-batch would defeat the
+                whole incremental design. Jumbo batches (over the guard)
+                fall back to a plain equi-join and let AQE pick the plan
+                (the hand-rolled lake format does not expose bucketing to
+                Catalyst; on a real Iceberg catalog the fallback would be
+                a storage-partitioned join instead).
   per batch     1. signature + band keys for the new docs (same
                    deterministic seed as the index)
                 2. candidates = batch bands  ⋈  index bands  on
@@ -86,6 +93,24 @@ class MinHashIndex:
             ).alias("bk"),
         ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "doc_id")
 
+    def _probe_join(self, bands: DataFrame, broadcast: bool) -> DataFrame:
+        """(new_id, match_id) candidate pairs of batch band rows vs the
+        persisted index. With ``broadcast`` the batch side ships as a
+        BroadcastExchange and the index scan is map-side — NO shuffle
+        Exchange anywhere in this join (plan-asserted in
+        tests/test_plans_physical.py)."""
+        idx = self.table.read()
+        probe = F.broadcast(bands) if broadcast else bands
+        return (
+            probe.alias("n")
+            .join(idx.alias("o"), on=["band", "key"])
+            .select(
+                F.col("n.doc_id").alias("new_id"),
+                F.col("o.doc_id").alias("match_id"),
+            )
+            .filter(F.col("new_id") != F.col("match_id"))
+        )
+
     def ingest(
         self,
         docs: DataFrame,
@@ -93,6 +118,7 @@ class MinHashIndex:
         text_col: str = "text",
         jaccard_threshold: float | None = None,
         idempotent: bool = False,
+        broadcast_threshold: int = 1_000_000,
     ) -> DataFrame:
         """Probe the index with a new batch and extend it.
 
@@ -103,25 +129,27 @@ class MinHashIndex:
         pairs are exact-verified against the batch text (index-side text
         is not stored — verify those against your corpus table).
 
+        The probe is size-guarded: when the batch has at most
+        ``broadcast_threshold`` band rows (counted from the persisted
+        batch frame — one tiny O(batch) job), the batch side is
+        force-broadcast so the O(total-docs x bands) index streams
+        map-side with no shuffle; the within-batch self-join broadcasts
+        one side the same way. Jumbo batches fall back to plain
+        equi-joins under AQE.
+
         The band rows for this batch are appended AFTER the probe, so a
         doc never matches itself."""
         bands = self._band_rows(docs, id_col, text_col).persist()
-        idx = self.table.read()
+        small = bands.count() <= broadcast_threshold
         vs_index = (
-            bands.alias("n")
-            .join(idx.alias("o"), on=["band", "key"])
-            .select(
-                F.col("n.doc_id").alias("new_id"),
-                F.col("o.doc_id").alias("match_id"),
-            )
-            .filter(F.col("new_id") != F.col("match_id"))
+            self._probe_join(bands, broadcast=small)
             .distinct()
             .withColumn("source", F.lit("index"))
         )
         a = bands.select(F.col("doc_id").alias("new_id"), "band", "key")
         b = bands.select(F.col("doc_id").alias("match_id"), "band", "key")
         in_batch = (
-            a.join(b, on=["band", "key"])
+            a.join(F.broadcast(b) if small else b, on=["band", "key"])
             .filter(F.col("new_id") < F.col("match_id"))
             .select("new_id", "match_id")
             .distinct()

@@ -4,10 +4,11 @@ Media travel as opaque ``binary`` columns plus a typed metadata struct —
 the lake-table schema, partitioning, and UDF batch shapes are real and
 tested. Decode, feature-extraction, nearest-neighbor resize, and frame
 sampling are fully IMPLEMENTED for the engine's raw raster format
-(numpy, no native deps); compressed/container formats (JPEG/PNG/MP4)
-raise at the marked plug-point because no image/audio libraries exist in
-this container — swap the decode/encode lines for PIL/torchaudio/ffmpeg
-and nothing else changes.
+(numpy, no native deps); compressed/container formats (JPEG/PNG/MP4) are
+handled by SOFT-IMPORTED codecs — when Pillow (images) / PyAV (video) is
+installed on the host, those paths are real; in this container (no codec
+libs) they raise the documented ``NotImplementedError`` at the
+plug-point. Nothing else changes between the two regimes.
 
 Scale notes: binary payloads dominate row size, so media tables bucket by
 asset id and transforms run ``mapInPandas`` with small
@@ -173,19 +174,46 @@ def extract_features(df: DataFrame, data_col: str = "data", n_features: int = 8)
 
 def resize_image(df: DataFrame, width: int, height: int, data_col: str = "data") -> DataFrame:
     """Image resize over the binary column — REAL for the engine's raw
-    grayscale format (numpy nearest-neighbor resampling, no native deps);
-    compressed formats (JPEG/PNG) raise with the documented plug-point —
-    swap the decode/encode lines for PIL/opencv, the Spark plumbing
-    (schema, Arrow batching, meta update) is identical.
+    grayscale format (numpy nearest-neighbor resampling, no native deps).
+    Compressed formats (JPEG/PNG/...) go through a soft-imported Pillow:
+    decoded, resized (nearest), re-encoded in their original container
+    format. Hosts without Pillow get the documented
+    ``NotImplementedError`` — the Spark plumbing (schema, Arrow batching,
+    meta update) is identical in both regimes.
 
     Non-image rows pass through untouched; image rows get a resized
     payload and updated ``meta.width/height/n_bytes``."""
     out_schema = df.schema
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
         import struct as _st
 
         import numpy as np
+
+        try:
+            from PIL import Image  # soft dependency: real on PIL hosts
+        except ImportError:
+            Image = None
+
+        def resize_compressed(raw: bytes, old_meta) -> tuple[bytes, dict]:
+            if Image is None:
+                raise NotImplementedError(
+                    "compressed image payloads need Pillow (PIL) installed "
+                    "— this host has no image codec library; the raw "
+                    "ETLM raster format works without it"
+                )
+            img = Image.open(io.BytesIO(raw))
+            fmt = img.format or "PNG"
+            buf = io.BytesIO()
+            img.resize((width, height), Image.NEAREST).save(buf, format=fmt)
+            data = buf.getvalue()
+            return data, {
+                "width": width,
+                "height": height,
+                "duration_ms": old_meta["duration_ms"] if old_meta else None,
+                "n_bytes": len(data),
+            }
 
         for b in batches:
             blobs, metas = [], []
@@ -195,13 +223,16 @@ def resize_image(df: DataFrame, width: int, height: int, data_col: str = "data")
                     metas.append(meta)
                     continue
                 raw = bytes(blob)
-                _, w, h, d = _st.unpack(_HDR_FMT, raw[:_HDR_SIZE])
-                body = raw[_HDR_SIZE:]
-                if len(body) != w * h:
-                    raise NotImplementedError(
-                        "compressed image payloads need an image library "
-                        "(PIL/opencv) plugged into this decode step"
-                    )
+                is_raw_raster = raw[:4] == _MAGIC
+                if is_raw_raster:
+                    _, w, h, d = _st.unpack(_HDR_FMT, raw[:_HDR_SIZE])
+                    body = raw[_HDR_SIZE:]
+                    is_raw_raster = len(body) == w * h and w * h > 0
+                if not is_raw_raster:
+                    data, m = resize_compressed(raw, meta)
+                    blobs.append(data)
+                    metas.append(m)
+                    continue
                 img = np.frombuffer(body, dtype=np.uint8).reshape(h, w)
                 ys = (np.arange(height) * h // height).clip(0, h - 1)
                 xs = (np.arange(width) * w // width).clip(0, w - 1)
@@ -237,15 +268,49 @@ FRAME_SCHEMA = T.StructType(
 def sample_frames(df: DataFrame, every_ms: int, data_col: str = "data") -> DataFrame:
     """Video frame sampling: one output row per sampled frame (the fan-out
     shape a training pipeline feeds to a vision encoder) — REAL for the
-    engine's raw format (frames are w*h grids at 100 ms cadence);
-    container formats raise with the ffmpeg/pyav plug-point. Non-video
-    rows produce no output rows."""
+    engine's raw format (frames are w*h grids at 100 ms cadence).
+    Container formats (MP4/WebM/...) go through a soft-imported PyAV:
+    decoded to grayscale ndarrays, sampled at ``every_ms`` with
+    nearest-at-or-before-timestamp frame selection. Hosts without PyAV
+    get the documented ``NotImplementedError``. Non-video rows produce no
+    output rows."""
     frame_ms = 100
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
         import struct as _st
 
         import pandas as pd
+
+        try:
+            import av  # soft dependency: real on PyAV/ffmpeg hosts
+        except ImportError:
+            av = None
+
+        def sample_container(raw: bytes):
+            """[(frame_idx, ts_ms, width, height, gray_bytes)] for a real
+            container format via PyAV."""
+            if av is None:
+                raise NotImplementedError(
+                    "container video formats need PyAV (ffmpeg) installed "
+                    "— this host has no video codec library; the raw ETLM "
+                    "frame format works without it"
+                )
+            with av.open(io.BytesIO(raw)) as container:
+                vstream = container.streams.video[0]
+                decoded = [
+                    (int((f.time or 0) * 1000), f.to_ndarray(format="gray"))
+                    for f in container.decode(vstream)
+                ]
+            if not decoded:
+                return []
+            rows = []
+            end_ms = decoded[-1][0]
+            for ts in range(0, end_ms + 1, every_ms):
+                idx = max(i for i, (t, _g) in enumerate(decoded) if t <= ts)
+                t, g = decoded[idx]
+                rows.append((idx, ts, g.shape[1], g.shape[0], g.tobytes()))
+            return rows
 
         for b in batches:
             out = {k: [] for k in ("asset_id", "frame_idx", "ts_ms", "width", "height", "frame")}
@@ -253,15 +318,22 @@ def sample_frames(df: DataFrame, every_ms: int, data_col: str = "data") -> DataF
                 if kind != "video" or blob is None:
                     continue
                 raw = bytes(blob)
-                _, w, h, dur = _st.unpack(_HDR_FMT, raw[:_HDR_SIZE])
-                body = raw[_HDR_SIZE:]
-                fsize = w * h
-                n_frames = len(body) // fsize if fsize else 0
-                if fsize == 0 or len(body) != n_frames * fsize:
-                    raise NotImplementedError(
-                        "container video formats need ffmpeg/pyav plugged "
-                        "into this decode step"
-                    )
+                is_raw = raw[:4] == _MAGIC
+                if is_raw:
+                    _, w, h, dur = _st.unpack(_HDR_FMT, raw[:_HDR_SIZE])
+                    body = raw[_HDR_SIZE:]
+                    fsize = w * h
+                    n_frames = len(body) // fsize if fsize else 0
+                    is_raw = fsize > 0 and len(body) == n_frames * fsize
+                if not is_raw:
+                    for idx, ts, fw, fh, g in sample_container(raw):
+                        out["asset_id"].append(aid)
+                        out["frame_idx"].append(idx)
+                        out["ts_ms"].append(ts)
+                        out["width"].append(fw)
+                        out["height"].append(fh)
+                        out["frame"].append(g)
+                    continue
                 for ts in range(0, n_frames * frame_ms, every_ms):
                     idx = min(ts // frame_ms, n_frames - 1)
                     out["asset_id"].append(aid)

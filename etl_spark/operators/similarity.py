@@ -246,13 +246,18 @@ def ivf_train_centroids(
     sample_target: int = 50_000,
     kmeans_iters: int = 5,
     seed: int = 7,
+    n_rows: int | None = None,
 ):
     """Spherical-kmeans centroids as an (n_lists, dim) float64 numpy matrix.
 
     Training data is a DETERMINISTIC hash sample of the corpus
-    (``pmod(xxhash64(id), m) == 0``, m sized from the corpus count so the
-    driver collects ~``sample_target`` vectors regardless of scale — at
-    10^10 rows the sample, not the corpus, is what fits on the driver).
+    (``pmod(xxhash64(id), m) == 0``, m sized from the corpus row count so
+    the driver collects ~``sample_target`` vectors regardless of scale —
+    at 10^10 rows the sample, not the corpus, is what fits on the driver).
+    Pass ``n_rows`` (from lake-table metadata / parquet footers — e.g.
+    ``LakeTable.row_count()`` or ``sources.files.parquet_row_count``) to
+    size the sample modulus WITHOUT a full-scan count action; only when
+    it is omitted does training fall back to one ``corpus.count()``.
     Init picks ``n_lists`` splitmix64-shuffled sample rows; a few Lloyd
     iterations with cosine assignment follow (empty clusters re-seeded).
     The centroid matrix ships to executors inside mapInPandas closures —
@@ -260,7 +265,7 @@ def ivf_train_centroids(
     bottleneck at realistic n_lists x dim)."""
     import numpy as np
 
-    n = corpus.count()
+    n = corpus.count() if n_rows is None else n_rows
     m = max(1, n // max(n_lists * 8, min(sample_target, n)))
     sample = (
         corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
@@ -352,15 +357,27 @@ def ivf_topk(
     n_probe: int = 4,
     kmeans_iters: int = 5,
     seed: int = 7,
+    centroids=None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: spherical-kmeans centroids over a
     deterministic hash sample (``ivf_train_centroids``), corpus rows
     assigned to their nearest list and queries to their ``n_probe``
     nearest — both via numpy-matmul mapInPandas with the centroid matrix
     in the closure — then a key-equality join on ``list_id`` and exact
-    cosine re-rank inside the probed lists."""
-    C = ivf_train_centroids(
-        corpus, id_col, vec_col, n_lists, kmeans_iters=kmeans_iters, seed=seed
+    cosine re-rank inside the probed lists.
+
+    Train-once / probe-many: pass ``centroids`` (an
+    ``ivf_train_centroids`` result) to reuse a trained index across
+    queries instead of retraining per call; ``n_rows`` (footer/metadata
+    row count) avoids the training sample's full-scan count."""
+    C = (
+        centroids
+        if centroids is not None
+        else ivf_train_centroids(
+            corpus, id_col, vec_col, n_lists,
+            kmeans_iters=kmeans_iters, seed=seed, n_rows=n_rows,
+        )
     )
     cl = _assign_lists_pandas(corpus, id_col, vec_col, "cand_id", C, 1)
     ql = _assign_lists_pandas(queries, id_col, vec_col, "query_id", C, n_probe)

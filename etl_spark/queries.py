@@ -821,6 +821,22 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact-Jaccard verify at a FULL-RECALL band
+    config, checked bit-exactly against the same DuckDB oracle as the
+    exact inverted-index entry. rows_per_band = 64/64 = 1 makes a pair a
+    candidate when ANY of the 64 minhash values agree: P[miss a true
+    pair] = (1-j)^64 <= 2^-64 at j >= 0.5 — and the signatures are
+    seed-deterministic, so on this corpus the LSH-then-verify pipeline
+    reproduces the exact pair set exactly. The strongest evidence class
+    for the sub-quadratic path (same pattern as
+    ``embedding_neardup_blocked``)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, n_hashes=64, n_bands=64, jaccard_threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only check; Hamming blocking is
     engine-hash-dependent)."""
@@ -871,10 +887,15 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (rows-only; probe/re-rank plumbing covered by
-    tests/test_dedup_similarity.py)."""
+    tests/test_dedup_similarity.py). The training-sample modulus is sized
+    from the parquet FOOTER row count — no full-scan count action in the
+    probe path."""
+    from etl_spark.sources.files import parquet_row_count
+
     emb = _t(spark, sf_dir, "embeddings")
+    n_rows = parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
     q = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, q, k=10, n_lists=16, n_probe=4).select(
+    return ivf_topk(emb, q, k=10, n_lists=16, n_probe=4, n_rows=n_rows).select(
         "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("int").alias("rank"),
     )
@@ -1183,6 +1204,7 @@ QUERIES = {
     "dedup_survivors": q_dedup_survivors,
     "quality_filter": q_quality_filter,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_lsh_verified": q_dedup_minhash_lsh_verified,
     "dedup_simhash": q_dedup_simhash,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
@@ -1225,6 +1247,7 @@ ORACLE_SQL = {
     "update_query": _ORACLE_UPDATE,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": _ORACLE_JACCARD,
+    "dedup_minhash_lsh_verified": _ORACLE_JACCARD,
     "dedup_clusters": _ORACLE_CLUSTERS,
     "dedup_survivors": _ORACLE_SURVIVORS,
     "quality_filter": _ORACLE_QUALITY_FILTER,

@@ -1,11 +1,12 @@
 from etl_spark.sources.files import (
     console_sink,
+    parquet_row_count,
     read_csv_source,
     read_json_source,
     write_csv_sink,
     write_json_sink,
 )
-from etl_spark.sources.http import http_json_source
+from etl_spark.sources.http import fetch_urls, http_json_source
 
 __all__ = [
     "read_csv_source",
@@ -14,4 +15,6 @@ __all__ = [
     "write_csv_sink",
     "write_json_sink",
     "http_json_source",
+    "fetch_urls",
+    "parquet_row_count",
 ]

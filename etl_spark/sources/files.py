@@ -21,6 +21,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def parquet_row_count(path: str) -> int:
+    """Exact row count of a parquet file/directory from the FOOTERS only —
+    O(#files) metadata reads, no data scan, no Spark job. The scale-safe
+    way to size driver-side samples (IVF training) or validate loads: at
+    10^10 rows a ``df.count()`` is a full cluster scan, the footers are a
+    driver-side listing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, n)).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def read_csv_source(
     spark: SparkSession,
     path: str,

@@ -310,6 +310,53 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_connected_components_star_matches_min_label(spark):
+    """The small-star/large-star alternation must produce identical
+    (doc_id, cluster_id) labels to min-label propagation on randomized
+    graphs (mixed cliques, chains, isolated edges)."""
+    import random
+
+    from etl_spark.operators.dedup import connected_components
+
+    rng = random.Random(99)
+    pairs = set()
+    for _ in range(120):
+        a, b = rng.randrange(200), rng.randrange(200)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(pairs), ["id_a", "id_b"])
+    ml = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, algorithm="min_label").collect()
+    }
+    st = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert st == ml
+
+
+def test_connected_components_star_long_chain_converges(spark, caplog):
+    """Adversarial 300-node chain with max_iter=25: min-label needs
+    diameter (~300) rounds and warns; the star alternation converges in
+    O(log n) rounds with the right labels and NO warning."""
+    import logging
+
+    from etl_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with caplog.at_level(logging.WARNING, logger="etl_spark.operators.dedup"):
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(
+                df, max_iter=25, algorithm="star"
+            ).collect()
+        }
+    assert got == {i: 0 for i in range(301)}
+    assert not [r for r in caplog.records if "still changing" in r.message]
+
+
 def test_winnowing_guarantee_and_overlap(spark):
     """Winnowing guarantee: two docs sharing a substring of >= k+window-1
     words MUST share at least one fingerprint; disjoint docs share none;
@@ -335,6 +382,25 @@ def test_winnowing_guarantee_and_overlap(spark):
         for r in winnow_overlap_pairs(docs, k=5, window=4, min_shared=1).collect()
     }
     assert set(pairs) == {(1, 2)}
+
+
+def test_ivf_centroid_reuse_and_footer_count(spark, vectors, tmp_path):
+    """Train-once/probe-many: a trained centroid matrix passed back into
+    ivf_topk must reproduce the self-training path exactly (same seed,
+    same deterministic sample), and the footer-based row count that sizes
+    the training sample must equal the true count without a scan."""
+    from etl_spark.operators.similarity import ivf_train_centroids
+    from etl_spark.sources.files import parquet_row_count
+
+    p = str(tmp_path / "v.parquet")
+    vectors.write.parquet(p)
+    n = parquet_row_count(p)
+    assert n == vectors.count()
+    q = vectors.filter(F.col("vec_id") < 3)
+    C = ivf_train_centroids(vectors, n_lists=8, n_rows=n)
+    reused = ivf_topk(vectors, q, k=5, n_lists=8, centroids=C).collect()
+    trained = ivf_topk(vectors, q, k=5, n_lists=8, n_rows=n).collect()
+    assert sorted(map(tuple, reused)) == sorted(map(tuple, trained))
 
 
 def test_dedup_family_leaves_no_cached_rdds(spark):

@@ -104,22 +104,92 @@ def test_sample_frames_cadence(spark):
     assert got == [(0, 0, 0), (200, 2, 2)]  # image row produced nothing
 
 
-def test_compressed_codec_paths_raise(spark):
-    """Payloads that are not the raw raster format still raise with the
-    documented library plug-point."""
+import importlib.util
+
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
+_HAS_AV = importlib.util.find_spec("av") is not None
+
+
+def _compressed_media(spark):
     from etl_spark.operators.multimodal import MEDIA_SCHEMA, _HDR_SIZE
 
-    rows = [  # image whose payload length != w*h -> "compressed"
+    rows = [  # payloads with a broken/absent raw header -> compressed path
         ("imgz", "image", "image/png", pack_fake_media(4, 4, 0, b"\x89PNG"),
          (4, 4, 0, 4 + _HDR_SIZE)),
         ("vidz", "video", "video/mp4", pack_fake_media(2, 2, 300, b"xyz"),
          (2, 2, 300, 3 + _HDR_SIZE)),
     ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="Pillow installed: compressed images decode")
+def test_compressed_image_raises_without_pillow(spark):
+    """No-codec regime: non-raster image payloads raise at the documented
+    Pillow plug-point (soft import absent)."""
+    with pytest.raises(Exception, match="Pillow|NotImplementedError"):
+        resize_image(_compressed_media(spark), 2, 2).collect()
+
+
+@pytest.mark.skipif(_HAS_AV, reason="PyAV installed: container video decodes")
+def test_container_video_raises_without_pyav(spark):
+    with pytest.raises(Exception, match="PyAV|NotImplementedError"):
+        sample_frames(_compressed_media(spark), 100).collect()
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed in this container")
+def test_compressed_image_resizes_with_pillow(spark):
+    """Codec regime: a REAL PNG payload decodes, resizes, re-encodes —
+    same Spark plumbing as the raw-raster path."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from etl_spark.operators.multimodal import MEDIA_SCHEMA
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.arange(64, dtype=np.uint8).reshape(8, 8), mode="L"
+    ).save(buf, format="PNG")
+    png = buf.getvalue()
+    rows = [("p1", "image", "image/png", png, (8, 8, 0, len(png)))]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    with pytest.raises(Exception, match="image library|NotImplementedError"):
-        resize_image(media, 2, 2).collect()
-    with pytest.raises(Exception, match="ffmpeg|NotImplementedError"):
-        sample_frames(media, 100).collect()
+    out = resize_image(media, 4, 4).collect()[0]
+    resized = Image.open(io.BytesIO(bytes(out["data"])))
+    assert resized.size == (4, 4) and resized.format == "PNG"
+    assert out["meta"]["width"] == 4 and out["meta"]["height"] == 4
+
+
+@pytest.mark.skipif(not _HAS_AV, reason="PyAV not installed in this container")
+def test_container_video_samples_with_pyav(spark):
+    """Codec regime: a REAL encoded container video yields sampled
+    grayscale frames at the requested cadence."""
+    import io
+
+    import av
+    import numpy as np
+
+    from etl_spark.operators.multimodal import MEDIA_SCHEMA
+
+    buf = io.BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=10)
+        stream.width, stream.height = 16, 16
+        stream.pix_fmt = "yuv420p"
+        for i in range(10):
+            frame = av.VideoFrame.from_ndarray(
+                np.full((16, 16, 3), i * 20, dtype=np.uint8), format="rgb24"
+            )
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    mp4 = buf.getvalue()
+    rows = [("v1", "video", "video/mp4", mp4, (16, 16, 1000, len(mp4)))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_frames(media, 300).collect()
+    assert len(frames) >= 3
+    assert all(r["width"] == 16 and r["height"] == 16 for r in frames)
 
 
 def test_pack_roundtrip():

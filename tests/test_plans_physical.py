@@ -72,6 +72,38 @@ def test_lookup_in_size_guard_regimes(spark):
     assert a == b
 
 
+def test_incremental_dedup_probe_join_no_index_shuffle(spark, tmp_path):
+    """MinHashIndex.ingest's probe must NOT reshuffle the persisted band
+    index per batch (it is O(total docs x bands) — reshuffling it every
+    micro-batch defeats the incremental design): with the size-guarded
+    broadcast of the small batch side, the join is a BroadcastHashJoin and
+    the only Exchange in the probe plan is the batch-side
+    BroadcastExchange — zero shuffle (hashpartitioning) Exchanges."""
+    from etl_spark.operators.incremental_dedup import MinHashIndex
+
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    seed_docs = spark.createDataFrame(
+        [(i, f"seed document number {i} with some shared words") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    idx.ingest(seed_docs)
+    batch = spark.createDataFrame(
+        [(100, "seed document number 3 with some shared words")],
+        ["doc_id", "text"],
+    )
+    bands = idx._band_rows(batch, "doc_id", "text")
+    plan = _executed_plan(idx._probe_join(bands, broadcast=True))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    # and the broadcast probe finds the cross-batch dup
+    got = {
+        (r["new_id"], r["match_id"])
+        for r in idx.ingest(batch).collect()
+    }
+    assert (100, 3) in got
+
+
 def test_normalize_transform_has_no_python(spark):
     df = spark.createDataFrame(
         [("a", 0, "user", " x ", None, None)],
@@ -100,7 +132,8 @@ def test_no_cartesian_product_in_query_plans(spark):
         # Arrow-batched numpy stages, by design (never per-row Python)
         "similarity_lsh", "similarity_ivf", "embedding_neardup",
         "embedding_neardup_blocked", "embedding_neardup_blocked_hi",
-        "dedup_simhash", "dedup_minhash_lsh", "incremental_dedup",
+        "dedup_simhash", "dedup_minhash_lsh", "dedup_minhash_lsh_verified",
+        "incremental_dedup",
     }
     sf = "/root/testdata/sf0.001"
     for name, fn in QUERIES.items():

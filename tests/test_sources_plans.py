@@ -245,6 +245,53 @@ def test_http_json_source_loopback(spark):
         srv.shutdown()
 
 
+def test_fetch_urls_distributed_loopback(spark):
+    """S6 scale variant: mapInPandas URL-list fetch against a loopback
+    server — bodies land as binary, per-row failures (404, refused
+    connection) become status/error columns and never fail the stage.
+    The loopback handler is threaded: executor tasks fetch concurrently."""
+    import http.server
+    import socketserver
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.startswith("/doc/"):
+                body = f"content of {self.path}".encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):
+            pass
+
+    class Srv(socketserver.ThreadingMixIn, http.server.HTTPServer):
+        daemon_threads = True
+
+    srv = Srv(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from etl_spark.sources.http import fetch_urls
+
+        port = srv.server_address[1]
+        rows = [(i, f"http://127.0.0.1:{port}/doc/{i}") for i in range(20)]
+        rows.append((98, f"http://127.0.0.1:{port}/missing"))
+        rows.append((99, "http://127.0.0.1:1/refused"))  # connection refused
+        df = spark.createDataFrame(rows, ["id", "url"])
+        got = {r["id"]: r for r in fetch_urls(df, "url", timeout=5.0).collect()}
+        assert len(got) == 22
+        for i in range(20):
+            assert got[i]["status"] == 200 and got[i]["error"] is None
+            assert bytes(got[i]["body"]) == f"content of /doc/{i}".encode()
+        assert got[98]["status"] == 404 and got[98]["body"] is None
+        assert got[99]["status"] is None and got[99]["error"]
+    finally:
+        srv.shutdown()
+
+
 def test_update_sequence_resync(spark, tmp_path):
     """K11: `update_sequence: true` persists MAX(key)+1 as the table's
     next-id counter (reference setval(seq, MAX(pk)+1),
