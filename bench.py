@@ -57,6 +57,83 @@ BENCH_SPEC = dict(
 )
 
 
+# Skew-stress changelog: FEW conversations + Zipf-3.0 churn targeting ->
+# a handful of extremely hot (conv_id, turn_idx) keys dominate the stream,
+# the regime the salted two-level LWW dedup exists for. ~20 churn events
+# per key over ~9k keys keeps it fast while making the hot keys real.
+SKEW_SPEC = dict(
+    n_conversations=2_000,
+    max_turns=8,
+    churn=20.0,
+    skew=3.0,
+    n_partitions=8,
+    segments_per_partition=4,
+    seed=43,
+)
+
+
+def run_skew_replay(spark, work_dir: str) -> dict:
+    """Hot-key replay with the SALTED dedup path on: measures the two-level
+    (key, salt) -> key aggregation under Zipf-3.0 skew (the convergence
+    semantics are oracle-proven in tests/test_cdc_apply.py; this is the
+    measured number for the same path)."""
+    from etl_spark.cdc.changelog import (
+        ChangelogSpec,
+        TRANSCRIPTS_SCHEMA,
+        generate_changelog,
+        write_changelog,
+    )
+    from etl_spark.lake import LakeTable
+    from etl_spark.streaming.stream import run_stream
+
+    spec = ChangelogSpec(**SKEW_SPEC)
+    df = generate_changelog(spec)
+    wal = os.path.join(work_dir, "skew_wal")
+    write_changelog(df, wal, spec)
+    table = LakeTable.create(
+        spark, os.path.join(work_dir, "skew_table"), TRANSCRIPTS_SCHEMA,
+        key=["conv_id", "turn_idx"], n_buckets=32,
+    )
+    t0 = time.time()
+    run_stream(
+        spark, wal, table, os.path.join(work_dir, "skew_state"),
+        salted_dedup=True,
+    )
+    wall = time.time() - t0
+    return {
+        "n_events": len(df),
+        "replay_sec": round(wall, 3),
+        "events_per_sec": round(len(df) / wall, 1),
+        "salted_dedup": True,
+        "zipf_skew": SKEW_SPEC["skew"],
+        "final_rows": table.row_count(),
+    }
+
+
+def run_incremental_dedup(spark, sf_dir: str, n_batches: int = 4) -> dict:
+    """Ingest the documents corpus in ``n_batches`` batches through the
+    persisted MinHash band index (the broadcast-probe ingest path)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.incremental_dedup import MinHashIndex
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    work = tempfile.mkdtemp(prefix="etl_spark_incdedup_")
+    try:
+        t0 = time.time()
+        idx = MinHashIndex(spark, os.path.join(work, "idx"))
+        pairs = 0
+        for b in range(n_batches):
+            batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(n_batches)) == b)
+            out = idx.ingest(batch)
+            pairs += out.count()
+            out.unpersist()
+        wall = time.time() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {"n_batches": n_batches, "pairs": pairs, "sec": round(wall, 3)}
+
+
 def _materialize(df) -> int:
     """Force full computation of every column (count() alone lets Catalyst
     prune the projections we are trying to measure)."""
@@ -64,9 +141,26 @@ def _materialize(df) -> int:
     return 0
 
 
+def _warmup(spark) -> None:
+    """JIT / python-worker warmup before the first measured query: one tiny
+    codegen job + one tiny Arrow mapInPandas job. A long-lived cluster
+    amortizes JVM codegen and python-worker forking over hours; without
+    this, whichever query runs FIRST absorbs ~5-10 s of one-time cost and
+    the per-query numbers are not comparable across rounds (this host
+    already varies ±40% run-to-run — BENCH.md)."""
+    df = spark.range(1000).selectExpr("id", "cast(id as string) AS s")
+    df.selectExpr("xxhash64(s) AS h").agg({"h": "max"}).collect()
+
+    def fn(it):
+        yield from it
+
+    df.mapInPandas(fn, df.schema).write.format("noop").mode("overwrite").save()
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from etl_spark.queries import QUERIES
 
+    _warmup(spark)
     out: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -328,6 +422,10 @@ def main() -> None:
 
         spark = new_session(cpus)
         queries = run_queries(spark, sf_dir)
+        inc = run_incremental_dedup(spark, sf_dir, n_batches=4)
+        queries["incremental_dedup_4batch"] = inc["sec"]
+        skew = run_skew_replay(spark, work_dir)
+        queries["skew_salted_replay"] = skew["replay_sec"]
         cdc = run_cdc_replay(
             spark, os.path.join(work_dir, f"run{cpus}"), wal_dir, n_events
         )
@@ -341,6 +439,8 @@ def main() -> None:
             "sf": sf,
             "cpus": cpus,
             "cdc": cdc,
+            "incremental_dedup": inc,
+            "skew": skew,
         }
         if scaling:
             # Default N=2 vs 4N=8: both levels sit inside this sandbox VM's

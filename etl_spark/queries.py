@@ -16,8 +16,10 @@ temp-dir state DuckDB cannot see; their semantics are covered by pytest
 instead (recall vs brute force, cross-batch detection, replay vs pandas
 oracle). Notable oracle-checked non-trivials: the stateful streaming
 sessionizer (vs the batch aggregate), connected components (vs a
-recursive-CTE closure), and the blocked LSH near-dup at full-recall
-parameters (vs the exact scan).
+recursive-CTE closure), the blocked LSH near-dup at full-recall
+parameters (vs the exact scan), and the MinHash-LSH verify pipeline at a
+full-recall band config (vs the exact-Jaccard oracle). Current inventory:
+44 entries — 36 oracle, 8 rows-only.
 """
 
 from __future__ import annotations
