@@ -111,6 +111,19 @@ class CdcStream:
     # short-lived streams).
     compact_every: int = 0
     expire_keep_last: int = 3
+    # Ingest-time near-dup detection (the training-data-pipeline stage):
+    # after each applied batch, the batch's post-dedup upsert TEXTS are
+    # probed against and appended to a persisted MinHash band index under
+    # state_dir/dedup (operators.incremental_dedup). Candidate pairs land
+    # in dedup/pairs/batch=N, and dedup/keys/batch=N maps the internal
+    # 64-bit doc ids (xxhash64 of the table key) back to key columns.
+    # Exactly-once via its own commit-log stream + idempotent index MERGE:
+    # a crash-replayed batch re-probes but never duplicates band rows or
+    # pair files. ``dedup_threshold`` additionally exact-verifies
+    # WITHIN-batch pairs (index-side text is not stored).
+    dedup_index: bool = False
+    dedup_text_col: str = "text"
+    dedup_threshold: float | None = None
     query: object = field(default=None, init=False)
 
     def __post_init__(self) -> None:
@@ -157,6 +170,11 @@ class CdcStream:
                 ),
                 attempts=self.retry_attempts,
             )
+        if self.dedup_index:
+            stats["near_dup_pairs"] = retry_with_backoff(
+                lambda: self._dedup_ingest(batch_df, batch_id),
+                attempts=self.retry_attempts,
+            )
         self.batch_stats.append(stats)
         if (
             self.compact_every
@@ -167,6 +185,59 @@ class CdcStream:
             self.table.compact()
             if self.expire_keep_last:
                 self.table.expire_snapshots(keep_last=self.expire_keep_last)
+
+    def _dedup_ingest(self, batch_df: DataFrame, batch_id: int) -> int:
+        """Probe + extend the persisted near-dup index with this batch's
+        post-dedup upsert texts; returns the candidate-pair count.
+
+        Runs AFTER the table apply under its own commit-log stream: a
+        crash between the table's commit marker and this stage replays the
+        batch, the table apply short-circuits, and this stage re-runs with
+        ``idempotent=True`` (index MERGE on the full band key) — no
+        duplicate band rows, pair/key files rewritten in place. Updated
+        keys re-ingest under the SAME doc id (xxhash64 of the key), so a
+        hot conversation never multiplies docs; its superseded band rows
+        remain as extra candidates, which the downstream exact verify
+        filters (append-only index contract, documented)."""
+        from pyspark.sql import functions as F
+
+        from etl_spark.cdc.apply import dedup_last_writer_wins
+        from etl_spark.operators.incremental_dedup import MinHashIndex
+
+        src = f"{self.source_name}:dedup"
+        if self.commit_log.is_committed(src, batch_id):
+            return 0
+        key = self.table.key
+        rows = batch_df.filter(
+            (F.col("op") != "D") & F.col(self.dedup_text_col).isNotNull()
+        )
+        rows = dedup_last_writer_wins(rows, key=key, salted=self.salted_dedup)
+        docs = rows.select(
+            F.xxhash64(*key).alias("__doc_id"),
+            F.col(self.dedup_text_col).alias("__text"),
+            *key,
+        )
+        dedup_dir = os.path.join(self.state_dir, "dedup")
+        idx = MinHashIndex(self.spark, os.path.join(dedup_dir, "index"))
+        pairs = idx.ingest(
+            docs.select("__doc_id", "__text"),
+            id_col="__doc_id",
+            text_col="__text",
+            jaccard_threshold=self.dedup_threshold,
+            idempotent=True,
+        )
+        n_pairs = pairs.count()
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(dedup_dir, "pairs", f"batch={batch_id}"))
+        )
+        docs.drop("__text").write.mode("overwrite").parquet(
+            os.path.join(dedup_dir, "keys", f"batch={batch_id}")
+        )
+        pairs.unpersist()
+        self.commit_log.commit(src, batch_id, {"near_dup_pairs": n_pairs})
+        return n_pairs
 
     def start(self):
         schema = discover_wal_schema(self.spark, self.wal_dir)

@@ -231,3 +231,88 @@ def test_extreme_hot_conversation_skew_converges(spark, tmp_path):
     for s in stats:
         if not s.get("skipped"):
             assert s["rows_applied"] == s["rows_upserted"] + s["rows_deleted"]
+
+
+def test_stream_integrated_near_dup_index(spark, tmp_path):
+    """Ingest-time near-dup detection riding the CDC stream: transcripts
+    with duplicated texts across different conversations must surface as
+    candidate pairs in state_dir/dedup/pairs, with the keys mapping
+    resolving internal doc ids back to (conv_id, turn_idx); a full replay
+    against the same state (fresh checkpoint, same commit log) must not
+    grow the index or duplicate pairs (exactly-once)."""
+    import pyarrow.parquet as pq
+
+    from etl_spark.operators.incremental_dedup import MinHashIndex
+
+    pdf = generate_changelog(SPEC)
+    # plant cross-conversation duplicate texts on two early keys so they
+    # land in different micro-batches (files split by partition/segment)
+    dup_text = "an unmistakably duplicated transcript body " * 3
+    # overwrite EVERY event of the two keys (churn updates included), so
+    # whichever event wins LWW carries the planted text; deletes keep null
+    mask_a = (
+        (pdf["conv_id"] == "conv000001") & (pdf["turn_idx"] == 0)
+        & pdf["text"].notna()
+    )
+    mask_b = (
+        (pdf["conv_id"] == "conv000030") & (pdf["turn_idx"] == 0)
+        & pdf["text"].notna()
+    )
+    assert mask_a.any() and mask_b.any()
+    # and make sure neither key's final state is a delete
+    for conv, mask, text in (
+        ("conv000001", mask_a, dup_text),
+        ("conv000030", mask_b, dup_text + " tail"),
+    ):
+        key_mask = (pdf["conv_id"] == conv) & (pdf["turn_idx"] == 0)
+        pdf.loc[key_mask & (pdf["op"] == "D"), "op"] = "U"
+        pdf.loc[key_mask, "text"] = text
+        pdf.loc[key_mask, "role"] = "user"
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+    table = make_target(spark, tmp_path)
+    state = str(tmp_path / "state")
+    stream = CdcStream(
+        spark, wal, table, state,
+        max_files_per_trigger=2, dedup_index=True,
+    )
+    stats = stream.run_to_completion()
+    assert_converged(table, pdf)  # the dedup stage never perturbs the table
+    assert len(stats) >= 2
+    pairs = spark.read.parquet(os.path.join(state, "dedup", "pairs")).toPandas()
+    keys = spark.read.parquet(os.path.join(state, "dedup", "keys")).toPandas()
+    # a key updated in several batches appears in several keys/batch=N
+    # files under the SAME doc id — collapse before resolving
+    ids = (
+        keys.drop_duplicates("__doc_id")
+        .set_index("__doc_id")[["conv_id", "turn_idx"]]
+    )
+    resolved = {
+        (
+            tuple(ids.loc[r["new_id"]]),
+            tuple(ids.loc[r["match_id"]]),
+        )
+        for _, r in pairs.iterrows()
+    }
+    flat = {frozenset(p) for p in resolved}
+    assert frozenset({("conv000001", 0), ("conv000030", 0)}) in flat
+
+    index_rows = MinHashIndex(spark, os.path.join(state, "dedup", "index")).table.row_count()
+    # exactly one band-row set per distinct surviving key that carried text
+    # replay with a FRESH streaming checkpoint but the same commit log /
+    # index: every batch re-enters _apply, table apply + dedup stage both
+    # short-circuit — index unchanged, pairs unchanged
+    import shutil
+
+    shutil.rmtree(os.path.join(state, "checkpoint"))
+    stream2 = CdcStream(
+        spark, wal, table, state,
+        max_files_per_trigger=2, dedup_index=True,
+    )
+    stream2.run_to_completion()
+    assert (
+        MinHashIndex(spark, os.path.join(state, "dedup", "index")).table.row_count()
+        == index_rows
+    )
+    pairs2 = spark.read.parquet(os.path.join(state, "dedup", "pairs")).toPandas()
+    assert len(pairs2) == len(pairs)
