@@ -121,6 +121,53 @@ def lang_id(col: Column | str) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+# PII redaction patterns, applied IN ORDER (email before phone/number so an
+# address's digits are gone before the looser digit patterns see them; IP
+# before phone for the same reason). Every pattern is valid in BOTH Java
+# regex (Spark) and RE2 (DuckDB) — no lookaround, no backrefs — so the
+# redaction is oracle-checkable bit-for-bit.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "[PHONE]"),
+    ("number", r"\b\d{6,}\b", "[NUM]"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub common PII shapes (emails, IPv4s, phone-like digit runs, long
+    numbers) from a text column — the redaction stage of a training-data
+    pipeline. Pure chained ``regexp_replace`` expressions: JVM-side,
+    whole-stage codegen, zero Python; patterns restricted to the
+    Java-regex ∩ RE2 subset so the DuckDB oracle reproduces the output
+    exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, rx, token in PII_PATTERNS:
+        c = F.regexp_replace(c, rx, token)
+    return c
+
+
+def ngram_frequencies(
+    df: DataFrame, text_col: str = "text", n: int = 3, min_count: int = 5
+) -> DataFrame:
+    """Corpus-wide n-gram frequency table: (ngram, n_occurrences) for every
+    word n-gram occurring at least ``min_count`` times — the standard
+    contamination / boilerplate / memorization analysis over a training
+    corpus. One explode + hash groupBy: map-side partial aggregation
+    collapses repeats before the shuffle, so at 10^10 docs the shuffle
+    carries ~|distinct n-grams|, and the ``min_count`` filter keeps the
+    result bounded. A threshold (not top-k) keeps the output deterministic
+    — no tie-breaking ambiguity against the oracle."""
+    from etl_spark.operators.dedup import word_shingles
+
+    return (
+        df.select(F.explode(word_shingles(text_col, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """64-bit document fingerprint of normalized content (rolling-hash
     analogue): xxhash64 over the whitespace-normalized, lowercased text."""

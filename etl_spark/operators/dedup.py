@@ -726,6 +726,47 @@ def _cc_star(
     return out
 
 
+def cross_corpus_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 5,
+    min_shared: int = 3,
+    broadcast_threshold: int = 5_000_000,
+) -> DataFrame:
+    """Decontamination: corpus documents sharing >= ``min_shared`` distinct
+    word ``shingle_words``-grams with ANY benchmark document — the overlap
+    check a training run does against its eval suites before training.
+    Returns (doc_id, shared_shingles).
+
+    Scale shape: the benchmark side is a SUITE (small by nature — 10^4-10^6
+    docs), so its distinct shingle-hash set is size-guarded and broadcast;
+    the 10^10-doc corpus then streams through one map-side semi-join-style
+    hash probe + a hash groupBy — no corpus shuffle on the join. Over the
+    guard, the probe falls back to a plain shingle-key equi-join under
+    AQE. Shingles compare as 64-bit hashes (two distinct shingles
+    colliding within one doc-benchmark union ~2^-64)."""
+    c = with_shingle_hashes(
+        corpus.select(id_col, text_col), text_col, shingle_words, "__sh"
+    ).select(F.col(id_col).alias("doc_id"), F.explode("__sh").alias("shingle"))
+    b = (
+        with_shingle_hashes(
+            benchmark.select(text_col), text_col, shingle_words, "__sh"
+        )
+        .select(F.explode("__sh").alias("shingle"))
+        .distinct()
+    )
+    if b.limit(broadcast_threshold + 1).count() <= broadcast_threshold:
+        b = F.broadcast(b)
+    return (
+        c.join(b, on="shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

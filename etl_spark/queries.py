@@ -19,7 +19,7 @@ sessionizer (vs the batch aggregate), connected components (vs a
 recursive-CTE closure), the blocked LSH near-dup at full-recall
 parameters (vs the exact scan), and the MinHash-LSH verify pipeline at a
 full-recall band config (vs the exact-Jaccard oracle). Current inventory:
-44 entries — 36 oracle, 8 rows-only.
+47 entries — 39 oracle, 8 rows-only.
 """
 
 from __future__ import annotations
@@ -998,6 +998,97 @@ FROM h
 """
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII redaction: emails / IPv4s / phone-like runs / long
+    numbers scrubbed with chained regexp_replace (patterns restricted to
+    the Java-regex ∩ RE2 subset, so DuckDB reproduces the output
+    bit-for-bit). PII shapes are synthesized deterministically from each
+    row on BOTH sides — the corpus itself is clean."""
+    from etl_spark.functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@example.com or +1 (555) 010-"), F.col("doc_id"),
+        F.lit(" ip 10.0.0."), F.pmod(F.col("doc_id"), F.lit(256)),
+        F.lit(" acct 1234567890"),
+    )
+    return docs.select("doc_id", redact_pii(synth).alias("redacted"))
+
+
+_ORACLE_REDACT = r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    text || ' contact user' || doc_id || '@example.com or +1 (555) 010-'
+         || doc_id || ' ip 10.0.0.' || (doc_id % 256) || ' acct 1234567890',
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+    '\+?\d[\d\s().-]{7,}\d', '[PHONE]', 'g'),
+    '\b\d{6,}\b', '[NUM]', 'g') AS redacted
+FROM documents WHERE doc_id < 100
+"""
+
+
+def q_ngram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide 3-gram frequency table (contamination / boilerplate
+    analysis) — explode + hash groupBy with map-side combine; threshold
+    (not top-k) keeps the result deterministic for the oracle."""
+    from etl_spark.functions.text import ngram_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_frequencies(docs, "text", n=3, min_count=5)
+
+
+_ORACLE_NGRAM_FREQ = r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+              ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] END AS ngram
+  FROM words,
+       UNNEST(CASE WHEN len(w) < 3 THEN [1]
+                   ELSE range(1, len(w) - 1) END) AS t(i))
+SELECT ngram, COUNT(*) AS n_occurrences
+FROM sh GROUP BY ngram HAVING COUNT(*) >= 5
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: corpus docs sharing >= 3 distinct word 5-grams with
+    any 'benchmark' doc (every 20th doc plays the eval suite). The
+    benchmark shingle set is broadcast; the corpus streams map-side."""
+    from etl_spark.operators.dedup import cross_corpus_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
+    return cross_corpus_overlap(corpus, bench, shingle_words=5, min_shared=3)
+
+
+_ORACLE_DECONTAMINATE = r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) < 5 THEN array_to_string(w, ' ')
+              ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                   || ' ' || w[i+4] END AS shingle
+  FROM words,
+       UNNEST(CASE WHEN len(w) < 5 THEN [1]
+                   ELSE range(1, len(w) - 3) END) AS t(i)),
+b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0)
+SELECT c.doc_id, COUNT(DISTINCT c.shingle) AS shared_shingles
+FROM c JOIN b USING (shingle)
+GROUP BY c.doc_id HAVING COUNT(DISTINCT c.shingle) >= 3
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: the 64-bit content fingerprint must be a
     bijection onto distinct normalized texts (no collisions at this
@@ -1215,6 +1306,9 @@ QUERIES = {
     "embedding_neardup_blocked": q_embedding_neardup_blocked,
     "embedding_neardup_blocked_hi": q_embedding_neardup_blocked_hi,
     "text_stats": q_text_stats,
+    "redact_pii": q_redact_pii,
+    "ngram_frequencies": q_ngram_frequencies,
+    "decontaminate": q_decontaminate,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_overlap": q_winnow_overlap,
     "incremental_dedup": q_incremental_dedup,
@@ -1258,6 +1352,9 @@ ORACLE_SQL = {
     "embedding_neardup_blocked": _ORACLE_EMB_NEARDUP,
     "embedding_neardup_blocked_hi": _ORACLE_EMB_NEARDUP_HI,
     "text_stats": _ORACLE_TEXT_STATS,
+    "redact_pii": _ORACLE_REDACT,
+    "ngram_frequencies": _ORACLE_NGRAM_FREQ,
+    "decontaminate": _ORACLE_DECONTAMINATE,
     "doc_fingerprint": _ORACLE_FINGERPRINT,
     "stream_sessionize": _ORACLE_STREAM_SESSIONIZE,
 }

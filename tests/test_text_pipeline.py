@@ -1,0 +1,128 @@
+"""Tests for the corpus-preparation text operators: PII redaction,
+corpus n-gram frequency tables, and cross-corpus decontamination.
+
+Semantics run on hand-built frames with planted PII / overlaps; the
+decontamination operator is additionally checked for path-equivalence
+(broadcast probe vs plain-join fallback must produce identical rows).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.functions.text import ngram_frequencies, redact_pii
+from etl_spark.operators.dedup import cross_corpus_overlap
+
+
+def _redact_one(spark, text: str) -> str:
+    df = spark.createDataFrame([(text,)], ["t"])
+    return df.select(redact_pii("t").alias("r")).first()["r"]
+
+
+class TestRedactPii:
+    def test_email(self, spark):
+        assert (
+            _redact_one(spark, "mail me at jo.doe+x@sub.example.co today")
+            == "mail me at [EMAIL] today"
+        )
+
+    def test_ipv4(self, spark):
+        assert _redact_one(spark, "host 192.168.1.254 down") == "host [IP] down"
+
+    def test_phone_variants(self, spark):
+        assert _redact_one(spark, "call +1 (555) 010-1234 now") == "call [PHONE] now"
+        assert _redact_one(spark, "call 555-010-1234 now") == "call [PHONE] now"
+
+    def test_long_number(self, spark):
+        # 6-8 digit runs hit [NUM]; >=9 digits are phone-shaped and the
+        # earlier phone pattern consumes them first (still redacted)
+        assert _redact_one(spark, "acct 1234567 ok") == "acct [NUM] ok"
+        assert _redact_one(spark, "acct 1234567890 ok") == "acct [PHONE] ok"
+
+    def test_short_number_untouched(self, spark):
+        # 5 digits: too short for [NUM], not phone-shaped either
+        assert _redact_one(spark, "year 20261 fine") == "year 20261 fine"
+
+    def test_order_email_wins_over_digits(self, spark):
+        # the email pattern must consume the address before the phone/number
+        # patterns can chew on its digit runs
+        assert (
+            _redact_one(spark, "a5551234567@example.com wrote")
+            == "[EMAIL] wrote"
+        )
+
+    def test_clean_text_is_identity(self, spark):
+        s = "no pii here just words and the number 42"
+        assert _redact_one(spark, s) == s
+
+
+class TestNgramFrequencies:
+    def test_counts_and_threshold(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c d"),
+                (1, "a b c e"),
+                (2, "a b c f"),
+                (3, "x y z w"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["ngram"]: r["n_occurrences"]
+            for r in ngram_frequencies(docs, "text", n=3, min_count=3).collect()
+        }
+        # "a b c" appears once per doc in 0,1,2; every other 3-gram is rarer
+        assert out == {"a b c": 3}
+
+    def test_short_docs_count_whole_text(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "tiny doc") for i in range(5)], ["doc_id", "text"]
+        )
+        out = ngram_frequencies(docs, "text", n=3, min_count=5).collect()
+        assert [(r["ngram"], r["n_occurrences"]) for r in out] == [("tiny doc", 5)]
+
+
+class TestDecontamination:
+    @pytest.fixture(scope="class")
+    def corpora(self, spark):
+        leak = "the capital of france is paris and the capital of spain is madrid"
+        corpus = spark.createDataFrame(
+            [
+                (10, f"some padding words then {leak} and trailing context here"),
+                (11, "entirely unrelated document about spark shuffle tuning"),
+                (12, "another clean document mentioning broadcast joins only"),
+            ],
+            ["doc_id", "text"],
+        )
+        benchmark = spark.createDataFrame(
+            [(0, f"question: {leak} ?"), (1, "what is a catalyst rule")],
+            ["doc_id", "text"],
+        )
+        return corpus, benchmark
+
+    def test_flags_contaminated_doc_only(self, corpora):
+        corpus, benchmark = corpora
+        out = cross_corpus_overlap(
+            corpus, benchmark, shingle_words=5, min_shared=3
+        ).collect()
+        assert [r["doc_id"] for r in out] == [10]
+        # 13-word leak -> 9 distinct 5-grams shared
+        assert out[0]["shared_shingles"] == 9
+
+    def test_fallback_join_path_equals_broadcast_path(self, corpora):
+        corpus, benchmark = corpora
+        fast = cross_corpus_overlap(
+            corpus, benchmark, shingle_words=5, min_shared=3
+        ).collect()
+        slow = cross_corpus_overlap(
+            corpus, benchmark, shingle_words=5, min_shared=3, broadcast_threshold=0
+        ).collect()
+        assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+    def test_min_shared_filters(self, corpora):
+        corpus, benchmark = corpora
+        out = cross_corpus_overlap(
+            corpus, benchmark, shingle_words=5, min_shared=10
+        ).collect()
+        assert out == []
