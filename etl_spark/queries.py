@@ -19,7 +19,7 @@ sessionizer (vs the batch aggregate), connected components (vs a
 recursive-CTE closure), the blocked LSH near-dup at full-recall
 parameters (vs the exact scan), and the MinHash-LSH verify pipeline at a
 full-recall band config (vs the exact-Jaccard oracle). Current inventory:
-47 entries — 39 oracle, 8 rows-only.
+50 entries — 42 oracle, 8 rows-only.
 """
 
 from __future__ import annotations
@@ -1089,6 +1089,86 @@ GROUP BY c.doc_id HAVING COUNT(DISTINCT c.shingle) >= 3
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split keyed on content hash — stable
+    across runs and corpus growth (no leakage on re-ingest). Pure codegen
+    expression, zero shuffle."""
+    from etl_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "text", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
+_ORACLE_HASH_SPLIT = r"""
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(text), 1, 12))::BIGINT % 1000000 < 900000
+              THEN 'train'
+            WHEN ('0x' || substr(md5(text), 1, 12))::BIGINT % 1000000 < 950000
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) quota sampling: at most k docs per stratum,
+    chosen as the k smallest content hashes. Runs the TWO-PHASE
+    bucket-cutoff path (the skew-proof scale variant) against an oracle
+    expressed as the plain global rank — proving the paths equal."""
+    from etl_spark.operators.sampling import quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return quota_sample(
+        docs, ["lang", "source"], k=5, hash_on="text", n_prefilter_buckets=256
+    ).select("doc_id", "lang", "source")
+
+
+_ORACLE_QUOTA_SAMPLE = r"""
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY ('0x' || substr(md5(text), 1, 12))::BIGINT, text
+         ) AS rn
+  FROM documents)
+WHERE rn <= 5
+"""
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: hash-sharded, budget-chunked
+    (doc_id, shard, pack_id, n_tokens) assignment — the pre-tokenization
+    packing pass before writing training shards. Window running-sum per
+    shard; deterministic for any input partitioning."""
+    from etl_spark.functions.text import token_count
+    from etl_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", token_count("text"), budget=2000, n_shards=8
+    ).select("doc_id", "shard", "pack_id", F.col("n_tokens").cast("int").alias("n_tokens"))
+
+
+_ORACLE_SEQUENCE_PACKING = r"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 8 AS shard,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS INTEGER)
+           AS n_tokens
+  FROM documents)
+SELECT doc_id, shard,
+       CAST(floor((CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens) / 2000.0)
+            AS BIGINT) AS pack_id,
+       n_tokens
+FROM t
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: the 64-bit content fingerprint must be a
     bijection onto distinct normalized texts (no collisions at this
@@ -1309,6 +1389,9 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "ngram_frequencies": q_ngram_frequencies,
     "decontaminate": q_decontaminate,
+    "hash_split": q_hash_split,
+    "quota_sample": q_quota_sample,
+    "sequence_packing": q_sequence_packing,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_overlap": q_winnow_overlap,
     "incremental_dedup": q_incremental_dedup,
@@ -1355,6 +1438,9 @@ ORACLE_SQL = {
     "redact_pii": _ORACLE_REDACT,
     "ngram_frequencies": _ORACLE_NGRAM_FREQ,
     "decontaminate": _ORACLE_DECONTAMINATE,
+    "hash_split": _ORACLE_HASH_SPLIT,
+    "quota_sample": _ORACLE_QUOTA_SAMPLE,
+    "sequence_packing": _ORACLE_SEQUENCE_PACKING,
     "doc_fingerprint": _ORACLE_FINGERPRINT,
     "stream_sessionize": _ORACLE_STREAM_SESSIONIZE,
 }

@@ -1,0 +1,123 @@
+"""Tests for deterministic sampling / splitting / packing.
+
+The load-bearing property everywhere: assignments are pure functions of
+the DATA (content hashes), never of the run — so we test stability under
+re-computation, under corpus growth, and (for the two-phase quota path)
+exact equality against the plain rank path across bucket counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.operators.sampling import (
+    hash_split,
+    pack_sequences,
+    quota_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (i, f"document number {i} with body text {i * 7 % 13}", ["en", "de", "fr"][i % 3],
+         ["web", "books"][i % 2])
+        for i in range(600)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+class TestHashSplit:
+    def test_fractions_validation(self, corpus):
+        with pytest.raises(ValueError):
+            hash_split(corpus, "text", {"train": 0.5, "test": 0.4})
+
+    def test_total_and_rough_proportions(self, corpus):
+        out = hash_split(corpus, "text", {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 600
+        assert counts["train"] > 400          # ~480 expected
+        assert 20 <= counts.get("val", 0) <= 120
+        assert 20 <= counts.get("test", 0) <= 120
+
+    def test_stable_under_growth(self, corpus):
+        """A doc's split must not change when the corpus doubles."""
+        small = hash_split(corpus.filter("doc_id < 300"), "text",
+                           {"train": 0.9, "test": 0.1})
+        big = hash_split(corpus, "text", {"train": 0.9, "test": 0.1})
+        a = {r["doc_id"]: r["split"] for r in small.select("doc_id", "split").collect()}
+        b = {r["doc_id"]: r["split"] for r in big.select("doc_id", "split").collect()}
+        assert all(b[k] == v for k, v in a.items())
+
+    def test_deterministic_recompute(self, corpus):
+        f = {"train": 0.7, "test": 0.3}
+        one = dict(hash_split(corpus, "text", f).select("doc_id", "split").collect())
+        two = dict(hash_split(corpus, "text", f).select("doc_id", "split").collect())
+        assert one == two
+
+
+class TestQuotaSample:
+    def test_k_enforced_per_stratum(self, corpus):
+        out = quota_sample(corpus, ["lang", "source"], k=5, hash_on="text")
+        counts = out.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+        assert all(r["n"] <= 5 for r in counts)
+        assert len(counts) == 6  # 3 langs x 2 sources all represented
+
+    def test_small_stratum_kept_whole(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"t{i}", "rare") for i in range(3)], ["doc_id", "text", "lang"]
+        )
+        out = quota_sample(df, ["lang"], k=10, hash_on="text")
+        assert out.count() == 3
+
+    @pytest.mark.parametrize("buckets", [1, 7, 64, 4096])
+    def test_two_phase_equals_plain_for_any_bucket_count(self, corpus, buckets):
+        plain = quota_sample(corpus, ["lang"], k=40, hash_on="text")
+        two = quota_sample(corpus, ["lang"], k=40, hash_on="text",
+                           n_prefilter_buckets=buckets)
+        a = sorted(tuple(r) for r in plain.collect())
+        b = sorted(tuple(r) for r in two.collect())
+        assert a == b
+
+    def test_sample_is_prefix_stable(self, corpus):
+        """k=10 sample must be a subset of the k=20 sample (hash-order
+        ranks don't reshuffle as the quota grows)."""
+        s10 = {r["doc_id"] for r in
+               quota_sample(corpus, ["lang"], 10, "text").select("doc_id").collect()}
+        s20 = {r["doc_id"] for r in
+               quota_sample(corpus, ["lang"], 20, "text").select("doc_id").collect()}
+        assert s10 <= s20
+
+
+class TestPackSequences:
+    def test_packing_invariants(self, corpus):
+        out = pack_sequences(
+            corpus, "doc_id",
+            F.length("text").cast("int"), budget=200, n_shards=4,
+        ).collect()
+        by_shard: dict[int, list] = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r)
+        assert set(by_shard) <= set(range(4))
+        for shard, rows in by_shard.items():
+            rows.sort(key=lambda r: r["doc_id"])
+            cum = 0
+            for r in rows:
+                # next-fit: the pack a doc opens in is determined by the
+                # running total BEFORE the doc
+                assert r["pack_id"] == cum // 200
+                cum += r["n_tokens"]
+            # pack ids are non-decreasing and start at 0
+            ids = [r["pack_id"] for r in rows]
+            assert ids[0] == 0 and ids == sorted(ids)
+
+    def test_assignment_independent_of_input_partitioning(self, corpus):
+        a = pack_sequences(corpus, "doc_id", F.length("text").cast("int"),
+                           budget=300, n_shards=8)
+        b = pack_sequences(corpus.repartition(13), "doc_id",
+                           F.length("text").cast("int"), budget=300, n_shards=8)
+        ka = sorted((r["doc_id"], r["shard"], r["pack_id"]) for r in a.collect())
+        kb = sorted((r["doc_id"], r["shard"], r["pack_id"]) for r in b.collect())
+        assert ka == kb
