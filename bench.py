@@ -42,6 +42,9 @@ HEADLINE = [
     "embedding_neardup",
     "embedding_neardup_blocked_hi",
     "text_stats",
+    "ngram_frequencies",
+    "decontaminate",
+    "quota_sample",
 ]
 
 # Bench changelog: ~1.1M change events over ~450k (conv_id, turn_idx) keys,

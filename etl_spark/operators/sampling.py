@@ -138,6 +138,11 @@ def quota_sample(
     buckets preserve hash order (bucket i < bucket i+1 ⇒ hash order), so
     the output is IDENTICAL to the plain path for any B. Strata columns
     must be non-null on the two-phase path (they become join keys).
+
+    The two-phase path reads the corpus three times (stats, pass filter,
+    boundary rank) — all fully parallel scans, the right trade against
+    the plain path's single scan that funnels a hot stratum through one
+    reducer's sort.
     """
     if n_prefilter_buckets is None:
         w = Window.partitionBy(*strata).orderBy(*_rank_order(hash_on))
@@ -165,6 +170,8 @@ def quota_sample(
     # per stratum: running total over buckets in ascending order → the
     # first bucket where cumulative >= k is the boundary; below it, all
     # rows pass unranked.
+    if not counts:  # empty input: schema-correct empty result
+        return df.limit(0)
     per_stratum: dict[tuple, list[tuple[int, int]]] = {}
     for r in counts:
         key = tuple(r[c] for c in strata)
@@ -226,6 +233,10 @@ def pack_sequences(
     partitioning, and the full assignment is a pure function of
     (ids, token counts, budget, n_shards). One shuffle (by shard), one
     running-sum window per shard.
+
+    ``id_col`` must be unique — it is the within-shard packing order, and
+    ties would make the running sum (hence pack assignment)
+    nondeterministic.
 
     Returns the input plus (shard, pack_id, n_tokens) columns.
     """

@@ -143,3 +143,27 @@ def test_no_cartesian_product_in_query_plans(spark):
         assert "CartesianProduct" not in plan, name
         if name not in python_ok:
             assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+def test_hash_split_is_shuffle_free(spark):
+    """The split label is a pure codegen expression riding the scan: no
+    Exchange and no Python anywhere in the plan."""
+    from etl_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _executed_plan(
+        hash_split(docs, "text", {"train": 0.9, "val": 0.05, "test": 0.05})
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_quota_two_phase_broadcasts_cutoffs(spark):
+    """The per-stratum cutoff table (tiny by construction) must join in
+    as a broadcast, never reshuffling the corpus on the strata keys for
+    the filter phase."""
+    from etl_spark.operators.sampling import quota_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = quota_sample(docs, ["lang"], k=5, hash_on="text", n_prefilter_buckets=64)
+    assert "BroadcastHashJoin" in _executed_plan(out)

@@ -316,3 +316,48 @@ def test_stream_integrated_near_dup_index(spark, tmp_path):
     )
     pairs2 = spark.read.parquet(os.path.join(state, "dedup", "pairs")).toPandas()
     assert len(pairs2) == len(pairs)
+
+
+def test_stream_integrated_pii_redaction(spark, tmp_path):
+    """PII redaction as the CDC payload transform: redacting inside the
+    replay (post-dedup stage — row-wise, key-preserving) must equal
+    redacting the converged table after the fact. Ties the corpus
+    redaction operator into the ingest path the same way normalization
+    runs there."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.functions.text import redact_pii
+
+    pdf = generate_changelog(SPEC)
+    # plant PII in the payloads so the transform has real work
+    pdf = pdf.assign(
+        text=pdf["text"].astype(str)
+        + " reach me at user" + pdf["turn_idx"].astype(str)
+        + "@example.com or 10.0.0." + (pdf["turn_idx"] % 256).astype(str)
+    )
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+
+    def redact(df):
+        return df.withColumn("text", redact_pii("text"))
+
+    t_in = make_target(spark, tmp_path / "in_stream")
+    CdcStream(
+        spark, wal, t_in, str(tmp_path / "state_in"),
+        transform=redact, transform_stage="post",
+    ).run_to_completion()
+
+    t_raw = make_target(spark, tmp_path / "raw")
+    CdcStream(spark, wal, t_raw, str(tmp_path / "state_raw")).run_to_completion()
+
+    got = (
+        t_in.read().select("conv_id", "turn_idx", "text")
+        .orderBy("conv_id", "turn_idx").toPandas()
+    )
+    want = (
+        redact(t_raw.read()).select("conv_id", "turn_idx", "text")
+        .orderBy("conv_id", "turn_idx").toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["text"].str.contains(r"\[EMAIL\]").all()
+    assert not got["text"].str.contains("@example.com").any()
