@@ -45,6 +45,8 @@ HEADLINE = [
     "ngram_frequencies",
     "decontaminate",
     "quota_sample",
+    "asof_join",
+    "scd2",
 ]
 
 # Bench changelog: ~1.1M change events over ~450k (conv_id, turn_idx) keys,

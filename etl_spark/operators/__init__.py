@@ -18,6 +18,7 @@ from etl_spark.operators.dedup import (
     simhash_neardup_pairs,
     simhash_signatures_pandas,
 )
+from etl_spark.operators.temporal import asof_join, interval_join, scd2_history
 from etl_spark.operators.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
@@ -49,4 +50,7 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "embedding_neardup_pairs",
+    "asof_join",
+    "interval_join",
+    "scd2_history",
 ]

@@ -18,8 +18,10 @@ oracle). Notable oracle-checked non-trivials: the stateful streaming
 sessionizer (vs the batch aggregate), connected components (vs a
 recursive-CTE closure), the blocked LSH near-dup at full-recall
 parameters (vs the exact scan), and the MinHash-LSH verify pipeline at a
-full-recall band config (vs the exact-Jaccard oracle). Current inventory:
-50 entries — 42 oracle, 8 rows-only.
+full-recall band config (vs the exact-Jaccard oracle), and the temporal
+family (as-of join vs DuckDB's native ASOF LEFT JOIN, the bucketed
+interval join vs an inequality join, SCD2 vs a lag/lead window). Current
+inventory: 53 entries — 45 oracle, 8 rows-only.
 """
 
 from __future__ import annotations
@@ -1306,6 +1308,102 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --------------------------------------------------------------------------
+# Temporal joins / history (as-of, interval, SCD2)
+# --------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): every purchase gets the user's
+    most recent view at-or-before the purchase timestamp — DuckDB
+    ``ASOF LEFT JOIN`` semantics via the single-shuffle union+window
+    shape (operators/temporal.py)."""
+    from etl_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        p, v, keys=["user_id"], left_time="ts", right_time="vts",
+        right_cols=["view_event_id", "view_value"],
+    ).select("user_id", "event_id", "value", "view_event_id", "view_value")
+
+
+_ORACLE_ASOF = """
+SELECT p.user_id, p.event_id, p.value,
+       v.event_id AS view_event_id, v.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range containment) join without a cartesian product:
+    clicks landing inside any [error_ts, error_ts + 1h] window of the
+    same user, via the shared time-grid bucketing in
+    operators/temporal.py (equi-join on (user, bin) + exact filter)."""
+    from etl_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 3600 SECONDS")).alias("w_end"),
+        F.col("event_id").alias("error_event_id"),
+    )
+    return interval_join(
+        clicks, errs, "ts", "w_start", "w_end",
+        keys=["user_id"], bin_seconds=3600,
+    ).select("user_id", "event_id", "error_event_id")
+
+
+_ORACLE_INTERVAL = """
+SELECT c.user_id, c.event_id, e.event_id AS error_event_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts, ts + INTERVAL 3600 SECONDS AS w_end, event_id
+      FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id AND c.ts >= e.ts AND c.ts <= e.w_end
+"""
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history: the per-user event_type changelog becomes versioned
+    validity rows (valid_from/valid_to/is_current/version), consecutive
+    repeats collapsed — the history-preserving complement of LWW apply."""
+    from etl_spark.operators.temporal import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        keys=["user_id"], time_col="ts",
+        payload_cols=["event_type"], tiebreak=["event_id"],
+    )
+
+
+_ORACLE_SCD2 = """
+WITH chg AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), f AS (SELECT * FROM chg WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       lead(ts) OVER w2 IS NULL AS is_current,
+       CAST(row_number() OVER w2 AS BIGINT) AS version
+FROM f WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full streaming engine path: deterministic transcript changelog ->
     WAL segments -> Structured Streaming tail -> exactly-once MERGE ->
@@ -1396,6 +1494,9 @@ QUERIES = {
     "winnow_overlap": q_winnow_overlap,
     "incremental_dedup": q_incremental_dedup,
     "multimodal_meta": q_multimodal_meta,
+    "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
+    "scd2": q_scd2,
     "stream_sessionize": q_stream_sessionize,
     "streaming_cdc_replay": q_streaming_cdc_replay,
 }
@@ -1441,6 +1542,9 @@ ORACLE_SQL = {
     "hash_split": _ORACLE_HASH_SPLIT,
     "quota_sample": _ORACLE_QUOTA_SAMPLE,
     "sequence_packing": _ORACLE_SEQUENCE_PACKING,
+    "asof_join": _ORACLE_ASOF,
+    "interval_join": _ORACLE_INTERVAL,
+    "scd2": _ORACLE_SCD2,
     "doc_fingerprint": _ORACLE_FINGERPRINT,
     "stream_sessionize": _ORACLE_STREAM_SESSIONIZE,
 }
