@@ -139,6 +139,41 @@ def run_incremental_dedup(spark, sf_dir: str, n_batches: int = 4) -> dict:
     return {"n_batches": n_batches, "pairs": pairs, "sec": round(wall, 3)}
 
 
+def run_scd2_apply(spark, sf_dir: str, n_batches: int = 4) -> dict:
+    """History-preserving CDC: the events changelog applied in
+    ``n_batches`` chronological batches through cdc.scd2.apply_scd2
+    (bucket-pruned current-row reads, late guard, MERGE upsert) — the
+    measured number for the lifecycle the `scd2_incremental` oracle row
+    proves correct."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.scd2 import apply_scd2, create_scd2_table
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    step = (hi + n_batches) // n_batches
+    work = tempfile.mkdtemp(prefix="etl_spark_scd2_")
+    try:
+        t0 = time.time()
+        table = create_scd2_table(
+            spark, os.path.join(work, "t"), ev.schema, ["user_id"], "ts",
+            payload_cols=["event_type"], n_buckets=32,
+        )
+        for b in range(n_batches):
+            batch = ev.filter(
+                (F.col("event_id") >= b * step)
+                & (F.col("event_id") < (b + 1) * step)
+            )
+            apply_scd2(table, batch, "ts", tiebreak=["event_id"])
+        wall = time.time() - t0
+        rows = table.row_count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {"n_batches": n_batches, "history_rows": rows, "sec": round(wall, 3)}
+
+
 def _materialize(df) -> int:
     """Force full computation of every column (count() alone lets Catalyst
     prune the projections we are trying to measure)."""
@@ -429,6 +464,8 @@ def main() -> None:
         queries = run_queries(spark, sf_dir)
         inc = run_incremental_dedup(spark, sf_dir, n_batches=4)
         queries["incremental_dedup_4batch"] = inc["sec"]
+        scd2 = run_scd2_apply(spark, sf_dir, n_batches=4)
+        queries["scd2_apply_4batch"] = scd2["sec"]
         skew = run_skew_replay(spark, work_dir)
         queries["skew_salted_replay"] = skew["replay_sec"]
         cdc = run_cdc_replay(
@@ -445,6 +482,7 @@ def main() -> None:
             "cpus": cpus,
             "cdc": cdc,
             "incremental_dedup": inc,
+            "scd2_apply": scd2,
             "skew": skew,
         }
         if scaling:

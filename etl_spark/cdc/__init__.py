@@ -7,6 +7,7 @@ from etl_spark.cdc.changelog import (
     write_changelog,
 )
 from etl_spark.cdc.apply import apply_batch, dedup_last_writer_wins, replay
+from etl_spark.cdc.scd2 import apply_scd2, create_scd2_table, scd2_schema
 
 __all__ = [
     "CHANGELOG_SCHEMA",
@@ -18,4 +19,7 @@ __all__ = [
     "apply_batch",
     "dedup_last_writer_wins",
     "replay",
+    "apply_scd2",
+    "create_scd2_table",
+    "scd2_schema",
 ]

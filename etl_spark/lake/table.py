@@ -45,7 +45,7 @@ import uuid
 from dataclasses import dataclass
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -53,6 +53,39 @@ _BUCKET_COL = "__bucket"
 _ORIGIN_COL = "__origin"
 _META_DIR = "_meta"
 _DATA_DIR = "data"
+
+# Types eligible for zone-map stats: totally ordered, and parquet footer
+# min/max is exact (string statistics may be writer-truncated, so they
+# are excluded by design).
+_STATS_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+    T.DateType, T.TimestampType, T.TimestampNTZType,
+)
+
+
+def _stat_encode(v: Any) -> Any:
+    """Footer statistic -> JSON-storable, order-preserving value."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, _dt.datetime):
+        # epoch microseconds (footer values are tz-naive here)
+        return int(v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    if isinstance(v, _dec.Decimal):
+        return str(v)
+    return v
+
+
+def _stat_key(v: Any):
+    """Comparable form of an encoded stat (decimals compare numerically)."""
+    import decimal as _dec
+
+    if isinstance(v, str):
+        return _dec.Decimal(v)
+    return v
 
 
 class CommitConflict(RuntimeError):
@@ -129,7 +162,8 @@ class Snapshot:
     key: list[str]
     bucket_by: list[str]
     n_buckets: int
-    # {"path": rel, "bucket": int, "rows": int, "sid": schema-id}
+    # {"path": rel, "bucket": int, "rows": int, "sid": schema-id,
+    #  "stats": {col: [min, max]}}  (stats only for stats_cols files)
     files: list[dict[str, Any]]
     # schema-id -> StructType json the files were physically written with.
     # Old files are never rewritten on evolution; readers read each schema
@@ -139,6 +173,9 @@ class Snapshot:
     schemas: dict[str, Any]
     op: str
     ts: float
+    # zone-map columns: per-file min/max harvested from parquet footers
+    # at write time (numeric/temporal only), used by scan() pruning
+    stats_cols: list[str] = None  # type: ignore[assignment]
 
     @property
     def total_rows(self) -> int:
@@ -164,12 +201,21 @@ class LakeTable:
         n_buckets: int = 16,
         bucket_by: list[str] | None = None,
         if_not_exists: bool = False,
+        stats_cols: list[str] | None = None,
     ) -> "LakeTable":
         t = cls(spark, path)
         if os.path.exists(t._meta):
             if if_not_exists:
                 return t
             raise FileExistsError(f"table already exists at {path}")
+        for c in stats_cols or []:
+            dt_ = schema[c].dataType
+            if not isinstance(dt_, _STATS_TYPES):
+                raise ValueError(
+                    f"stats column {c!r} has non-prunable type {dt_} — "
+                    "zone maps support numeric/date/timestamp columns "
+                    "(parquet string min/max may be writer-truncated)"
+                )
         os.makedirs(t._meta, exist_ok=True)
         os.makedirs(os.path.join(t.path, _DATA_DIR), exist_ok=True)
         snap = Snapshot(
@@ -182,6 +228,7 @@ class LakeTable:
             schemas={"0": schema.jsonValue()},
             op="create",
             ts=time.time(),
+            stats_cols=list(stats_cols or []),
         )
         t._write_snapshot(snap)
         return t
@@ -227,6 +274,7 @@ class LakeTable:
             schemas=d["schemas"],
             op=d["op"],
             ts=d["ts"],
+            stats_cols=d.get("stats_cols", []),
         )
 
     def _write_snapshot(self, snap: Snapshot) -> None:
@@ -241,6 +289,7 @@ class LakeTable:
                 "schemas": snap.schemas,
                 "op": snap.op,
                 "ts": snap.ts,
+                "stats_cols": snap.stats_cols or [],
             },
             indent=1,
         )
@@ -340,6 +389,64 @@ class LakeTable:
             pred = this if pred is None else (pred | this)
         return out.filter(pred) if pred is not None else out
 
+    # ------------------------------------------------------------- zone maps
+    def files_matching(
+        self,
+        filters: list[tuple[str, str, Any]],
+        version: int | None = None,
+    ) -> tuple[list[dict[str, Any]], int]:
+        """Manifest entries that can contain rows matching ``filters``
+        (list of ``(col, op, value)``, op in <, <=, >, >=, =), plus the
+        total file count — driver-side zone-map pruning over the per-file
+        min/max recorded at write time. Files without stats for a column
+        (pre-evolution files, non-stats tables) are conservatively kept.
+        """
+        ops = {"<", "<=", ">", ">=", "="}
+        for _, op, _v in filters:
+            if op not in ops:
+                raise ValueError(f"unsupported op {op!r} (use {sorted(ops)})")
+
+        def keep(e: dict[str, Any]) -> bool:
+            st = e.get("stats") or {}
+            for col, op, v in filters:
+                if col not in st:
+                    continue
+                lo, hi = _stat_key(st[col][0]), _stat_key(st[col][1])
+                w = _stat_key(_stat_encode(v))
+                if op == "=" and not (lo <= w <= hi):
+                    return False
+                if op in ("<", "<=") and not (lo < w or (op == "<=" and lo == w)):
+                    return False
+                if op in (">", ">=") and not (hi > w or (op == ">=" and hi == w)):
+                    return False
+            return True
+
+        snap = self.snapshot(version)
+        return [e for e in snap.files if keep(e)], len(snap.files)
+
+    def scan(
+        self,
+        filters: list[tuple[str, str, Any]],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Filtered read with zone-map file skipping: manifest entries
+        whose min/max range excludes the predicate never become input
+        splits (the 100 TB path — a time-range query over an
+        ingest-ordered table reads the few files covering the range, not
+        the table). The exact predicate is ALWAYS re-applied to the
+        surviving files, so results are identical to
+        ``read().filter(...)`` regardless of stats coverage."""
+        snap = self.snapshot(version)
+        entries, _total = self.files_matching(filters, version)
+        out = self._read_files(snap, entries)
+        _OPF = {
+            "<": Column.__lt__, "<=": Column.__le__,
+            ">": Column.__gt__, ">=": Column.__ge__, "=": Column.__eq__,
+        }
+        for col, op, v in filters:
+            out = out.filter(_OPF[op](F.col(col), F.lit(v)))
+        return out
+
     # ----------------------------------------------------------------- write
     def _bucket_expr(self, snap: Snapshot):
         if snap.n_buckets <= 0:
@@ -350,7 +457,7 @@ class LakeTable:
 
     def _write_data_files(
         self, snap_version: int, df: DataFrame, n_buckets: int = 0,
-        origin_partition: bool = False,
+        origin_partition: bool = False, stats_cols: list[str] | None = None,
     ) -> list[dict[str, Any]]:
         """Write df (must carry __bucket) partitioned by bucket under a
         unique dir; return manifest entries with parquet-footer row counts.
@@ -396,13 +503,37 @@ class LakeTable:
 
         def entry(item: tuple[str, int, str | None]) -> dict[str, Any]:
             full, bucket, origin = item
+            md = pq.ParquetFile(full).metadata
             e: dict[str, Any] = {
                 "path": os.path.relpath(full, self.path),
                 "bucket": bucket,
-                "rows": pq.ParquetFile(full).metadata.num_rows,
+                "rows": md.num_rows,
             }
             if origin is not None:
                 e["origin"] = origin
+            if stats_cols:
+                # zone maps: min/max per stats column from the SAME footer
+                # read that already yields the row count — zero extra IO
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                stats: dict[str, list[Any]] = {}
+                for c in stats_cols:
+                    j = idx.get(c)
+                    if j is None:
+                        continue
+                    lo = hi = None
+                    ok = md.num_row_groups > 0
+                    for g in range(md.num_row_groups):
+                        s = md.row_group(g).column(j).statistics
+                        if s is None or not s.has_min_max:
+                            ok = False
+                            break
+                        mn, mx = _stat_encode(s.min), _stat_encode(s.max)
+                        lo = mn if lo is None or _stat_key(mn) < _stat_key(lo) else lo
+                        hi = mx if hi is None or _stat_key(mx) > _stat_key(hi) else hi
+                    if ok and lo is not None:
+                        stats[c] = [lo, hi]
+                if stats:
+                    e["stats"] = stats
             return e
 
         # footer reads are tiny but latency-bound; a commit lists O(buckets)
@@ -436,6 +567,7 @@ class LakeTable:
             schemas=schemas,
             op=op,
             ts=time.time(),
+            stats_cols=base.stats_cols,
         )
         self._write_snapshot(snap)
         return snap
@@ -446,7 +578,9 @@ class LakeTable:
         aligned = align_to_schema(df, schema).withColumn(
             _BUCKET_COL, self._bucket_expr(base)
         )
-        new_files = self._write_data_files(base.version + 1, aligned, base.n_buckets)
+        new_files = self._write_data_files(
+            base.version + 1, aligned, base.n_buckets, stats_cols=base.stats_cols
+        )
         return self._commit(base, base.files, new_files, schema, "append")
 
     def overwrite(self, df: DataFrame, evolve: bool = True) -> Snapshot:
@@ -457,7 +591,9 @@ class LakeTable:
         aligned = align_to_schema(df, schema).withColumn(
             _BUCKET_COL, self._bucket_expr(base)
         )
-        new_files = self._write_data_files(base.version + 1, aligned, base.n_buckets)
+        new_files = self._write_data_files(
+            base.version + 1, aligned, base.n_buckets, stats_cols=base.stats_cols
+        )
         return self._commit(base, [], new_files, schema, "overwrite")
 
     # ----------------------------------------------------------------- merge
@@ -564,7 +700,8 @@ class LakeTable:
                 ).withColumn(_ORIGIN_COL, F.lit("s"))
                 result = survivors.select(src_all.columns).unionByName(src_all)
             written = self._write_data_files(
-                base.version + 1, result, base.n_buckets, origin_partition=True
+                base.version + 1, result, base.n_buckets, origin_partition=True,
+                stats_cols=base.stats_cols,
             )
             # Delete tombstone files hold the batch's post-dedup D-rows —
             # counted via their footers, then dropped before the commit so
@@ -717,7 +854,8 @@ class LakeTable:
             F.when(cond, F.lit("u")).otherwise(F.lit("s")).alias(_ORIGIN_COL),
         )
         written = self._write_data_files(
-            base.version + 1, result, base.n_buckets, origin_partition=True
+            base.version + 1, result, base.n_buckets, origin_partition=True,
+            stats_cols=base.stats_cols,
         )
         rows_updated = sum(f["rows"] for f in written if f.get("origin") == "u")
         new_files = [{k: v for k, v in f.items() if k != "origin"} for f in written]
@@ -766,7 +904,9 @@ class LakeTable:
         micro-batch writes one file per affected bucket."""
         base = self.snapshot()
         df = self.read().withColumn(_BUCKET_COL, self._bucket_expr(base))
-        new_files = self._write_data_files(base.version + 1, df, base.n_buckets)
+        new_files = self._write_data_files(
+            base.version + 1, df, base.n_buckets, stats_cols=base.stats_cols
+        )
         return self._commit(base, [], new_files, base.schema, "compact")
 
     def expire_snapshots(self, keep_last: int = 1) -> int:

@@ -225,8 +225,11 @@ def scd2_history(
 
     df = changelog
     if change_only:
+        # null-safe: a payload transitioning to/from NULL is a change,
+        # and NULL-valued fields must not nullify the comparison (a plain
+        # != on structs with NULL members returns NULL -> row dropped)
         prev = F.lag(F.struct(*payload_cols)).over(w)
-        changed = prev.isNull() | (prev != F.struct(*payload_cols))
+        changed = ~prev.eqNullSafe(F.struct(*payload_cols))
         df = df.withColumn("__chg", changed).filter("__chg").drop("__chg")
 
     return df.select(

@@ -20,8 +20,9 @@ recursive-CTE closure), the blocked LSH near-dup at full-recall
 parameters (vs the exact scan), and the MinHash-LSH verify pipeline at a
 full-recall band config (vs the exact-Jaccard oracle), and the temporal
 family (as-of join vs DuckDB's native ASOF LEFT JOIN, the bucketed
-interval join vs an inequality join, SCD2 vs a lag/lead window). Current
-inventory: 53 entries — 45 oracle, 8 rows-only.
+interval join vs an inequality join, SCD2 vs a lag/lead window, and the
+INCREMENTAL SCD2 apply — a four-batch lake-table lifecycle — vs the same
+full-log SQL). Current inventory: 54 entries — 46 oracle, 8 rows-only.
 """
 
 from __future__ import annotations
@@ -1404,6 +1405,48 @@ FROM f WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SCD2: the events changelog applied in four
+    chronological batches through ``cdc.scd2.apply_scd2`` (bucket-pruned
+    current-row reads, version continuation, late-data guard) must
+    converge to EXACTLY the history the one-shot window computes — same
+    oracle as the batch ``scd2`` query. This is the strongest evidence
+    class for the apply loop: a multi-commit lake-table lifecycle checked
+    bit-exact against one SQL statement over the raw log."""
+    import shutil
+
+    from etl_spark.cdc.scd2 import apply_scd2, create_scd2_table
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="scd2_inc_")
+    try:
+        table = create_scd2_table(
+            spark, os.path.join(tmp, "t"), ev.schema, ["user_id"], "ts",
+            payload_cols=["event_type"], n_buckets=8,
+        )
+        # event_id order IS event-time order in this table (verified
+        # strictly monotone), so id-range batches are chronological
+        hi = ev.agg(F.max("event_id")).collect()[0][0]
+        step = (hi + 4) // 4
+        for b in range(4):
+            batch = ev.filter(
+                (F.col("event_id") >= b * step)
+                & (F.col("event_id") < (b + 1) * step)
+            )
+            apply_scd2(table, batch, "ts", tiebreak=["event_id"])
+        out = table.read().select(
+            "user_id", "event_type", "valid_from", "valid_to",
+            "is_current", "version",
+        )
+        out = out.cache()
+        out.count()  # materialize before the temp table dir goes away
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full streaming engine path: deterministic transcript changelog ->
     WAL segments -> Structured Streaming tail -> exactly-once MERGE ->
@@ -1497,6 +1540,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
     "scd2": q_scd2,
+    "scd2_incremental": q_scd2_incremental,
     "stream_sessionize": q_stream_sessionize,
     "streaming_cdc_replay": q_streaming_cdc_replay,
 }
@@ -1545,6 +1589,7 @@ ORACLE_SQL = {
     "asof_join": _ORACLE_ASOF,
     "interval_join": _ORACLE_INTERVAL,
     "scd2": _ORACLE_SCD2,
+    "scd2_incremental": _ORACLE_SCD2,
     "doc_fingerprint": _ORACLE_FINGERPRINT,
     "stream_sessionize": _ORACLE_STREAM_SESSIONIZE,
 }

@@ -57,6 +57,11 @@ def get_session(
         # to UTC the semantics are identical, and the engine keeps ONE
         # timestamp type across sources, lake tables, and the DuckDB oracle.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # TIMESTAMP_MICROS, not the legacy INT96 default: INT96 columns
+        # carry NO parquet min/max statistics, which would silently
+        # disable the lake table's zone-map pruning on timestamp columns
+        # (and INT96 is deprecated everywhere outside Hive compat).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # Files: 32 MiB split target, NOT the stock 128 MiB. This engine's
         # scan tasks are CPU-heavy (snappy decompress + regex normalize +

@@ -414,3 +414,97 @@ def test_table_changes_across_schema_evolution(spark, tmp_path):
         for r in table.table_changes(v1).collect()
     }
     assert changes == {1: ("a", "T1", "update")}  # k=2 untouched -> absent
+
+
+# ---------------------------------------------------------------- zone maps
+
+def _zm_table(spark, tmp_path):
+    import datetime as dt
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("name", T.StringType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "zm"), schema, key=["id"], n_buckets=4,
+        stats_cols=["ts", "v"],
+    )
+    def mk(day_lo, day_hi, base):
+        rows = [
+            (base + i,
+             dt.datetime(2024, 1, day_lo) + dt.timedelta(
+                 hours=i * (day_hi - day_lo) * 24 // 50),
+             float(base + i), f"n{i}")
+            for i in range(50)
+        ]
+        return spark.createDataFrame(rows, schema)
+    t.append(mk(1, 5, 0))      # jan 1-5
+    t.append(mk(10, 15, 100))  # jan 10-15
+    t.append(mk(20, 25, 200))  # jan 20-25
+    return t
+
+
+def test_zone_map_prunes_time_range(spark, tmp_path):
+    import datetime as dt
+
+    t = _zm_table(spark, tmp_path)
+    filters = [("ts", ">=", dt.datetime(2024, 1, 10)),
+               ("ts", "<", dt.datetime(2024, 1, 16))]
+    kept, total = t.files_matching(filters)
+    assert total == 12 and len(kept) == 4  # only the jan 10-15 commit
+    got = sorted(r["id"] for r in t.scan(filters).collect())
+    want = sorted(
+        r["id"] for r in t.read().filter(
+            (F.col("ts") >= dt.datetime(2024, 1, 10))
+            & (F.col("ts") < dt.datetime(2024, 1, 16))
+        ).collect()
+    )
+    assert got == want and len(got) == 50
+
+
+def test_zone_map_residual_filter_inside_file(spark, tmp_path):
+    # predicate narrower than any file's range: pruning keeps the file,
+    # the residual filter cuts the rows — results identical to full scan
+    t = _zm_table(spark, tmp_path)
+    got = sorted(r["id"] for r in t.scan([("v", ">=", 205.0)]).collect())
+    assert got == list(range(205, 250))
+
+
+def test_zone_map_survives_merge_and_time_travel(spark, tmp_path):
+    import datetime as dt
+
+    t = _zm_table(spark, tmp_path)
+    v_before = t.current_version()
+    src = spark.createDataFrame(
+        [(105, dt.datetime(2024, 6, 1), 9999.0, "x", "U")],
+        "id long, ts timestamp, v double, name string, op string",
+    )
+    t.merge(src, op_col="op")
+    kept, total = t.files_matching([("v", "=", 9999.0)])
+    assert len(kept) < total
+    assert t.scan([("v", "=", 9999.0)]).count() == 1
+    # the OLD snapshot still prunes with its own stats
+    kept_old, _ = t.files_matching(
+        [("ts", ">=", dt.datetime(2024, 1, 20))], version=v_before
+    )
+    assert len(kept_old) == 4
+
+
+def test_zone_map_files_without_stats_kept_conservatively(spark, tmp_path):
+    # a table created WITHOUT stats_cols: files_matching keeps everything
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    t = LakeTable.create(spark, str(tmp_path / "ns"), df.schema, key=["id"],
+                         n_buckets=2)
+    t.append(df)
+    kept, total = t.files_matching([("v", "=", 42.0)])
+    assert len(kept) == total  # no stats -> no pruning, never wrong results
+    assert t.scan([("v", "=", 42.0)]).count() == 0
+
+
+def test_zone_map_rejects_string_stats_col(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with pytest.raises(ValueError, match="non-prunable"):
+        LakeTable.create(spark, str(tmp_path / "bad"), df.schema, key=["id"],
+                         stats_cols=["name"])
