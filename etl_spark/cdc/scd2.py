@@ -98,6 +98,8 @@ def apply_scd2(
     events: DataFrame,
     time_col: str,
     tiebreak: list[str] | None = None,
+    op_col: str | None = None,
+    delete_op: str = "D",
     broadcast_threshold: int = 200_000,
 ) -> tuple[Any, dict[str, int]]:
     """Apply one batch of observed states to an SCD2 lake table.
@@ -106,8 +108,18 @@ def apply_scd2(
     ``time_col``; ``tiebreak`` orders equal-time events deterministically
     (an LSN / event id — not persisted). Consecutive observations with an
     identical payload (null-safe comparison) mint no version but DO
-    advance ``last_seen``. Returns (snapshot | None, stats): stats counts
-    ``late_rows`` (dropped, at-or-before last_seen), ``events_applied``,
+    advance ``last_seen``. With ``op_col`` given, events whose op equals
+    ``delete_op`` CLOSE the key's current version (valid_to = delete
+    time) without minting one; a later event reopens the key at the next
+    version number. Deleting an absent key is a no-op.
+
+    Anchor contract: exactly the key's max-version row carries a
+    non-NULL ``last_seen`` (even after a delete closed it) — that row is
+    what the next batch's guard and version continuation read, so a
+    deleted key can reopen and a replayed batch stays a no-op.
+
+    Returns (snapshot | None, stats): stats counts ``late_rows``
+    (dropped, at-or-before last_seen), ``events_applied``,
     ``versions_written``, plus the underlying merge stats.
     """
     snap = table.snapshot()
@@ -118,7 +130,12 @@ def apply_scd2(
     ]
     tb = tiebreak or []
 
-    src = events.select(*bkey, time_col, *payload, *tb)
+    is_del = (
+        (F.col(op_col) == F.lit(delete_op)) if op_col is not None else F.lit(False)
+    )
+    src = events.select(
+        *bkey, time_col, *payload, *tb, is_del.alias("__del")
+    )
     src = src.withColumn(_BUCKET_COL, table._bucket_expr(snap))
     src.persist()
     to_unpersist = [src]
@@ -132,9 +149,13 @@ def apply_scd2(
                           "versions_written": 0, "source_rows": 0}
         src_rows = sum(per_bucket.values())
 
-        # current rows of affected keys, from affected buckets only
+        # anchor rows (max version per key — last_seen is non-NULL on
+        # exactly that row, current or delete-closed) of affected keys,
+        # from affected buckets only
         entries = [f for f in snap.files if f["bucket"] in per_bucket]
-        cur = table._read_files(snap, entries).filter(F.col("is_current"))
+        cur = table._read_files(snap, entries).filter(
+            F.col("last_seen").isNotNull()
+        )
         keys = src.select(*bkey).dropDuplicates(bkey)
         if src_rows <= broadcast_threshold:
             keys = F.broadcast(keys)
@@ -173,13 +194,28 @@ def apply_scd2(
             live_keys = F.broadcast(live_keys)
         cur = cur.join(live_keys, on=bkey, how="left_semi")
 
-        # seeds (current rows, carrying their version) ∪ surviving events
-        seed = cur.select(
-            *bkey,
-            F.col("valid_from").alias("__t"),
-            *payload,
+        # seeds (anchor rows, carrying their version) ∪ surviving events.
+        # A delete-closed anchor additionally contributes a SYNTHETIC
+        # delete row at its valid_to so the rebuilt ordering reproduces
+        # the closing edge (consecutive-delete collapse, reopen version).
+        tt = snap.schema["valid_from"].dataType
+        seed_common = [
             F.col("version").alias("__seedver"),
             F.col("last_seen").alias("__seen"),
+            *[F.lit(None).cast(events.schema[c].dataType).alias(f"__tb_{c}")
+              for c in tb],
+        ]
+        seed = cur.select(
+            *bkey, F.col("valid_from").alias("__t"), *payload,
+            F.lit(False).alias("__del"), *seed_common,
+        )
+        seed_del = cur.filter(F.col("valid_to").isNotNull()).select(
+            *bkey,
+            F.col("valid_to").alias("__t"),
+            *[F.lit(None).cast(snap.schema[c].dataType).alias(c) for c in payload],
+            F.lit(True).alias("__del"),
+            F.lit(None).cast("long").alias("__seedver"),
+            F.lit(None).cast(tt).alias("__seen"),
             *[F.lit(None).cast(events.schema[c].dataType).alias(f"__tb_{c}")
               for c in tb],
         )
@@ -187,11 +223,12 @@ def apply_scd2(
             *bkey,
             F.col(time_col).alias("__t"),
             *payload,
+            "__del",
             F.lit(None).cast("long").alias("__seedver"),
             F.col(time_col).alias("__seen"),
             *[F.col(c).alias(f"__tb_{c}") for c in tb],
         )
-        u = seed.unionByName(new)
+        u = seed.unionByName(seed_del).unionByName(new)
 
         wk = Window.partitionBy(*bkey)
         # order: time, then seed-before-event at equal time (seed __tb_*
@@ -201,29 +238,41 @@ def apply_scd2(
 
         u = u.withColumn("__base", F.max("__seedver").over(wk))
         u = u.withColumn("__maxseen", F.max("__seen").over(wk))
-        prev = F.lag(F.struct(*payload)).over(w)
-        u = u.withColumn(
-            "__chg", ~prev.eqNullSafe(F.struct(*payload))
-        ).filter("__chg")
+        # a delete is a distinct state: the flag joins the payload in the
+        # null-safe change collapse (delete->delete collapses, X->delete
+        # and delete->X are changes)
+        state = F.struct(F.col("__del"), *payload)
+        prev = F.lag(state).over(w)
+        u = u.withColumn("__chg", ~prev.eqNullSafe(state)).filter("__chg")
 
         w2 = Window.partitionBy(*bkey).orderBy(*order)
-        out = u.select(
-            *bkey,
-            *payload,
-            F.col("__t").alias("valid_from"),
-            F.lead("__t").over(w2).alias("valid_to"),
-            F.lead("__t").over(w2).isNull().alias("is_current"),
-            (F.coalesce(F.col("__base"), F.lit(1))
-             + F.row_number().over(w2) - 1).cast("long").alias("version"),
-            F.col("__maxseen").alias("last_seen"),
+        wcum = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wafter = w2.rowsBetween(1, Window.unboundedFollowing)
+        nondel_one = F.when(~F.col("__del"), F.lit(1)).otherwise(F.lit(0))
+        out = (
+            u.select(
+                *bkey,
+                *payload,
+                "__del",
+                F.col("__t").alias("valid_from"),
+                # closing edge over ALL kept rows: a trailing delete
+                # closes its predecessor version
+                F.lead("__t").over(w2).alias("valid_to"),
+                (F.coalesce(F.col("__base"), F.lit(1))
+                 + F.sum(nondel_one).over(wcum) - 1).cast("long").alias("version"),
+                # anchor = last NON-delete kept row of the key
+                (F.coalesce(F.sum(nondel_one).over(wafter), F.lit(0)) == 0)
+                .alias("__anchor"),
+                F.col("__maxseen").alias("__maxseen"),
+            )
+            .filter(~F.col("__del"))
+            .drop("__del")
         )
-        # last_seen only matters on the current row; closed rows keep
-        # their closing edge for readability
-        out = out.withColumn(
-            "last_seen",
-            F.when(F.col("is_current"), F.col("last_seen")).otherwise(
-                F.col("valid_to")
-            ),
+        out = out.select(
+            *bkey, *payload, "valid_from", "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+            "version",
+            F.when(F.col("__anchor"), F.col("__maxseen")).alias("last_seen"),
         )
 
         merge_snap, mstats = table.merge(out, op_col=None)

@@ -197,6 +197,8 @@ def scd2_history(
     payload_cols: list[str] | None = None,
     tiebreak: list[str] | None = None,
     change_only: bool = True,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: turn a changelog of observed
     states into versioned validity rows — one row per (key, version)
@@ -209,34 +211,61 @@ def scd2_history(
     payloads first (a ``lag`` comparison), so a heartbeat feed that
     re-observes the same state doesn't mint empty versions.
 
+    With ``op_col`` given, events whose op equals ``delete_op`` CLOSE
+    the key's current version (its ``valid_to`` = the delete's time)
+    without minting one; a later event reopens the key at the next
+    version number. Consecutive deletes collapse; a delete with nothing
+    open (leading, or for an absent key) is a no-op. Delete rows never
+    appear in the output. Same alphabet as ``cdc.scd2.apply_scd2`` —
+    the incremental apply converges to exactly this frame.
+
     Two window passes over ONE shuffle on ``keys`` (lag for the change
-    flag, lead for the closing edge, row_number for the version — all
-    share the same partitioning/ordering, so Catalyst plans a single
-    Exchange + sort). ``tiebreak`` columns break equal-timestamp
-    ordering deterministically (e.g. an LSN / event id).
+    flag, lead for the closing edge, a cumulative non-delete count for
+    the version — all share the same partitioning/ordering, so Catalyst
+    plans a single Exchange + sort). ``tiebreak`` columns break
+    equal-timestamp ordering deterministically (e.g. an LSN / event id).
     """
     if not keys:
         raise ValueError("scd2_history requires at least one key column")
     payload_cols = payload_cols or [
-        c for c in changelog.columns if c not in keys and c != time_col
+        c for c in changelog.columns
+        if c not in keys and c != time_col and c != op_col
     ]
     order = [F.col(time_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
     w = Window.partitionBy(*keys).orderBy(*order)
 
-    df = changelog
+    is_del = (
+        (F.col(op_col) == F.lit(delete_op)) if op_col is not None
+        else F.lit(False)
+    )
+    df = changelog.withColumn("__del", is_del)
     if change_only:
         # null-safe: a payload transitioning to/from NULL is a change,
         # and NULL-valued fields must not nullify the comparison (a plain
-        # != on structs with NULL members returns NULL -> row dropped)
-        prev = F.lag(F.struct(*payload_cols)).over(w)
-        changed = ~prev.eqNullSafe(F.struct(*payload_cols))
-        df = df.withColumn("__chg", changed).filter("__chg").drop("__chg")
+        # != on structs with NULL members returns NULL -> row dropped).
+        # The delete flag joins the payload in the state: delete->delete
+        # collapses, X->delete and delete->X are changes.
+        state = F.struct(F.col("__del"), *payload_cols)
+        prev = F.lag(state).over(w)
+        df = df.withColumn("__chg", ~prev.eqNullSafe(state)).filter("__chg")
 
-    return df.select(
-        *keys,
-        *payload_cols,
-        F.col(time_col).alias("valid_from"),
-        F.lead(time_col).over(w).alias("valid_to"),
-        F.lead(time_col).over(w).isNull().alias("is_current"),
-        F.row_number().over(w).cast("long").alias("version"),
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nondel_one = F.when(~F.col("__del"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.select(
+            *keys,
+            *payload_cols,
+            "__del",
+            F.col(time_col).alias("valid_from"),
+            # closing edge over ALL kept rows: a trailing delete closes
+            # its predecessor version
+            F.lead(time_col).over(w).alias("valid_to"),
+            F.sum(nondel_one).over(wcum).cast("long").alias("version"),
+        )
+        .filter(~F.col("__del"))
+        .drop("__del")
+        .select(
+            *keys, *payload_cols, "valid_from", "valid_to",
+            F.col("valid_to").isNull().alias("is_current"), "version",
+        )
     )

@@ -1447,6 +1447,97 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _events_with_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events changelog with a deterministic CDC verb: 'error'
+    events are deletes, everything else upserts (~20% deletes at every
+    SF, so most users cycle through delete -> reopen)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+    )
+
+
+def q_scd2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 with the full CDC alphabet: delete events CLOSE the open
+    version (valid_to = delete time) without minting one; a later event
+    reopens the key at the next version; consecutive deletes collapse.
+    Same single-shuffle window shape as ``scd2`` plus a cumulative
+    non-delete count for the version."""
+    from etl_spark.operators.temporal import scd2_history
+
+    return scd2_history(
+        _events_with_op(spark, sf_dir),
+        keys=["user_id"], time_col="ts",
+        payload_cols=["event_type"], tiebreak=["event_id"], op_col="op",
+    )
+
+
+_ORACLE_SCD2_DELETES = """
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type,
+         (event_type = 'error') AS del
+  FROM events
+), chg AS (
+  SELECT *, lag(del) OVER w AS pdel, lag(event_type) OVER w AS pet
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), f AS (
+  SELECT * FROM chg
+  WHERE pdel IS NULL
+     OR NOT (pdel IS NOT DISTINCT FROM del
+             AND pet IS NOT DISTINCT FROM event_type)
+)
+SELECT user_id, event_type, valid_from, valid_to,
+       valid_to IS NULL AS is_current, version
+FROM (
+  SELECT user_id, event_type, del, ts AS valid_from,
+         lead(ts) OVER w2 AS valid_to,
+         CAST(sum(CASE WHEN del THEN 0 ELSE 1 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+  FROM f WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+) WHERE NOT del
+"""
+
+
+def q_scd2_incremental_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SCD2 with deletes: the op-tagged changelog applied in
+    four chronological batches through ``apply_scd2(op_col=...)`` —
+    delete-closed anchors must survive commits and reopen at the right
+    version — converging bit-exact to the one-shot window's history
+    (same oracle as ``scd2_deletes``)."""
+    import shutil
+
+    from etl_spark.cdc.scd2 import apply_scd2, create_scd2_table
+
+    ev = _events_with_op(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="scd2_del_")
+    try:
+        table = create_scd2_table(
+            spark, os.path.join(tmp, "t"), ev.schema, ["user_id"], "ts",
+            payload_cols=["event_type"], n_buckets=8,
+        )
+        hi = ev.agg(F.max("event_id")).collect()[0][0]
+        step = (hi + 4) // 4
+        for b in range(4):
+            batch = ev.filter(
+                (F.col("event_id") >= b * step)
+                & (F.col("event_id") < (b + 1) * step)
+            )
+            apply_scd2(table, batch, "ts", tiebreak=["event_id"],
+                       op_col="op")
+        out = table.read().select(
+            "user_id", "event_type", "valid_from", "valid_to",
+            "is_current", "version",
+        )
+        out = out.cache()
+        out.count()  # materialize before the temp table dir goes away
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full streaming engine path: deterministic transcript changelog ->
     WAL segments -> Structured Streaming tail -> exactly-once MERGE ->
@@ -1541,6 +1632,8 @@ QUERIES = {
     "interval_join": q_interval_join,
     "scd2": q_scd2,
     "scd2_incremental": q_scd2_incremental,
+    "scd2_deletes": q_scd2_deletes,
+    "scd2_incremental_deletes": q_scd2_incremental_deletes,
     "stream_sessionize": q_stream_sessionize,
     "streaming_cdc_replay": q_streaming_cdc_replay,
 }
@@ -1590,6 +1683,8 @@ ORACLE_SQL = {
     "interval_join": _ORACLE_INTERVAL,
     "scd2": _ORACLE_SCD2,
     "scd2_incremental": _ORACLE_SCD2,
+    "scd2_deletes": _ORACLE_SCD2_DELETES,
+    "scd2_incremental_deletes": _ORACLE_SCD2_DELETES,
     "doc_fingerprint": _ORACLE_FINGERPRINT,
     "stream_sessionize": _ORACLE_STREAM_SESSIONIZE,
 }

@@ -148,6 +148,141 @@ def test_version_continuation_after_reopen(spark, tmp_path, full):
     pd.testing.assert_frame_equal(got, ref[got.columns])
 
 
+OP_SCHEMA = T.StructType(
+    EV_SCHEMA.fields + [T.StructField("op", T.StringType())]
+)
+
+
+def _mk_op(spark, tmp_path):
+    # op is the CDC verb, not payload: exclude it from the table schema
+    return create_scd2_table(
+        spark, str(tmp_path / "scd2d"), EV_SCHEMA, ["uid"], "ts",
+        payload_cols=["plan", "region"], n_buckets=4,
+    )
+
+
+def _apply_op(table, df):
+    return apply_scd2(table, df, "ts", tiebreak=["lsn"], op_col="op")
+
+
+def test_delete_closes_current_version(spark, tmp_path):
+    table = _mk_op(spark, tmp_path)
+    b1 = spark.createDataFrame([("u1", TS(0), 1, "A", "x", "U")], OP_SCHEMA)
+    _apply_op(table, b1)
+    b2 = spark.createDataFrame([("u1", TS(10), 2, None, None, "D")], OP_SCHEMA)
+    _, stats = _apply_op(table, b2)
+    assert stats["events_applied"] == 1
+    rows = table.read().collect()
+    assert len(rows) == 1  # closed, no new version minted
+    r = rows[0]
+    assert r["version"] == 1 and r["valid_to"] == TS(10)
+    assert r["is_current"] is False
+    # anchor contract: the delete-closed max-version row keeps last_seen
+    assert r["last_seen"] == TS(10)
+
+
+def test_reopen_after_delete_continues_versions(spark, tmp_path):
+    from etl_spark.lake import LakeTable
+
+    table = _mk_op(spark, tmp_path)
+    _apply_op(table, spark.createDataFrame(
+        [("u1", TS(0), 1, "A", "x", "U"), ("u1", TS(10), 2, None, None, "D")],
+        OP_SCHEMA,
+    ))
+    # reopen the table from disk: the anchor must survive a process restart
+    reopened = LakeTable.load(spark, str(tmp_path / "scd2d"))
+    _, stats = apply_scd2(
+        reopened, spark.createDataFrame(
+            [("u1", TS(20), 3, "A", "x", "U")], OP_SCHEMA),
+        "ts", tiebreak=["lsn"], op_col="op",
+    )
+    assert stats["late_rows"] == 0
+    rows = {r["version"]: r for r in reopened.read().collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["valid_to"] == TS(10) and rows[1]["is_current"] is False
+    assert rows[1]["last_seen"] is None  # anchor moved to v2
+    assert rows[2]["valid_from"] == TS(20) and rows[2]["is_current"] is True
+    assert rows[2]["plan"] == "A"  # same payload as v1: still a new version
+    assert rows[2]["last_seen"] == TS(20)
+
+
+def test_delete_replay_and_repeat_are_noops(spark, tmp_path):
+    table = _mk_op(spark, tmp_path)
+    _apply_op(table, spark.createDataFrame(
+        [("u1", TS(0), 1, "A", "x", "U")], OP_SCHEMA))
+    b2 = spark.createDataFrame([("u1", TS(10), 2, None, None, "D")], OP_SCHEMA)
+    _apply_op(table, b2)
+    before = _final(table)
+    # exact replay: the delete's ts is at-or-before last_seen -> late
+    snap, stats = _apply_op(table, b2)
+    assert snap is None and stats["late_rows"] == 1
+    # a LATER second delete on an already-deleted key: applied, collapses
+    # against the synthetic delete edge, changes nothing but last_seen
+    b3 = spark.createDataFrame([("u1", TS(20), 3, "A", "x", "D")], OP_SCHEMA)
+    _, s3 = _apply_op(table, b3)
+    assert s3["events_applied"] == 1
+    pd.testing.assert_frame_equal(_final(table), before)
+    cur = table.read().collect()[0]
+    assert cur["last_seen"] == TS(20)  # guard advanced past the 2nd delete
+
+
+def test_delete_absent_key_is_noop(spark, tmp_path):
+    table = _mk_op(spark, tmp_path)
+    _, stats = _apply_op(table, spark.createDataFrame(
+        [("ghost", TS(0), 1, None, None, "D")], OP_SCHEMA))
+    assert stats["versions_written"] == 0
+    assert table.read().count() == 0
+
+
+def test_event_then_delete_same_batch(spark, tmp_path):
+    table = _mk_op(spark, tmp_path)
+    _, stats = _apply_op(table, spark.createDataFrame(
+        [("ghost", TS(0), 1, None, None, "D"),   # leading delete: no-op
+         ("u1", TS(5), 2, "A", "x", "U"),
+         ("u1", TS(9), 3, None, None, "D")], OP_SCHEMA))
+    rows = table.read().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["uid"] == "u1" and r["version"] == 1
+    assert r["valid_to"] == TS(9) and r["is_current"] is False
+    assert r["last_seen"] == TS(9)
+
+
+def test_batched_deletes_converge_to_one_shot_history(spark, tmp_path):
+    """Interleaved upserts/deletes/heartbeats across four chronological
+    batches must converge to exactly the one-shot ``scd2_history`` with
+    the same op alphabet — including a delete that carries a stale
+    payload (CDC pre-image) and consecutive cross-batch deletes."""
+    rows = [
+        ("u1", TS(0), 1, "A", "x", "U"),
+        ("u2", TS(1), 2, "A", None, "U"),
+        ("u1", TS(5), 3, "A", "x", "U"),      # heartbeat
+        # -- batch 2
+        ("u1", TS(10), 4, "A", "x", "D"),     # delete carrying pre-image
+        ("u2", TS(11), 5, "B", "y", "U"),
+        ("u3", TS(12), 6, None, None, "D"),   # delete of absent key
+        # -- batch 3
+        ("u1", TS(20), 7, "A", "x", "D"),     # repeat delete (collapse)
+        ("u2", TS(21), 8, None, None, "D"),
+        ("u3", TS(22), 9, "C", "z", "U"),
+        # -- batch 4
+        ("u1", TS(30), 10, "A", "x", "U"),    # reopen with v1's payload
+        ("u2", TS(31), 11, "B", "y", "U"),    # reopen
+        ("u3", TS(32), 12, None, "z", "U"),   # NULL payload transition
+    ]
+    full = spark.createDataFrame(rows, OP_SCHEMA)
+    table = _mk_op(spark, tmp_path)
+    for lo, hi in [(1, 3), (4, 6), (7, 9), (10, 12)]:
+        _apply_op(table, full.filter(F.col("lsn").between(lo, hi)))
+    ref = (
+        scd2_history(full, ["uid"], "ts", payload_cols=["plan", "region"],
+                     tiebreak=["lsn"], op_col="op")
+        .orderBy("uid", "version").toPandas().reset_index(drop=True)
+    )
+    got = _final(table)
+    pd.testing.assert_frame_equal(got, ref[got.columns])
+
+
 def test_single_batch_bootstrap_matches_history(spark, tmp_path, full):
     table = _mk(spark, tmp_path)
     _, stats = apply_scd2(table, full, "ts", tiebreak=["lsn"])

@@ -247,3 +247,41 @@ def test_scd2_single_exchange(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_scd2_deletes_close_reopen_collapse(spark):
+    """op_col alphabet: D closes the open version (valid_to = delete
+    time) without minting one; consecutive deletes collapse; a later
+    event reopens at the next version; a leading delete is a no-op."""
+    log = spark.createDataFrame(
+        [("u1", _ts(0), 1, "a", "U"),
+         ("u1", _ts(10), 2, None, "D"),
+         ("u1", _ts(15), 3, None, "D"),    # repeat delete: collapses
+         ("u1", _ts(20), 4, "a", "U"),     # reopen, same payload as v1
+         ("u2", _ts(0), 5, None, "D"),     # leading delete: nothing open
+         ("u2", _ts(5), 6, "z", "U")],
+        "uid string, ts timestamp, lsn int, plan string, op string",
+    )
+    rows = {
+        (r["uid"], r["version"]): r
+        for r in scd2_history(log, ["uid"], "ts", payload_cols=["plan"],
+                              tiebreak=["lsn"], op_col="op").collect()
+    }
+    assert set(rows) == {("u1", 1), ("u1", 2), ("u2", 1)}
+    v1 = rows[("u1", 1)]
+    assert v1["valid_to"] == _ts(10) and v1["is_current"] is False
+    v2 = rows[("u1", 2)]
+    assert v2["valid_from"] == _ts(20) and v2["is_current"] is True
+    assert rows[("u2", 1)]["valid_from"] == _ts(5)
+    assert rows[("u2", 1)]["is_current"] is True
+
+
+def test_scd2_trailing_delete_leaves_no_current(spark):
+    log = spark.createDataFrame(
+        [("u1", _ts(0), 1, "a", "I"), ("u1", _ts(9), 2, "a", "X")],
+        "uid string, ts timestamp, lsn int, plan string, op string",
+    )
+    out = scd2_history(log, ["uid"], "ts", payload_cols=["plan"],
+                       tiebreak=["lsn"], op_col="op", delete_op="X").collect()
+    assert len(out) == 1
+    assert out[0]["valid_to"] == _ts(9) and out[0]["is_current"] is False
