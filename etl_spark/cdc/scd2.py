@@ -47,18 +47,25 @@ def scd2_schema(
     business_key: list[str],
     time_col: str,
     payload_cols: list[str] | None = None,
+    carry_cols: list[str] | None = None,
 ) -> T.StructType:
     """Lake-table schema for an SCD2 table fed by events of
-    ``events_schema``: business key + payload + the five engine columns.
-    Validity columns take the event-time column's type (any orderable
-    type works — the operator never assumes timestamps)."""
+    ``events_schema``: business key + payload + carry + the five engine
+    columns. Validity columns take the event-time column's type (any
+    orderable type works — the operator never assumes timestamps).
+    ``carry_cols`` ride along on each version (the value of the event
+    that opened it) without participating in change detection — e.g. the
+    wall-clock event time when the validity axis is an LSN."""
+    carry_cols = carry_cols or []
     payload_cols = payload_cols or [
         f.name for f in events_schema.fields
         if f.name not in business_key and f.name != time_col
+        and f.name not in carry_cols
     ]
     tt = events_schema[time_col].dataType
     fields = [events_schema[c] for c in business_key]
     fields += [events_schema[c] for c in payload_cols]
+    fields += [events_schema[c] for c in carry_cols]
     fields += [
         T.StructField("valid_from", tt),
         T.StructField("valid_to", tt),
@@ -76,6 +83,7 @@ def create_scd2_table(
     business_key: list[str],
     time_col: str,
     payload_cols: list[str] | None = None,
+    carry_cols: list[str] | None = None,
     n_buckets: int = 16,
     stats_cols: list[str] | None = None,
 ) -> LakeTable:
@@ -85,7 +93,8 @@ def create_scd2_table(
     single-bucket; the apply's merge rewrites only touched buckets)."""
     return LakeTable.create(
         spark, path,
-        scd2_schema(events_schema, business_key, time_col, payload_cols),
+        scd2_schema(events_schema, business_key, time_col, payload_cols,
+                    carry_cols),
         key=list(business_key) + ["version"],
         bucket_by=list(business_key),
         n_buckets=n_buckets,
@@ -100,6 +109,7 @@ def apply_scd2(
     tiebreak: list[str] | None = None,
     op_col: str | None = None,
     delete_op: str = "D",
+    carry_cols: list[str] | None = None,
     broadcast_threshold: int = 200_000,
 ) -> tuple[Any, dict[str, int]]:
     """Apply one batch of observed states to an SCD2 lake table.
@@ -111,7 +121,9 @@ def apply_scd2(
     advance ``last_seen``. With ``op_col`` given, events whose op equals
     ``delete_op`` CLOSE the key's current version (valid_to = delete
     time) without minting one; a later event reopens the key at the next
-    version number. Deleting an absent key is a no-op.
+    version number. Deleting an absent key is a no-op. ``carry_cols``
+    (must match the table's, see ``scd2_schema``) are stored per version
+    from the opening event but never participate in change detection.
 
     Anchor contract: exactly the key's max-version row carries a
     non-NULL ``last_seen`` (even after a delete closed it) — that row is
@@ -124,9 +136,11 @@ def apply_scd2(
     """
     snap = table.snapshot()
     bkey = [k for k in snap.key if k != "version"]
+    carry = carry_cols or []
     payload = [
         f.name for f in snap.schema.fields
         if f.name not in bkey and f.name not in SCD2_ENGINE_COLS
+        and f.name not in carry
     ]
     tb = tiebreak or []
 
@@ -134,7 +148,7 @@ def apply_scd2(
         (F.col(op_col) == F.lit(delete_op)) if op_col is not None else F.lit(False)
     )
     src = events.select(
-        *bkey, time_col, *payload, *tb, is_del.alias("__del")
+        *bkey, time_col, *payload, *carry, *tb, is_del.alias("__del")
     )
     src = src.withColumn(_BUCKET_COL, table._bucket_expr(snap))
     src.persist()
@@ -206,13 +220,14 @@ def apply_scd2(
               for c in tb],
         ]
         seed = cur.select(
-            *bkey, F.col("valid_from").alias("__t"), *payload,
+            *bkey, F.col("valid_from").alias("__t"), *payload, *carry,
             F.lit(False).alias("__del"), *seed_common,
         )
         seed_del = cur.filter(F.col("valid_to").isNotNull()).select(
             *bkey,
             F.col("valid_to").alias("__t"),
-            *[F.lit(None).cast(snap.schema[c].dataType).alias(c) for c in payload],
+            *[F.lit(None).cast(snap.schema[c].dataType).alias(c)
+              for c in payload + carry],
             F.lit(True).alias("__del"),
             F.lit(None).cast("long").alias("__seedver"),
             F.lit(None).cast(tt).alias("__seen"),
@@ -223,6 +238,7 @@ def apply_scd2(
             *bkey,
             F.col(time_col).alias("__t"),
             *payload,
+            *carry,
             "__del",
             F.lit(None).cast("long").alias("__seedver"),
             F.col(time_col).alias("__seen"),
@@ -253,6 +269,7 @@ def apply_scd2(
             u.select(
                 *bkey,
                 *payload,
+                *carry,
                 "__del",
                 F.col("__t").alias("valid_from"),
                 # closing edge over ALL kept rows: a trailing delete
@@ -269,7 +286,7 @@ def apply_scd2(
             .drop("__del")
         )
         out = out.select(
-            *bkey, *payload, "valid_from", "valid_to",
+            *bkey, *payload, *carry, "valid_from", "valid_to",
             F.col("valid_to").isNull().alias("is_current"),
             "version",
             F.when(F.col("__anchor"), F.col("__maxseen")).alias("last_seen"),

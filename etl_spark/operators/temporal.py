@@ -199,6 +199,7 @@ def scd2_history(
     change_only: bool = True,
     op_col: str | None = None,
     delete_op: str = "D",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: turn a changelog of observed
     states into versioned validity rows — one row per (key, version)
@@ -219,6 +220,10 @@ def scd2_history(
     appear in the output. Same alphabet as ``cdc.scd2.apply_scd2`` —
     the incremental apply converges to exactly this frame.
 
+    ``carry_cols`` ride along on each version (the value of the event
+    that opened it) without participating in change detection — e.g.
+    the wall-clock event time when the validity axis is an LSN.
+
     Two window passes over ONE shuffle on ``keys`` (lag for the change
     flag, lead for the closing edge, a cumulative non-delete count for
     the version — all share the same partitioning/ordering, so Catalyst
@@ -227,9 +232,11 @@ def scd2_history(
     """
     if not keys:
         raise ValueError("scd2_history requires at least one key column")
+    carry_cols = carry_cols or []
     payload_cols = payload_cols or [
         c for c in changelog.columns
         if c not in keys and c != time_col and c != op_col
+        and c not in carry_cols
     ]
     order = [F.col(time_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
     w = Window.partitionBy(*keys).orderBy(*order)
@@ -255,6 +262,7 @@ def scd2_history(
         df.select(
             *keys,
             *payload_cols,
+            *carry_cols,
             "__del",
             F.col(time_col).alias("valid_from"),
             # closing edge over ALL kept rows: a trailing delete closes
@@ -265,7 +273,7 @@ def scd2_history(
         .filter(~F.col("__del"))
         .drop("__del")
         .select(
-            *keys, *payload_cols, "valid_from", "valid_to",
+            *keys, *payload_cols, *carry_cols, "valid_from", "valid_to",
             F.col("valid_to").isNull().alias("is_current"), "version",
         )
     )

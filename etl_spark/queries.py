@@ -1579,6 +1579,47 @@ def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-preserving streaming CDC: the same transcript WAL tailed
+    into an SCD2 lake table (Scd2Stream -> apply_scd2 per micro-batch,
+    LSN validity axis, event ts carried per version). Rows-only here; the
+    bit-exact convergence to the one-shot scd2_history window — itself
+    oracle-checked via `scd2_deletes` — is asserted in
+    tests/test_streaming.py::test_scd2_stream_history_converges."""
+    import shutil
+
+    from etl_spark.cdc.changelog import (
+        CHANGELOG_SCHEMA,
+        ChangelogSpec,
+        generate_changelog,
+        write_changelog,
+    )
+    from etl_spark.cdc.scd2 import create_scd2_table
+    from etl_spark.streaming import Scd2Stream
+
+    tmp = tempfile.mkdtemp(prefix="etl_spark_scd2_stream_q_")
+    spec = ChangelogSpec(n_conversations=50, seed=7)
+    wal = os.path.join(tmp, "wal")
+    write_changelog(generate_changelog(spec), wal, spec)
+    table = create_scd2_table(
+        spark, os.path.join(tmp, "table"), CHANGELOG_SCHEMA,
+        ["conv_id", "turn_idx"], "lsn",
+        payload_cols=["role", "text", "tool"], carry_cols=["ts"],
+        n_buckets=8,
+    )
+    Scd2Stream(
+        spark, wal, table, os.path.join(tmp, "state")
+    ).run_to_completion()
+    out = table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "valid_from", "valid_to", "is_current", "version",
+    )
+    out = out.cache()
+    out.count()  # materialize before the temp WAL/state dirs go away
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "cdc_apply_final_state": q_cdc_apply_final_state,
     "lww_dedup": q_lww_dedup,
@@ -1636,6 +1677,7 @@ QUERIES = {
     "scd2_incremental_deletes": q_scd2_incremental_deletes,
     "stream_sessionize": q_stream_sessionize,
     "streaming_cdc_replay": q_streaming_cdc_replay,
+    "streaming_scd2_replay": q_streaming_scd2_replay,
 }
 
 ORACLE_SQL = {

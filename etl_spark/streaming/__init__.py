@@ -1,3 +1,3 @@
-from etl_spark.streaming.stream import CdcStream, run_stream
+from etl_spark.streaming.stream import CdcStream, Scd2Stream, run_stream
 
-__all__ = ["CdcStream", "run_stream"]
+__all__ = ["CdcStream", "Scd2Stream", "run_stream"]

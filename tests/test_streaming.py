@@ -361,3 +361,124 @@ def test_stream_integrated_pii_redaction(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     assert got["text"].str.contains(r"\[EMAIL\]").all()
     assert not got["text"].str.contains("@example.com").any()
+
+
+def _scd2_cols():
+    return ["conv_id", "turn_idx", "role", "text", "tool", "ts",
+            "valid_from", "valid_to", "is_current", "version"]
+
+
+def _scd2_ref(spark, wal):
+    from etl_spark.operators.temporal import scd2_history
+
+    # mergeSchema: pre-cutover segments lack the `tool` column
+    log = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", wal).parquet(wal)
+    )
+    return (
+        scd2_history(log, keys=["conv_id", "turn_idx"], time_col="lsn",
+                     payload_cols=["role", "text", "tool"],
+                     carry_cols=["ts"], op_col="op")
+        .orderBy("conv_id", "turn_idx", "version")
+        .toPandas()[_scd2_cols()].reset_index(drop=True)
+    )
+
+
+def _mk_scd2(spark, tmp_path):
+    from etl_spark.cdc import CHANGELOG_SCHEMA
+    from etl_spark.cdc.scd2 import create_scd2_table
+
+    return create_scd2_table(
+        spark, str(tmp_path / "hist"), CHANGELOG_SCHEMA,
+        ["conv_id", "turn_idx"], "lsn",
+        payload_cols=["role", "text", "tool"], carry_cols=["ts"],
+        n_buckets=8,
+    )
+
+
+def test_scd2_stream_history_converges(spark, tmp_path):
+    """Streaming SCD2 target: the micro-batched WAL tail must build
+    exactly the history the one-shot window computes over the full log —
+    every insert/update version, delete-closed edges, reopen numbering,
+    with the event ts carried per version on an LSN validity axis."""
+    from etl_spark.streaming import Scd2Stream
+
+    pdf = generate_changelog(SPEC)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+    table = _mk_scd2(spark, tmp_path)
+    stream = Scd2Stream(
+        spark, wal, table, str(tmp_path / "state"), max_files_per_trigger=2
+    )
+    stats = stream.run_to_completion()
+    live = [s for s in stats if not s.get("skipped")]
+    assert len(live) >= 2  # rate limit forced multiple micro-batches
+    assert all(s["late_rows"] == 0 for s in live)  # WAL is per-key ordered
+    assert sum(s["events_applied"] for s in live) == len(pdf)
+
+    got = (
+        table.read().orderBy("conv_id", "turn_idx", "version")
+        .toPandas()[_scd2_cols()].reset_index(drop=True)
+    )
+    ref = _scd2_ref(spark, wal)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+    # the current SCD2 rows ARE the LWW final state (deletes absent)
+    cur = (
+        got[got["is_current"]]
+        .sort_values(["conv_id", "turn_idx"])
+        [["conv_id", "turn_idx", "role", "text"]]
+        .reset_index(drop=True)
+    )
+    exp = expected_final_state(pdf)[["conv_id", "turn_idx", "role", "text"]]
+    pd.testing.assert_frame_equal(cur, exp.reset_index(drop=True),
+                                  check_dtype=False)
+
+    # metrics: every batch recorded, applied == events in (no late rows)
+    m = stream.metrics.to_df(spark).toPandas()
+    assert m["rows_applied"].sum() == len(pdf)
+
+
+def test_scd2_stream_exactly_once_both_layers(spark, tmp_path):
+    """Layer 1: a full re-run against the same state dir skips every
+    batch (commit log). Layer 2: the crash window between MERGE and
+    marker — replaying a committed batch with its marker REMOVED — is a
+    row-wise no-op via the per-key last_seen guard."""
+    import shutil
+
+    from etl_spark.cdc import CHANGELOG_SCHEMA
+    from etl_spark.streaming import Scd2Stream
+
+    pdf = generate_changelog(SPEC)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+    table = _mk_scd2(spark, tmp_path)
+    state = str(tmp_path / "state")
+    Scd2Stream(spark, wal, table, state).run_to_completion()
+    v = table.current_version()
+    ref = _scd2_ref(spark, wal)
+
+    def current():
+        return (
+            table.read().orderBy("conv_id", "turn_idx", "version")
+            .toPandas()[_scd2_cols()].reset_index(drop=True)
+        )
+
+    # layer 1: checkpoint + commit log -> full second run is all skips
+    s2 = Scd2Stream(spark, wal, table, state)
+    stats2 = s2.run_to_completion()
+    assert all(s.get("skipped", True) for s in stats2)
+    assert table.current_version() == v
+    pd.testing.assert_frame_equal(current(), ref, check_dtype=False)
+
+    # layer 2: drop the commit markers and force-replay the whole log
+    # through a fresh stream state (simulates marker loss after MERGE)
+    shutil.rmtree(os.path.join(state, "commits"))
+    s3 = Scd2Stream(spark, wal, table, str(tmp_path / "state2"))
+    stats3 = s3.run_to_completion()
+    live = [s for s in stats3 if not s.get("skipped")]
+    assert sum(s["late_rows"] for s in live) == len(pdf)  # all guarded
+    assert sum(s["events_applied"] for s in live) == 0
+    assert table.current_version() == v  # not even an empty commit
+    pd.testing.assert_frame_equal(current(), ref, check_dtype=False)
