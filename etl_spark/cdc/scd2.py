@@ -110,6 +110,7 @@ def apply_scd2(
     op_col: str | None = None,
     delete_op: str = "D",
     carry_cols: list[str] | None = None,
+    payload_cols: list[str] | None = None,
     broadcast_threshold: int = 200_000,
 ) -> tuple[Any, dict[str, int]]:
     """Apply one batch of observed states to an SCD2 lake table.
@@ -125,6 +126,13 @@ def apply_scd2(
     (must match the table's, see ``scd2_schema``) are stored per version
     from the opening event but never participate in change detection.
 
+    ``payload_cols`` defaults to the table's payload (schema minus key,
+    engine, carry). Passing it explicitly enables SCHEMA EVOLUTION: a
+    payload column the table lacks evolves onto it through the MERGE
+    (existing versions read NULL for it); a payload column the events
+    lack is observed as NULL (the feed carries no value for it). Both
+    directions align with Lake-table ``evolve_schema`` semantics.
+
     Anchor contract: exactly the key's max-version row carries a
     non-NULL ``last_seen`` (even after a delete closed it) — that row is
     what the next batch's guard and version continuation read, so a
@@ -137,18 +145,37 @@ def apply_scd2(
     snap = table.snapshot()
     bkey = [k for k in snap.key if k != "version"]
     carry = carry_cols or []
-    payload = [
-        f.name for f in snap.schema.fields
-        if f.name not in bkey and f.name not in SCD2_ENGINE_COLS
-        and f.name not in carry
-    ]
+    if payload_cols is None:
+        payload = [
+            f.name for f in snap.schema.fields
+            if f.name not in bkey and f.name not in SCD2_ENGINE_COLS
+            and f.name not in carry
+        ]
+    else:
+        payload = list(payload_cols)
     tb = tiebreak or []
+
+    snap_cols = set(snap.schema.fieldNames())
+
+    def _dtype(c: str) -> T.DataType:
+        return (snap.schema if c in snap_cols else events.schema)[c].dataType
+
+    def _ev_col(c: str):
+        # a payload/carry column absent from the feed is observed as NULL
+        col = F.col(c) if c in events.columns else F.lit(None).cast(_dtype(c))
+        return col.alias(c)
+
+    def _seed_col(c: str):
+        # a column the table doesn't have yet (evolution) seeds as NULL
+        col = F.col(c) if c in snap_cols else F.lit(None).cast(_dtype(c))
+        return col.alias(c)
 
     is_del = (
         (F.col(op_col) == F.lit(delete_op)) if op_col is not None else F.lit(False)
     )
     src = events.select(
-        *bkey, time_col, *payload, *carry, *tb, is_del.alias("__del")
+        *bkey, time_col, *[_ev_col(c) for c in payload + carry], *tb,
+        is_del.alias("__del"),
     )
     src = src.withColumn(_BUCKET_COL, table._bucket_expr(snap))
     src.persist()
@@ -220,13 +247,14 @@ def apply_scd2(
               for c in tb],
         ]
         seed = cur.select(
-            *bkey, F.col("valid_from").alias("__t"), *payload, *carry,
+            *bkey, F.col("valid_from").alias("__t"),
+            *[_seed_col(c) for c in payload + carry],
             F.lit(False).alias("__del"), *seed_common,
         )
         seed_del = cur.filter(F.col("valid_to").isNotNull()).select(
             *bkey,
             F.col("valid_to").alias("__t"),
-            *[F.lit(None).cast(snap.schema[c].dataType).alias(c)
+            *[F.lit(None).cast(_dtype(c)).alias(c)
               for c in payload + carry],
             F.lit(True).alias("__del"),
             F.lit(None).cast("long").alias("__seedver"),

@@ -20,9 +20,12 @@ recursive-CTE closure), the blocked LSH near-dup at full-recall
 parameters (vs the exact scan), and the MinHash-LSH verify pipeline at a
 full-recall band config (vs the exact-Jaccard oracle), and the temporal
 family (as-of join vs DuckDB's native ASOF LEFT JOIN, the bucketed
-interval join vs an inequality join, SCD2 vs a lag/lead window, and the
-INCREMENTAL SCD2 apply — a four-batch lake-table lifecycle — vs the same
-full-log SQL). Current inventory: 54 entries — 46 oracle, 8 rows-only.
+interval join vs an inequality join, SCD2 vs a lag/lead window — with
+and without the delete alphabet — and the INCREMENTAL SCD2 apply, a
+four-batch lake-table lifecycle, vs the same full-log SQL; the
+streaming SCD2 replay is rows-only here but pytest-checked bit-exact
+against that window). Current inventory: 57 entries — 48 oracle,
+9 rows-only.
 """
 
 from __future__ import annotations

@@ -318,6 +318,34 @@ class Scd2Stream:
         self.metrics = MetricsTable(os.path.join(self.state_dir, "metrics"))
         self.checkpoint_dir = os.path.join(self.state_dir, "checkpoint")
         self.batch_stats: list[dict] = []
+        self.payload_cols: list[str] | None = None
+
+    def _payload_for(self, wal_schema: T.StructType) -> list[str]:
+        """Stop-evolve-resume: the payload is the table's payload UNION
+        any brand-new WAL column (minus key/time/op/carry and the binlog
+        meta columns) — so a restart after a WAL DDL evolves the SCD2
+        table through the next MERGE, exactly like ``CdcStream``'s
+        contract. Columns the old segments lack read as NULL under the
+        superset schema and are observed as NULL states."""
+        from etl_spark.cdc.apply import META_COLS
+        from etl_spark.cdc.scd2 import SCD2_ENGINE_COLS
+
+        bkey = [k for k in self.table.key if k != "version"]
+        reserved = (
+            set(bkey) | set(SCD2_ENGINE_COLS) | set(self.carry_cols)
+            | set(self.tiebreak or []) | set(META_COLS)
+            | {self.time_col, self.op_col}
+        )
+        payload = [
+            f.name for f in self.table.schema.fields
+            if f.name not in set(bkey) | set(SCD2_ENGINE_COLS)
+            | set(self.carry_cols)
+        ]
+        payload += [
+            f.name for f in wal_schema.fields
+            if f.name not in reserved and f.name not in payload
+        ]
+        return payload
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         from etl_spark.cdc.scd2 import apply_scd2
@@ -337,6 +365,7 @@ class Scd2Stream:
                 op_col=self.op_col,
                 delete_op=self.delete_op,
                 carry_cols=self.carry_cols,
+                payload_cols=self.payload_cols,
             ),
             attempts=self.retry_attempts,
         )
@@ -358,6 +387,7 @@ class Scd2Stream:
 
     def start(self):
         schema = discover_wal_schema(self.spark, self.wal_dir)
+        self.payload_cols = self._payload_for(schema)
         stream = (
             self.spark.readStream.schema(schema)
             .option("basePath", self.wal_dir)

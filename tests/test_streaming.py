@@ -482,3 +482,58 @@ def test_scd2_stream_exactly_once_both_layers(spark, tmp_path):
     assert sum(s["events_applied"] for s in live) == 0
     assert table.current_version() == v  # not even an empty commit
     pd.testing.assert_frame_equal(current(), ref, check_dtype=False)
+
+
+def test_scd2_stream_schema_evolution_on_resume(spark, tmp_path):
+    """Stop-evolve-resume for the SCD2 target: phase-1 WAL has no `tool`
+    column and the SCD2 table is created without it; phase-2 segments
+    introduce it. A restarted stream discovers the superset schema,
+    widens the payload, and the table evolves through the next MERGE —
+    converging to the one-shot window over the full log."""
+    import shutil
+
+    from etl_spark.cdc.changelog import CHANGELOG_SCHEMA_V0
+    from etl_spark.cdc.scd2 import create_scd2_table
+    from etl_spark.streaming import Scd2Stream
+
+    pdf = generate_changelog(SPEC)
+    cut = int(len(pdf) * SPEC.evolution_cutover)
+    early = pdf[pdf["_seq"] < cut]
+    wal = str(tmp_path / "wal")
+    spec_early = ChangelogSpec(**{**SPEC.__dict__, "evolution_cutover": 1.0})
+    write_changelog(early, wal, spec_early)
+
+    table = create_scd2_table(
+        spark, str(tmp_path / "hist"), CHANGELOG_SCHEMA_V0,
+        ["conv_id", "turn_idx"], "lsn",
+        payload_cols=["role", "text"], carry_cols=["ts"], n_buckets=8,
+    )
+    state = str(tmp_path / "state")
+    s1 = Scd2Stream(spark, wal, table, state)
+    s1.run_to_completion()
+    assert s1.payload_cols == ["role", "text"]
+    assert "tool" not in table.schema.fieldNames()
+
+    # phase 2: late segments land (with `tool`); new stream resumes
+    late = pdf[pdf["_seq"] >= cut]
+    write_changelog(late, str(tmp_path / "wal2"), SPEC)
+    for root, _d, names in os.walk(str(tmp_path / "wal2")):
+        for n in names:
+            rel = os.path.relpath(root, str(tmp_path / "wal2"))
+            dst = os.path.join(wal, rel)
+            os.makedirs(dst, exist_ok=True)
+            shutil.move(os.path.join(root, n), os.path.join(dst, "late-" + n))
+
+    s2 = Scd2Stream(spark, wal, table, state)
+    s2.run_to_completion()
+    assert s2.payload_cols == ["role", "text", "tool"]
+    assert sum(s["events_applied"] for s in s2.batch_stats
+               if not s.get("skipped")) == len(late)  # phase 1 not redone
+    assert "tool" in table.schema.fieldNames()  # table evolved
+
+    got = (
+        table.read().orderBy("conv_id", "turn_idx", "version")
+        .toPandas()[_scd2_cols()].reset_index(drop=True)
+    )
+    ref = _scd2_ref(spark, wal)  # full log incl. evolved column
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
