@@ -107,6 +107,7 @@ def apply_batch(
     salted_dedup: bool = False,
     transform_preserves_keys_and_validity: bool = True,
     transform_stage: str = "pre",
+    merge_lww_by: Sequence[str] | None = None,
 ) -> dict:
     """Apply one changelog micro-batch to the lake table, exactly once.
 
@@ -254,9 +255,16 @@ def apply_batch(
         )
         if post_transform:
             deduped = transform(deduped)
-        merge_src = deduped.drop(*[c for c in META_COLS if c in deduped.columns])
+        # guard order columns must survive into the merge (and hence the
+        # table schema) — the guard compares the STORED order of the
+        # current row/tombstone against the incoming event's
+        keep = set(merge_lww_by or ())
+        merge_src = deduped.drop(
+            *[c for c in META_COLS if c in deduped.columns and c not in keep]
+        )
         snap, merge_stats = table.merge(
-            merge_src, op_col=op_col, per_bucket=per_bucket
+            merge_src, op_col=op_col, per_bucket=per_bucket,
+            lww_by=list(merge_lww_by) if merge_lww_by else None,
         )
         stats.update(merge_stats)
         # Post-dedup count observed on the merge-write job — NOT the
@@ -314,6 +322,7 @@ def replay(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     salted_dedup: bool = False,
     transform_stage: str = "pre",
+    merge_lww_by: Sequence[str] | None = None,
 ) -> dict:
     """Bulk backfill: collapse the ENTIRE changelog to final per-key state
     with one LWW dedup, then one MERGE. This is the bootstrap path — at
@@ -321,13 +330,22 @@ def replay(
     reducing each key to one row per map task) + one bucketed write, the
     minimum possible data movement for CDC compaction.
     ``transform_stage='post'`` (row-wise transforms only) defers the
-    transform to the deduped survivors — see apply_batch."""
+    transform to the deduped survivors — see apply_batch.
+    ``merge_lww_by`` makes the merge out-of-order tolerant (see
+    ``LakeTable.merge``) — use it when replaying on top of a table that
+    may already hold newer state than the changelog being replayed."""
     post = transform is not None and transform_stage == "post"
     df = transform(changelog_df) if (transform is not None and not post) else changelog_df
     deduped = dedup_last_writer_wins(df, key=table.key, salted=salted_dedup)
     if post:
         deduped = transform(deduped)
-    merge_src = deduped.drop(*[c for c in META_COLS if c in deduped.columns])
-    snap, stats = table.merge(merge_src, op_col=op_col)
+    keep = set(merge_lww_by or ())
+    merge_src = deduped.drop(
+        *[c for c in META_COLS if c in deduped.columns and c not in keep]
+    )
+    snap, stats = table.merge(
+        merge_src, op_col=op_col,
+        lww_by=list(merge_lww_by) if merge_lww_by else None,
+    )
     stats["table_version"] = snap.version if snap else None
     return stats

@@ -179,7 +179,17 @@ class Snapshot:
 
     @property
     def total_rows(self) -> int:
-        return sum(f.get("rows", 0) for f in self.files)
+        return sum(f.get("rows", 0) for f in self.data_files)
+
+    @property
+    def data_files(self) -> list[dict[str, Any]]:
+        """Live data entries — excludes delete-tombstone files, which are
+        guard metadata for out-of-order MERGE, never query-visible rows."""
+        return [f for f in self.files if f.get("kind") != "tomb"]
+
+    @property
+    def tomb_files(self) -> list[dict[str, Any]]:
+        return [f for f in self.files if f.get("kind") == "tomb"]
 
 
 class LakeTable:
@@ -330,7 +340,7 @@ class LakeTable:
         given). Files written before a schema evolution are read with their
         exact historical schema and cast-aligned — no rewrites, ever."""
         snap = self.snapshot(version)
-        return self._read_files(snap, snap.files)
+        return self._read_files(snap, snap.data_files)
 
     def _read_files(
         self, snap: Snapshot, entries: list[dict[str, Any]],
@@ -379,7 +389,7 @@ class LakeTable:
             r["__b"]
             for r in vals_df.select(self._bucket_expr(snap).alias("__b")).collect()
         }
-        entries = [f for f in snap.files if f["bucket"] in buckets]
+        entries = [f for f in snap.data_files if f["bucket"] in buckets]
         out = self._read_files(snap, entries)
         pred = None
         for t in tuples:
@@ -422,7 +432,7 @@ class LakeTable:
             return True
 
         snap = self.snapshot(version)
-        return [e for e in snap.files if keep(e)], len(snap.files)
+        return [e for e in snap.data_files if keep(e)], len(snap.data_files)
 
     def scan(
         self,
@@ -604,6 +614,7 @@ class LakeTable:
         delete_op: str = "D",
         broadcast_threshold: int = 200_000,
         per_bucket: dict[int, int] | None = None,
+        lww_by: list[str] | None = None,
     ) -> tuple[Snapshot | None, dict[str, int]]:
         """Copy-on-write MERGE INTO keyed on the table key.
 
@@ -617,6 +628,24 @@ class LakeTable:
         ill-defined, same restriction as Iceberg/Delta). Re-applying the
         same deduped batch is a no-op on converged state, which is what
         makes streaming replays after a crash safe (idempotence).
+
+        ``lww_by`` (order column names, most significant first, non-null,
+        present in both source and table schema — e.g. ``["ts", "lsn"]``)
+        turns this into an OUT-OF-ORDER TOLERANT merge:
+          WHEN MATCHED AND source.order > target.order THEN UPDATE/DELETE
+          (stale source rows are skipped, ties keep the target — so a
+          replayed batch converges with zero writes of new state)
+        For deletes to stay correct under reordering the batch's D-rows
+        are retained as TOMBSTONE files (``kind="tomb"`` manifest entries,
+        invisible to every read path): a later-arriving older U for a
+        deleted key loses against the tombstone's order instead of
+        resurrecting the row — the Cassandra/Kudu tombstone discipline.
+        Tombstones accumulate until ``compact(drop_tombstones=True)``
+        (safe once upstream ordered delivery is re-established or the
+        reorder horizon has passed). Plan shape: the guard adds ONE extra
+        column-pruned map-side scan of the affected buckets (key + order
+        columns, semi-joined against the broadcast batch keys) — the
+        target is never shuffled; without ``lww_by`` the plan is unchanged.
 
         ``per_bucket`` (bucket -> row count for the batch, upper bound ok)
         lets a caller that already aggregated the batch (apply_batch's
@@ -637,9 +666,22 @@ class LakeTable:
             [f for f in source.schema.fields if f.name != op_col]
         )
         schema = evolve_schema(base.schema, payload_schema)
+        if lww_by:
+            missing = [
+                c for c in lww_by
+                if c not in source.columns or c not in schema.fieldNames()
+            ]
+            if missing:
+                raise ValueError(
+                    f"lww_by columns {missing} must exist in both the "
+                    "source and the table schema (the guard compares the "
+                    "stored order of the current row/tombstone against the "
+                    "incoming one)"
+                )
 
         src = source.withColumn(_BUCKET_COL, self._bucket_expr(base))
         caller_counts = per_bucket is not None
+        guard_cache = None
         if not caller_counts:
             src.persist()
         try:
@@ -656,8 +698,19 @@ class LakeTable:
                 return None, {"source_rows": 0, "rewritten_buckets": 0}
             affected = set(per_bucket)
 
-            keep_files = [f for f in base.files if f["bucket"] not in affected]
-            read_entries = [f for f in base.files if f["bucket"] in affected]
+            # Tombstone entries are never rewritten by a merge — they are
+            # carried in every commit and only compact() retires them.
+            keep_files = [
+                f for f in base.files
+                if f["bucket"] not in affected or f.get("kind") == "tomb"
+            ]
+            read_entries = [
+                f for f in base.data_files if f["bucket"] in affected
+            ]
+            guard_tombs = (
+                [f for f in base.tomb_files if f["bucket"] in affected]
+                if lww_by else []
+            )
             target_rows_affected = sum(f.get("rows", 0) for f in read_entries)
 
             # Source rows tagged upsert/delete BEFORE alignment strips
@@ -676,7 +729,7 @@ class LakeTable:
             src_all = align_to_schema(src.withColumn(_ORIGIN_COL, origin), schema_o)
             src_all = src_all.withColumn(_BUCKET_COL, self._bucket_expr(base))
 
-            if not read_entries:
+            if not read_entries and not guard_tombs:
                 # Bootstrap / untouched-bucket fast path: nothing to anti-join
                 # against — the batch IS the new bucket content.
                 result = src_all
@@ -692,13 +745,71 @@ class LakeTable:
                 # strategy from real sizes: building a multi-hundred-MB
                 # broadcast hash relation serializes on the driver and
                 # collapses under concurrency.
+                small = src_rows <= broadcast_threshold
                 src_keys = src.select(*base.key).dropDuplicates(base.key)
-                if src_rows <= broadcast_threshold:
+                if small:
                     src_keys = F.broadcast(src_keys)
-                survivors = target_aff.join(
-                    src_keys, on=base.key, how="left_anti"
-                ).withColumn(_ORIGIN_COL, F.lit("s"))
-                result = survivors.select(src_all.columns).unionByName(src_all)
+                if lww_by is None:
+                    survivors = target_aff.join(
+                        src_keys, on=base.key, how="left_anti"
+                    ).withColumn(_ORIGIN_COL, F.lit("s"))
+                    result = survivors.select(src_all.columns).unionByName(
+                        src_all
+                    )
+                else:
+                    # Guard: per batch key, the max stored order across live
+                    # rows AND tombstones; a source row applies only when
+                    # strictly newer (ties lose -> replay converges with no
+                    # new state). Both guard inputs are column-pruned
+                    # map-side scans semi-joined against the broadcast batch
+                    # keys, so tgt_kv is <= one row per batch key — the
+                    # groupBy shuffles batch-sized data, never the target.
+                    ordc = list(lww_by)
+                    ord_struct = F.struct(*[F.col(c) for c in ordc])
+                    guard_parts = []
+                    if read_entries:
+                        guard_parts.append(target_aff.select(*base.key, *ordc))
+                    if guard_tombs:
+                        guard_parts.append(
+                            self._read_files(
+                                base, guard_tombs, target_schema=schema
+                            ).select(*base.key, *ordc)
+                        )
+                    guard_src = guard_parts[0]
+                    for g in guard_parts[1:]:
+                        guard_src = guard_src.unionByName(g)
+                    tgt_kv = (
+                        guard_src.join(src_keys, on=base.key, how="left_semi")
+                        .groupBy(*base.key)
+                        .agg(F.max(ord_struct).alias("_t_ord"))
+                    )
+                    applied = (
+                        src.select(*base.key, ord_struct.alias("_s_ord"))
+                        .join(tgt_kv, on=base.key, how="left")
+                        .filter(
+                            F.col("_t_ord").isNull()
+                            | (F.col("_s_ord") > F.col("_t_ord"))
+                        )
+                        .select(*base.key)
+                    )
+                    # referenced by two branches of the single write job;
+                    # block-level cache locks make the shared subtree
+                    # compute once
+                    applied = applied.persist()
+                    guard_cache = applied
+                    applied_b = F.broadcast(applied) if small else applied
+                    winners = src_all.join(
+                        applied_b, on=base.key, how="left_semi"
+                    )
+                    if read_entries:
+                        survivors = target_aff.join(
+                            applied_b, on=base.key, how="left_anti"
+                        ).withColumn(_ORIGIN_COL, F.lit("s"))
+                        result = survivors.select(src_all.columns).unionByName(
+                            winners
+                        )
+                    else:
+                        result = winners
             written = self._write_data_files(
                 base.version + 1, result, base.n_buckets, origin_partition=True,
                 stats_cols=base.stats_cols,
@@ -712,7 +823,14 @@ class LakeTable:
             new_files = []
             for f in written:
                 if f.pop("origin", None) == "d":
-                    os.remove(os.path.join(self.path, f["path"]))
+                    if lww_by is not None:
+                        # guarded merge retains delete rows as tombstones:
+                        # their (key, order) must keep beating later-arriving
+                        # staler events for the deleted key
+                        f["kind"] = "tomb"
+                        new_files.append(f)
+                    else:
+                        os.remove(os.path.join(self.path, f["path"]))
                 else:
                     new_files.append(f)
             snap = self._commit(base, keep_files, new_files, schema, "merge")
@@ -733,6 +851,8 @@ class LakeTable:
         finally:
             if not caller_counts:
                 src.unpersist()
+            if guard_cache is not None:
+                guard_cache.unpersist()
 
     # ------------------------------------------------------------ change feed
     def table_changes(
@@ -828,8 +948,11 @@ class LakeTable:
             affected = {f["bucket"] for f in base.files}
         if not affected:
             return None, {"rows_updated": 0, "rewritten_buckets": 0}
-        keep_files = [f for f in base.files if f["bucket"] not in affected]
-        read_entries = [f for f in base.files if f["bucket"] in affected]
+        keep_files = [
+            f for f in base.files
+            if f["bucket"] not in affected or f.get("kind") == "tomb"
+        ]
+        read_entries = [f for f in base.data_files if f["bucket"] in affected]
         tgt = self._read_files(base, read_entries).withColumn(
             _BUCKET_COL, self._bucket_expr(base)
         )
@@ -898,16 +1021,25 @@ class LakeTable:
             return json.load(fh)["next_id"]
 
     # -------------------------------------------------------------- maintain
-    def compact(self, target_file_rows: int = 5_000_000) -> Snapshot:
+    def compact(
+        self, target_file_rows: int = 5_000_000, drop_tombstones: bool = False
+    ) -> Snapshot:
         """Rewrite small files per bucket into fewer large ones (snapshot-
         atomic, like Iceberg rewrite_data_files). Needed because each CDC
-        micro-batch writes one file per affected bucket."""
+        micro-batch writes one file per affected bucket.
+
+        ``drop_tombstones=True`` additionally retires the delete tombstones
+        accumulated by guarded merges (``merge(lww_by=...)``) — safe once
+        the out-of-order horizon has passed (no event older than the
+        tombstones can still arrive); the files themselves are reclaimed by
+        the next ``expire_snapshots``."""
         base = self.snapshot()
+        kept = [] if drop_tombstones else base.tomb_files
         df = self.read().withColumn(_BUCKET_COL, self._bucket_expr(base))
         new_files = self._write_data_files(
             base.version + 1, df, base.n_buckets, stats_cols=base.stats_cols
         )
-        return self._commit(base, [], new_files, base.schema, "compact")
+        return self._commit(base, kept, new_files, base.schema, "compact")
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Delete snapshot manifests and data files unreferenced by the

@@ -24,8 +24,10 @@ interval join vs an inequality join, SCD2 vs a lag/lead window — with
 and without the delete alphabet — and the INCREMENTAL SCD2 apply, a
 four-batch lake-table lifecycle, vs the same full-log SQL; the
 streaming SCD2 replay is rows-only here but pytest-checked bit-exact
-against that window). Current inventory: 57 entries — 48 oracle,
-9 rows-only.
+against that window). The out-of-order guarded MERGE
+(stale-event skip + delete tombstones) replays parity-split halves of
+the log in the wrong order and is checked against the one-window global
+LWW. Current inventory: 58 entries — 49 oracle, 9 rows-only.
 """
 
 from __future__ import annotations
@@ -209,6 +211,70 @@ FROM events
 WHERE event_id > CASE CAST(user_id % 4 AS INTEGER)
                    WHEN 0 THEN 2500 WHEN 1 THEN 5000 WHEN 2 THEN 7500
                    ELSE -1 END
+"""
+
+
+def q_merge_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order tolerant MERGE (``LakeTable.merge(lww_by=...)``): the
+    events changelog is split by LSN parity and the halves are applied in
+    the WRONG order — the second batch is full of events older than
+    already-applied state, including stale updates for deleted keys. The
+    guard (stored-order comparison + delete tombstones) must still
+    converge to the global LWW state, which is exactly what the oracle
+    computes over the full log in one window."""
+    events = _t(spark, sf_dir, "events")
+    chg = events.select(
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_oooo_q_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, key=["user_id"], n_buckets=32
+    )
+    replay(
+        spark, chg.filter(F.col("lsn") % 2 == 0), table,
+        merge_lww_by=["ts", "lsn"],
+    )
+    replay(
+        spark, chg.filter(F.col("lsn") % 2 == 1), table,
+        merge_lww_by=["ts", "lsn"],
+    )
+    return table.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+        F.col("lsn").alias("last_lsn"),
+    )
+
+
+_ORACLE_OOO_MERGE = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts, event_id AS lsn,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id,
+       event_type AS last_event_type,
+       value      AS last_value,
+       ts         AS last_ts,
+       lsn        AS last_lsn
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
 """
 
 
@@ -1625,6 +1691,7 @@ def q_streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "cdc_apply_final_state": q_cdc_apply_final_state,
+    "merge_out_of_order": q_merge_out_of_order,
     "lww_dedup": q_lww_dedup,
     "lww_dedup_salted": q_lww_dedup_salted,
     "incremental_tail": q_incremental_tail,
@@ -1685,6 +1752,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "cdc_apply_final_state": _ORACLE_CDC_FINAL,
+    "merge_out_of_order": _ORACLE_OOO_MERGE,
     "lww_dedup": _ORACLE_LWW,
     "lww_dedup_salted": _ORACLE_LWW,
     "incremental_tail": _ORACLE_TAIL,

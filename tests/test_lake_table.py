@@ -508,3 +508,151 @@ def test_zone_map_rejects_string_stats_col(spark, tmp_path):
     with pytest.raises(ValueError, match="non-prunable"):
         LakeTable.create(spark, str(tmp_path / "bad"), df.schema, key=["id"],
                          stats_cols=["name"])
+
+
+# ------------------------------------------------------- guarded merge (LWW)
+
+GUARD_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+    ]
+)
+
+OPS = T.StructType(list(GUARD_SCHEMA.fields) + [T.StructField("op", T.StringType())])
+
+
+def make_guard(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "g"), GUARD_SCHEMA,
+        key=["conv_id", "turn_idx"], n_buckets=4, bucket_by=["conv_id"],
+    )
+
+
+def grows(t):
+    return {
+        (r.conv_id, r.turn_idx, r.text, r.ts, r.lsn) for r in t.read().collect()
+    }
+
+
+def test_guarded_merge_skips_stale_updates(spark, tmp_path):
+    t = make_guard(spark, tmp_path)
+    b1 = spark.createDataFrame(
+        [("c1", 0, "new", 100, 10, "U"), ("c2", 0, "cur", 100, 11, "U")], OPS
+    )
+    t.merge(b1, op_col="op", lww_by=["ts", "lsn"])
+    # out-of-order batch: stale update for c1, fresh for c2, brand-new key
+    b2 = spark.createDataFrame(
+        [
+            ("c1", 0, "stale", 50, 5, "U"),
+            ("c2", 0, "newer", 200, 12, "U"),
+            ("c3", 0, "insert", 60, 6, "U"),
+        ],
+        OPS,
+    )
+    snap, stats = t.merge(b2, op_col="op", lww_by=["ts", "lsn"])
+    assert grows(t) == {
+        ("c1", 0, "new", 100, 10),
+        ("c2", 0, "newer", 200, 12),
+        ("c3", 0, "insert", 60, 6),
+    }
+    # only the two winners were applied
+    assert stats["rows_applied"] == 2
+
+
+def test_guarded_merge_tombstone_blocks_stale_resurrect(spark, tmp_path):
+    t = make_guard(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame([("c1", 0, "v1", 100, 10, "U")], OPS),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    # delete at ts=200 arrives first
+    t.merge(
+        spark.createDataFrame([("c1", 0, None, 200, 20, "D")], OPS),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    assert grows(t) == set()
+    assert len(t.snapshot().tomb_files) == 1
+    # older update (ts=150) arrives late: tombstone must win
+    t.merge(
+        spark.createDataFrame([("c1", 0, "late", 150, 15, "U")], OPS),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    assert grows(t) == set()
+    # genuinely newer update resurrects the key
+    t.merge(
+        spark.createDataFrame([("c1", 0, "back", 300, 30, "U")], OPS),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    assert grows(t) == {("c1", 0, "back", 300, 30)}
+
+
+def test_guarded_merge_replay_converges(spark, tmp_path):
+    t = make_guard(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [("c1", 0, "x", 100, 10, "U"), ("c2", 0, None, 100, 11, "D")], OPS
+    )
+    t.merge(batch, op_col="op", lww_by=["ts", "lsn"])
+    before = grows(t)
+    snap, stats = t.merge(batch, op_col="op", lww_by=["ts", "lsn"])
+    # ties keep the target: a crash-replayed batch writes no new state
+    assert grows(t) == before == {("c1", 0, "x", 100, 10)}
+    assert stats["rows_applied"] == 0
+    # replay did not mint a duplicate tombstone
+    assert len(t.snapshot().tomb_files) == 1
+
+
+def test_guarded_merge_no_leaked_cache(spark, tmp_path):
+    t = make_guard(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame([("c1", 0, "a", 1, 1, "U")], OPS),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    t.merge(
+        spark.createDataFrame([("c1", 0, "b", 2, 2, "U")], OPS),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    assert not spark.sparkContext._jsc.getPersistentRDDs()
+
+
+def test_compact_carries_then_drops_tombstones(spark, tmp_path):
+    t = make_guard(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [("c1", 0, "a", 100, 1, "U"), ("c2", 0, "b", 100, 2, "U")], OPS
+        ),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    t.merge(
+        spark.createDataFrame([("c1", 0, None, 200, 3, "D")], OPS),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    t.compact()
+    assert len(t.snapshot().tomb_files) == 1  # carried across compaction
+    assert grows(t) == {("c2", 0, "b", 100, 2)}
+    t.compact(drop_tombstones=True)
+    assert t.snapshot().tomb_files == []
+    assert grows(t) == {("c2", 0, "b", 100, 2)}
+
+
+def test_unguarded_merge_preserves_existing_tombstones(spark, tmp_path):
+    t = make_guard(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame([("c1", 0, None, 100, 1, "D")], OPS),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    assert len(t.snapshot().tomb_files) == 1
+    # a plain (ordered-delivery) merge on the same bucket must not destroy
+    # the guard metadata a later guarded merge depends on
+    t.merge(
+        spark.createDataFrame([("c9", 0, "x", 100, 2, "U")], OPS), op_col="op"
+    )
+    assert len(t.snapshot().tomb_files) == 1
+    t.merge(
+        spark.createDataFrame([("c1", 0, "stale", 50, 0, "U")], OPS),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    assert ("c1", 0, "stale", 50, 0) not in grows(t)
