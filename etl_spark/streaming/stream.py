@@ -95,6 +95,12 @@ class CdcStream:
     max_files_per_trigger: int = 8
     salted_dedup: bool = False
     dead_letter: bool = True
+    # Out-of-order tolerant sink (LakeTable.merge lww_by): order columns
+    # stored in the table and compared against incoming events; stale
+    # events lose, deletes leave tombstones. Use when the WAL can replay
+    # or reorder across the per-partition LSN contract (e.g. a key
+    # migrating between source partitions).
+    merge_lww_by: list[str] | None = None
     # Multi-destination fan-out: the same batch is applied to each extra
     # table after the primary (reference re-runs the whole ETL per
     # destination, /root/reference/etl.go:463-477; here the batch is
@@ -152,6 +158,7 @@ class CdcStream:
                 metrics=self.metrics,
                 dead_letter_dir=self.dead_letter_dir,
                 salted_dedup=self.salted_dedup,
+                merge_lww_by=self.merge_lww_by,
             ),
             attempts=self.retry_attempts,
         )
@@ -167,6 +174,7 @@ class CdcStream:
                     transform_stage=self.transform_stage,
                     commit_log=self.commit_log,
                     salted_dedup=self.salted_dedup,
+                    merge_lww_by=self.merge_lww_by,
                 ),
                 attempts=self.retry_attempts,
             )

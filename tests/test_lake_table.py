@@ -656,3 +656,74 @@ def test_unguarded_merge_preserves_existing_tombstones(spark, tmp_path):
         op_col="op", lww_by=["ts", "lsn"],
     )
     assert ("c1", 0, "stale", 50, 0) not in grows(t)
+
+
+def test_rollback_restores_old_state_as_new_commit(spark, tmp_path):
+    t = make(spark, tmp_path)
+    t.append(spark.createDataFrame([("c1", 0, "v1")], SCHEMA))
+    good = t.current_version()
+    t.overwrite(spark.createDataFrame([("c9", 9, "bad")], SCHEMA))
+    snap = t.rollback(good)
+    assert snap.version == good + 2  # history stays linear
+    assert snap.op == f"rollback({good})"
+    assert rows(t.read()) == {("c1", 0, "v1")}
+    # the bad version remains time-travelable until expiry
+    assert rows(t.read(version=good + 1)) == {("c9", 9, "bad")}
+    with pytest.raises(ValueError, match="future version"):
+        t.rollback(snap.version + 5)
+    # expiring old snapshots must not reclaim files the rollback head
+    # re-references
+    t.expire_snapshots(keep_last=1)
+    assert rows(t.read()) == {("c1", 0, "v1")}
+
+
+def _bloom_offsets(spark, full_path):
+    """{column: bloomFilterOffset} from the parquet footer via parquet-mr
+    (pyarrow does not expose bloom metadata)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path("file:" + full_path)
+    inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+    try:
+        cols = reader.getFooter().getBlocks().get(0).getColumns()
+        return {
+            cols.get(i).getPath().toDotString(): cols.get(i).getBloomFilterOffset()
+            for i in range(cols.size())
+        }
+    finally:
+        reader.close()
+
+
+def test_bloom_filter_cols_written_and_lookup_correct(spark, tmp_path):
+    import os as _os
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "b"), SCHEMA, key=["conv_id", "turn_idx"],
+        n_buckets=2, bucket_by=["conv_id"],
+        bloom_cols=["conv_id"], bloom_ndv=10_000,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(f"c{i}", 0, f"t{i}") for i in range(200)], SCHEMA
+        )
+    )
+    # merge path writes blooms too (the serving files of a CDC table)
+    t.merge(
+        spark.createDataFrame(
+            [(f"c{i}", 0, f"u{i}", "U") for i in range(0, 200, 7)],
+            T.StructType(list(SCHEMA.fields) + [T.StructField("op", T.StringType())]),
+        ),
+        op_col="op",
+    )
+    snap = t.snapshot()
+    assert snap.bloom_cols == ["conv_id"]
+    for e in snap.data_files:
+        offs = _bloom_offsets(spark, _os.path.join(t.path, e["path"]))
+        assert offs["conv_id"] >= 0, f"no bloom in {e['path']}"
+        assert offs["text"] == -1  # only the declared columns pay the cost
+    got = {
+        (r.conv_id, r.text)
+        for r in t.read_for_keys([("c7",), ("c8",)]).collect()
+    }
+    assert got == {("c7", "u7"), ("c8", "t8")}

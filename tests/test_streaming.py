@@ -537,3 +537,55 @@ def test_scd2_stream_schema_evolution_on_resume(spark, tmp_path):
     )
     ref = _scd2_ref(spark, wal)  # full log incl. evolved column
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_stream_guarded_merge_survives_stale_redelivery(spark, tmp_path):
+    """Out-of-order sink knob (merge_lww_by): an upstream backfill
+    re-emits STALE events under fresh LSNs (so neither the commit log nor
+    the per-partition watermark can reject them); the stored-order guard
+    must keep the converged state, including not resurrecting keys whose
+    latest event was a delete (tombstones)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = generate_changelog(SPEC)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+    table = make_target(spark, tmp_path)
+    state = str(tmp_path / "state")
+    CdcStream(
+        spark, wal, table, state, merge_lww_by=["ts", "lsn"]
+    ).run_to_completion()
+    assert_converged(table, pdf)
+
+    # backfill: each key's FIRST event re-delivered 1h older with new LSNs
+    stale = (
+        pdf.sort_values("_seq").groupby(["conv_id", "turn_idx"]).head(1).copy()
+    )
+    stale["text"] = "STALE " + stale["text"].fillna("")
+    stale["ts"] = stale["ts"] - pd.Timedelta(hours=1)
+    base_lsn = int(pdf["lsn"].max()) + 1
+    stale["lsn"] = base_lsn + np.arange(len(stale))
+    for p, part in stale.groupby("source_partition", sort=True):
+        cols = ["op", "lsn", "ts", "conv_id", "turn_idx", "role", "text"]
+        t = pa.Table.from_pandas(part[cols], preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("op", pa.string()), ("lsn", pa.int64()),
+                    ("ts", pa.timestamp("us")), ("conv_id", pa.string()),
+                    ("turn_idx", pa.int32()), ("role", pa.string()),
+                    ("text", pa.string()),
+                ]
+            )
+        )
+        pq.write_table(
+            t, os.path.join(wal, f"source_partition={int(p)}", "seg-99999.parquet")
+        )
+    stats = CdcStream(
+        spark, wal, table, state, merge_lww_by=["ts", "lsn"]
+    ).run_to_completion()
+    # every redelivered event reached the merge and LOST the guard
+    assert sum(s["rows_applied"] for s in stats if not s.get("skipped")) == 0
+    assert_converged(table, pdf)
+    assert not table.read().filter("text LIKE 'STALE%'").count()
