@@ -189,6 +189,61 @@ def ngram_frequencies(
     )
 
 
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: int = 1,
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's OWN
+    unigram distribution with add-k smoothing — the cheap KenLM-style
+    perplexity signal used to rank training documents by "fluency"
+    (gibberish / boilerplate / wrong-tokenization docs score far below
+    prose). Returns (id_col, n_tokens, avg_logprob).
+
+    Plan shape at scale: per-(doc, token) counts FIRST (map-side combine
+    collapses repeats, so the token join carries distinct doc-token pairs,
+    not every token occurrence), vocab derived from those counts, corpus
+    totals broadcast as a 1-row crossJoin — three shuffles total
+    (doc-token agg, vocab agg, token join), never a driver-side vocab.
+    Hot-token join skew (every doc contains "the") is one-row-per-key on
+    the vocab side, which AQE skew-split handles.
+
+    Determinism vs the DuckDB oracle: ``ln`` differs between the JVM and
+    libm by 1 ulp on ~2% of inputs, so each token's log-prob is cast to
+    DECIMAL(24,12) BEFORE the weighted sum — decimal aggregation is exact
+    and order-independent, making the parallel result bit-equal to the
+    sequential one."""
+    norm = F.lower(normalize_text(F.col(text_col)))
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(norm, " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    vocab = tf.groupBy("tok").agg(F.sum("c").alias("n_t"))
+    totals = vocab.agg(
+        F.sum("n_t").alias("N"), F.count("*").alias("V")
+    )
+    lp = F.log(
+        (F.col("n_t") + F.lit(add_k))
+        / (F.col("N") + F.lit(add_k) * F.col("V"))
+    ).cast("decimal(24,12)")
+    return (
+        tf.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            # c as DECIMAL(12,0): c(bigint) * DECIMAL(24,12) would exceed
+            # precision 38 and Spark silently RESCALES the product to ~6
+            # decimals; (12,0)x(24,12) stays exact at scale 12
+            (
+                F.sum(F.col("c").cast("decimal(12,0)") * lp).cast("double")
+                / F.sum("c")
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """64-bit document fingerprint of normalized content (rolling-hash
     analogue): xxhash64 over the whitespace-normalized, lowercased text."""

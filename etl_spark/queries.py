@@ -27,7 +27,7 @@ streaming SCD2 replay is rows-only here but pytest-checked bit-exact
 against that window). The out-of-order guarded MERGE
 (stale-event skip + delete tombstones) replays parity-split halves of
 the log in the wrong order and is checked against the one-window global
-LWW. Current inventory: 58 entries — 49 oracle, 9 rows-only.
+LWW. Current inventory: 59 entries — 50 oracle, 9 rows-only.
 """
 
 from __future__ import annotations
@@ -1128,6 +1128,42 @@ FROM sh GROUP BY ngram HAVING COUNT(*) >= 5
 """
 
 
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document quality: mean token log-prob under the corpus's
+    own add-1-smoothed unigram distribution (functions.text.
+    unigram_lm_score) — the cheap perplexity-style ranking signal of a
+    training-data pipeline. Per-token log-probs go through DECIMAL(24,12)
+    so the parallel weighted sum is bit-equal to the sequential oracle."""
+    from etl_spark.functions.text import unigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_lm_score(docs, "text", "doc_id")
+
+
+_ORACLE_LM_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+  FROM documents),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+vocab AS (
+  SELECT tok, CAST(SUM(c) AS BIGINT) AS n_t FROM tf GROUP BY tok),
+tot AS (
+  SELECT CAST(SUM(n_t) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+  FROM vocab)
+SELECT tf.doc_id,
+       CAST(SUM(tf.c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(tf.c AS DECIMAL(12,0))
+                * CAST(ln((vocab.n_t + 1) / (tot.n + tot.v))
+                       AS DECIMAL(24,12))) AS DOUBLE)
+         / CAST(SUM(tf.c) AS BIGINT) AS avg_logprob
+FROM tf JOIN vocab USING (tok) CROSS JOIN tot
+GROUP BY tf.doc_id
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination: corpus docs sharing >= 3 distinct word 5-grams with
     any 'benchmark' doc (every 20th doc plays the eval suite). The
@@ -1732,6 +1768,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "ngram_frequencies": q_ngram_frequencies,
     "decontaminate": q_decontaminate,
+    "lm_quality_score": q_lm_quality_score,
     "hash_split": q_hash_split,
     "quota_sample": q_quota_sample,
     "sequence_packing": q_sequence_packing,
@@ -1789,6 +1826,7 @@ ORACLE_SQL = {
     "redact_pii": _ORACLE_REDACT,
     "ngram_frequencies": _ORACLE_NGRAM_FREQ,
     "decontaminate": _ORACLE_DECONTAMINATE,
+    "lm_quality_score": _ORACLE_LM_SCORE,
     "hash_split": _ORACLE_HASH_SPLIT,
     "quota_sample": _ORACLE_QUOTA_SAMPLE,
     "sequence_packing": _ORACLE_SEQUENCE_PACKING,

@@ -126,3 +126,18 @@ class TestDecontamination:
             corpus, benchmark, shingle_words=5, min_shared=10
         ).collect()
         assert out == []
+
+
+def test_unigram_lm_score_ranks_fluent_above_gibberish(spark):
+    from etl_spark.functions.text import unigram_lm_score
+
+    rows = [(i, "the cat sat on the mat and the dog ran") for i in range(20)]
+    rows.append((100, "zxqv jkwp qqzx vvbn mmlk"))  # unique gibberish tokens
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in unigram_lm_score(df).collect()}
+    assert out[0].n_tokens == 10
+    assert out[100].n_tokens == 5
+    # every prose doc outscores the gibberish one under the corpus LM
+    assert all(out[i].avg_logprob > out[100].avg_logprob for i in range(20))
+    # smoothed probabilities are proper: logprob strictly negative
+    assert all(r.avg_logprob < 0 for r in out.values())
