@@ -483,6 +483,7 @@ class LakeTable:
         self, snap_version: int, df: DataFrame, n_buckets: int = 0,
         origin_partition: bool = False, stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None, bloom_ndv: int = 1_000_000,
+        sort_by: list[str] | None = None,
     ) -> list[dict[str, Any]]:
         """Write df (must carry __bucket) partitioned by bucket under a
         unique dir; return manifest entries with parquet-footer row counts.
@@ -506,6 +507,10 @@ class LakeTable:
         out = os.path.join(self.path, rel_dir)
         if n_buckets > 0:
             df = df.repartition(n_buckets, F.col(_BUCKET_COL))
+        if sort_by:
+            # range-cluster within the write task: rows arrive at the file
+            # writer sorted, so parquet row-group stats are tight ranges
+            df = df.sortWithinPartitions(_BUCKET_COL, *sort_by)
         part_cols = [_BUCKET_COL] + ([_ORIGIN_COL] if origin_partition else [])
         writer = df.write.partitionBy(*part_cols).mode("errorifexists")
         # Parquet column bloom filters on the table's lookup columns: the
@@ -584,6 +589,7 @@ class LakeTable:
         new_files: list[dict[str, Any]],
         schema: T.StructType,
         op: str,
+        n_buckets: int | None = None,
     ) -> Snapshot:
         version = base.version + 1
         sid = str(version)
@@ -598,7 +604,7 @@ class LakeTable:
             schema=schema,
             key=base.key,
             bucket_by=base.bucket_by,
-            n_buckets=base.n_buckets,
+            n_buckets=base.n_buckets if n_buckets is None else n_buckets,
             files=files,
             schemas=schemas,
             op=op,
@@ -1054,11 +1060,23 @@ class LakeTable:
 
     # -------------------------------------------------------------- maintain
     def compact(
-        self, target_file_rows: int = 5_000_000, drop_tombstones: bool = False
+        self,
+        target_file_rows: int = 5_000_000,
+        drop_tombstones: bool = False,
+        sort_by: list[str] | None = None,
     ) -> Snapshot:
         """Rewrite small files per bucket into fewer large ones (snapshot-
         atomic, like Iceberg rewrite_data_files). Needed because each CDC
         micro-batch writes one file per affected bucket.
+
+        ``sort_by`` range-clusters each bucket during the rewrite (Iceberg
+        sort-order compaction): rows land sorted inside the bucket's file,
+        so parquet ROW-GROUP min/max stats become tight disjoint ranges —
+        the reader then skips row groups on range predicates over the sort
+        column (e.g. event time on an ingest table), on top of the
+        manifest-level zone maps; sorted columns also run-length/delta
+        compress better. Cost: one sortWithinPartitions inside the rewrite
+        the compaction was already paying for — no extra shuffle.
 
         ``drop_tombstones=True`` additionally retires the delete tombstones
         accumulated by guarded merges (``merge(lww_by=...)``) — safe once
@@ -1071,8 +1089,83 @@ class LakeTable:
         new_files = self._write_data_files(
             base.version + 1, df, base.n_buckets, stats_cols=base.stats_cols,
             bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
+            sort_by=sort_by,
         )
         return self._commit(base, kept, new_files, base.schema, "compact")
+
+    def rebucket(self, n_buckets: int) -> Snapshot:
+        """Change the table's bucket count (partition evolution): full
+        rewrite under the new hash layout, one atomic commit. The scale
+        lever when a table outgrows its create-time bucketing — the
+        copy-on-write unit should stay a few GB, so a growing table
+        periodically doubles its buckets. Tombstones are re-bucketed too
+        (their manifest bucket ids drive the guarded-merge pruning, so
+        they must follow the new layout)."""
+        if n_buckets <= 0:
+            raise ValueError("n_buckets must be positive")
+        base = self.snapshot()
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(c) for c in base.bucket_by]), F.lit(n_buckets)
+        ).cast("int")
+        df = self.read().withColumn(_BUCKET_COL, bucket)
+        new_files = self._write_data_files(
+            base.version + 1, df, n_buckets, stats_cols=base.stats_cols,
+            bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
+        )
+        if base.tomb_files:
+            tombs = self._read_files(base, base.tomb_files).withColumn(
+                _BUCKET_COL, bucket
+            )
+            new_files += [
+                {**f, "kind": "tomb"}
+                for f in self._write_data_files(
+                    base.version + 1, tombs, n_buckets,
+                    stats_cols=base.stats_cols,
+                )
+            ]
+        return self._commit(
+            base, [], new_files, base.schema, f"rebucket({n_buckets})",
+            n_buckets=n_buckets,
+        )
+
+    def vacuum(self, older_than_s: float = 3600.0) -> int:
+        """Remove ORPHAN data files: parquet under the data dir referenced
+        by NO existing snapshot manifest — the leftovers of writes that
+        crashed between ``_write_data_files`` and the O_EXCL commit (every
+        write lands in its own unique directory, so a failed commit strands
+        a whole dir). ``older_than_s`` guards in-flight commits: only files
+        with mtime older than the horizon are eligible (Iceberg
+        remove_orphan_files has the same contract). Returns #files removed.
+        Complements ``expire_snapshots``, which reclaims files referenced
+        by EXPIRED manifests."""
+        v = self.current_version()
+        if v is None:
+            return 0
+        live: set[str] = set()
+        for i in range(v + 1):
+            if os.path.exists(self._snap_path(i)):
+                live |= {f["path"] for f in self.snapshot(i).files}
+        cutoff = time.time() - older_than_s
+        removed = 0
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for root, _dirs, names in os.walk(data_root):
+            for n in names:
+                full = os.path.join(root, n)
+                rel = os.path.relpath(full, self.path)
+                if (
+                    n.endswith(".parquet")
+                    and rel not in live
+                    and os.path.getmtime(full) < cutoff
+                ):
+                    os.remove(full)
+                    removed += 1
+        # prune now-empty write dirs (crashed commits strand whole dirs);
+        # bottom-up + re-list so a parent whose children were just removed
+        # goes too
+        for root, _dirs, _names in os.walk(data_root, topdown=False):
+            if root != data_root and not os.listdir(root):
+                os.rmdir(root)
+        return removed
 
     def rollback(self, version: int) -> Snapshot:
         """Restore the table to an earlier snapshot's state as a NEW commit

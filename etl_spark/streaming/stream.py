@@ -117,6 +117,10 @@ class CdcStream:
     # short-lived streams).
     compact_every: int = 0
     expire_keep_last: int = 3
+    # range-cluster each bucket on these columns during the periodic
+    # compaction (tight parquet row-group stats for time-range reads of
+    # the ingest table); None keeps arrival order
+    compact_sort_by: list[str] | None = None
     # Ingest-time near-dup detection (the training-data-pipeline stage):
     # after each applied batch, the batch's post-dedup upsert TEXTS are
     # probed against and appended to a persisted MinHash band index under
@@ -190,7 +194,7 @@ class CdcStream:
             and len([s for s in self.batch_stats if not s.get("skipped")])
             % self.compact_every == 0
         ):
-            self.table.compact()
+            self.table.compact(sort_by=self.compact_sort_by)
             if self.expire_keep_last:
                 self.table.expire_snapshots(keep_last=self.expire_keep_last)
 

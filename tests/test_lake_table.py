@@ -727,3 +727,95 @@ def test_bloom_filter_cols_written_and_lookup_correct(spark, tmp_path):
         for r in t.read_for_keys([("c7",), ("c8",)]).collect()
     }
     assert got == {("c7", "u7"), ("c8", "t8")}
+
+
+# ----------------------------------------------------- maintenance at scale
+
+def test_compact_sort_by_clusters_rows_in_file(spark, tmp_path):
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "s"), schema, key=["conv_id", "turn_idx"],
+        n_buckets=2, bucket_by=["conv_id"], stats_cols=["ts"],
+    )
+    # three appends in shuffled ts order -> many unsorted files
+    for lo in (200, 0, 100):
+        t.append(
+            spark.createDataFrame(
+                [(f"c{i % 7}", lo + i, 1000 - lo - i) for i in range(40)], schema
+            )
+        )
+    t.compact(sort_by=["ts"])
+    snap = t.snapshot()
+    assert len(snap.data_files) <= snap.n_buckets
+    for e in snap.data_files:
+        col = pq.read_table(
+            _os.path.join(t.path, e["path"]), columns=["ts"]
+        )["ts"].to_pylist()
+        assert col == sorted(col), f"{e['path']} not ts-clustered"
+    assert t.read().count() == 120
+
+
+def test_rebucket_preserves_state_and_guard(spark, tmp_path):
+    t = make_guard(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [(f"c{i}", 0, f"v{i}", 100, i, "U") for i in range(30)]
+            + [("c0", 1, None, 200, 99, "D")],
+            OPS,
+        ),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    before = grows(t)
+    snap = t.rebucket(16)
+    assert snap.n_buckets == 16
+    assert grows(t) == before
+    # manifest bucket ids follow the new layout (drives merge pruning)
+    assert {f["bucket"] for f in snap.files} <= set(range(16))
+    # tombstones survived the rewrite and still block a stale resurrect
+    assert len(snap.tomb_files) >= 1
+    t.merge(
+        spark.createDataFrame([("c0", 1, "stale", 150, 98, "U")], OPS),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    assert ("c0", 1, "stale", 150, 98) not in grows(t)
+    # merges keep working against the new bucketing
+    t.merge(
+        spark.createDataFrame([("c5", 0, "upd", 300, 100, "U")], OPS),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    assert ("c5", 0, "upd", 300, 100) in grows(t)
+
+
+def test_vacuum_removes_orphans_keeps_referenced(spark, tmp_path):
+    import os as _os
+
+    t = make(spark, tmp_path)
+    t.append(spark.createDataFrame([("c1", 0, "keep")], SCHEMA))
+    # simulate a crashed write: files on disk, never committed
+    df = spark.createDataFrame([("c9", 9, "orphan")], SCHEMA).withColumn(
+        "__bucket", F.lit(0)
+    )
+    t._write_data_files(99, df, 1)
+    n_parquet = sum(
+        len([n for n in names if n.endswith(".parquet")])
+        for _, _, names in _os.walk(_os.path.join(t.path, "data"))
+    )
+    assert t.vacuum(older_than_s=3600) == 0  # age guard: too fresh
+    removed = t.vacuum(older_than_s=0)
+    assert removed >= 1
+    assert rows(t.read()) == {("c1", 0, "keep")}
+    n_after = sum(
+        len([n for n in names if n.endswith(".parquet")])
+        for _, _, names in _os.walk(_os.path.join(t.path, "data"))
+    )
+    assert n_after == n_parquet - removed
