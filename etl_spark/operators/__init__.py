@@ -22,6 +22,7 @@ from etl_spark.operators.temporal import asof_join, interval_join, scd2_history
 from etl_spark.operators.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
+    cluster_embeddings,
     ivf_topk,
     lsh_topk,
 )
@@ -48,6 +49,7 @@ __all__ = [
     "simhash_signatures_pandas",
     "brute_force_topk",
     "lsh_topk",
+    "cluster_embeddings",
     "ivf_topk",
     "embedding_neardup_pairs",
     "asof_join",

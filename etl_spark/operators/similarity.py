@@ -347,6 +347,74 @@ def _assign_lists_pandas(
     return src.repartition(par).mapInPandas(fn, out_schema)
 
 
+def cluster_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    sample_target: int = 50_000,
+    kmeans_iters: int = 5,
+    seed: int = 7,
+    centroids=None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Topic clustering over an embedding column: spherical-kmeans
+    centroids from a deterministic hash sample (``ivf_train_centroids``),
+    then ONE mapInPandas assignment pass — a BLAS matmul per Arrow batch
+    against the closure-shipped centroid matrix — emitting
+    ``(id, cluster_id, sim)``. The training-data-pipeline stage for topic
+    balancing / mixture re-weighting and cluster-then-dedup (semantic
+    dedup runs exact near-dup INSIDE each cluster instead of globally).
+
+    Scale shape: training collects only the hash sample; assignment is a
+    single map-side pass (no shuffle, no driver state beyond the
+    (n_clusters x dim) matrix). Train-once / assign-many: pass
+    ``centroids`` to reuse a trained matrix across corpora/batches;
+    ``n_rows`` avoids the full-scan count during training (see
+    ``ivf_train_centroids``)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, id_col, vec_col, n_lists=n_clusters,
+            sample_target=sample_target, kmeans_iters=kmeans_iters,
+            seed=seed, n_rows=n_rows,
+        )
+    C = centroids
+    id_field = corpus.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("cluster_id", T.IntegerType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    src = corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_vec"))
+
+    def fn(batches):
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            V = np.stack(b["_vec"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            sims = (V / norms) @ C.T
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(),
+                    "cluster_id": np.argmax(sims, axis=1).astype(np.int32),
+                    "sim": np.max(sims, axis=1),
+                }
+            )
+
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(par).mapInPandas(fn, out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

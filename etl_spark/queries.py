@@ -27,7 +27,7 @@ streaming SCD2 replay is rows-only here but pytest-checked bit-exact
 against that window). The out-of-order guarded MERGE
 (stale-event skip + delete tombstones) replays parity-split halves of
 the log in the wrong order and is checked against the one-window global
-LWW. Current inventory: 59 entries — 50 oracle, 9 rows-only.
+LWW. Current inventory: 60 entries — 50 oracle, 10 rows-only.
 """
 
 from __future__ import annotations
@@ -975,6 +975,21 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic clustering over the embeddings table (rows-only: assignments
+    depend on engine-internal hash sampling; blob-separation semantics are
+    covered by tests/test_dedup_similarity.py). One assignment row per
+    vector — train on the hash sample, one map-side matmul pass."""
+    from etl_spark.operators.similarity import cluster_embeddings
+    from etl_spark.sources.files import parquet_row_count
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_rows = parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
+    return cluster_embeddings(emb, n_clusters=8, n_rows=n_rows).select(
+        "vec_id", "cluster_id", F.round("sim", 6).alias("sim")
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — EXACT, via the tiled-GEMM
     mapInPandas scan (one BLAS matmul per Arrow batch; the baseline path,
@@ -1761,6 +1776,7 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
     "similarity_ivf": q_similarity_ivf,
+    "embedding_clusters": q_embedding_clusters,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_blocked": q_embedding_neardup_blocked,
     "embedding_neardup_blocked_hi": q_embedding_neardup_blocked_hi,

@@ -476,3 +476,41 @@ def test_winnowing_guarantee_randomized_sweep(spark):
         i for i in range(25) if not (by_doc[2 * i] & by_doc[2 * i + 1])
     ]
     assert missing == []
+
+
+def test_cluster_embeddings_separates_blobs(spark):
+    import numpy as np
+
+    from etl_spark.operators.similarity import (
+        cluster_embeddings,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    a, b = np.zeros(dim), np.zeros(dim)
+    a[0], b[1] = 1.0, 1.0
+    rows = []
+    for i in range(60):
+        base = a if i % 2 == 0 else b
+        v = base + rng.normal(0, 0.05, dim)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in cluster_embeddings(
+        df, n_clusters=2, n_rows=60, sample_target=60
+    ).collect()}
+    assert len(out) == 60
+    blob_a = {out[i].cluster_id for i in range(0, 60, 2)}
+    blob_b = {out[i].cluster_id for i in range(1, 60, 2)}
+    # each blob lands in exactly one cluster, and they differ
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    assert all(r.sim > 0.9 for r in out.values())
+    # train-once / assign-many: shipping the trained matrix reproduces
+    # the assignment without retraining
+    C = ivf_train_centroids(
+        df, n_lists=2, n_rows=60, sample_target=60
+    )
+    out2 = {r.vec_id: r.cluster_id for r in cluster_embeddings(
+        df, n_clusters=2, centroids=C
+    ).collect()}
+    assert out2 == {k: v.cluster_id for k, v in out.items()}
