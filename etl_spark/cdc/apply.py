@@ -313,6 +313,113 @@ def apply_batch(
         pass  # no cached state to release (see note above)
 
 
+def replay_dead_letters(
+    spark: SparkSession,
+    dead_letter_dir: str,
+    table: LakeTable,
+    *,
+    op_col: str = "op",
+    fix: Callable[[DataFrame], DataFrame] | None = None,
+    validators: Sequence[tuple[str, Column]] | None = None,
+    salted_dedup: bool = False,
+    merge_lww_by: Sequence[str] | str | None = "auto",
+    purge: bool = True,
+) -> dict:
+    """Re-process dead-lettered rows after the upstream defect is fixed —
+    the recovery half of the reference's failed-data salvage loop
+    (/root/reference/etl.go:302-333), done declaratively: read every
+    ``batch=N`` subdir, apply the ``fix`` transform, re-validate, LWW-dedup
+    and MERGE the now-valid rows. Rows that STILL fail validation stay
+    dead-lettered.
+
+    Recovery is inherently OUT OF ORDER — the stream has moved on since
+    the rows were dead-lettered, so an unguarded merge would overwrite
+    newer table state with a repaired OLD event. The merge therefore
+    defaults to the guarded path (``merge_lww_by="auto"``: the engine's
+    order columns present in BOTH the table schema and the payload — a
+    repaired event applies only if genuinely newer than the stored row).
+    Pass an explicit column list, or None to force the unguarded merge
+    when the dead-letter set is known to be the newest data.
+
+    Crash-safe ordering: the MERGE commits first; ``purge`` then rewrites
+    the dead-letter directory to only the still-failed rows (single
+    ``batch=requeued`` subdir) and removes the recovered batches. A crash
+    between the two just re-runs — re-merging already-recovered rows is
+    idempotent. Returns {rows_read, rows_recovered, rows_still_failed}.
+
+    At scale this is a bounded job: the dead-letter set is the validator
+    failure tail, orders of magnitude smaller than the stream."""
+    import shutil
+
+    batch_dirs = sorted(
+        d for d in os.listdir(dead_letter_dir)
+        if os.path.isdir(os.path.join(dead_letter_dir, d)) and d.startswith("batch=")
+    )
+    if not batch_dirs:
+        return {"rows_read": 0, "rows_recovered": 0, "rows_still_failed": 0}
+    df = spark.read.option("basePath", dead_letter_dir).parquet(
+        *[os.path.join(dead_letter_dir, d) for d in batch_dirs]
+    )
+    # `batch` partition dir + recorded error are bookkeeping, not payload
+    df = df.drop("batch", "error")
+    if fix is not None:
+        df = fix(df)
+    if merge_lww_by == "auto":
+        tcols = {f.name for f in table.schema.fields}
+        merge_lww_by = [
+            c for c in DEFAULT_ORDER if c in tcols and c in df.columns
+        ] or None
+    vals = list(validators) if validators is not None else default_validators(op_col)
+    pred = vals[0][1]
+    for _, p in vals[1:]:
+        pred = pred & p
+    df.persist()
+    try:
+        rows_read = df.count()
+        valid = df.filter(pred)
+        still = df.filter(~pred)
+        deduped = dedup_last_writer_wins(valid, key=table.key, salted=salted_dedup)
+        keep = set(merge_lww_by or ())
+        merge_src = deduped.drop(
+            *[c for c in META_COLS if c in deduped.columns and c not in keep]
+        )
+        _snap, stats = table.merge(
+            merge_src, op_col=op_col,
+            lww_by=list(merge_lww_by) if merge_lww_by else None,
+        )
+        recovered = stats.get("rows_applied", 0)
+        n_still = 0
+        if purge:
+            import uuid as _uuid
+
+            err = F.coalesce(
+                *[F.when(~p, F.lit(name)) for name, p in vals], F.lit("unknown")
+            )
+            # stage still-failed rows OUTSIDE the batch=* namespace, then
+            # rename in BEFORE deleting the recovered batches: a crash in
+            # between leaves extra rows that the idempotent MERGE collapses
+            # on the next replay — never lost rows
+            tmp = os.path.join(dead_letter_dir, "_requeue_tmp")
+            shutil.rmtree(tmp, ignore_errors=True)
+            still.withColumn("error", err).write.mode("overwrite").parquet(tmp)
+            n_still = spark.read.parquet(tmp).count()
+            requeue = os.path.join(
+                dead_letter_dir, f"batch=requeued-{_uuid.uuid4().hex[:8]}"
+            )
+            os.rename(tmp, requeue)
+            for d in batch_dirs:
+                shutil.rmtree(os.path.join(dead_letter_dir, d))
+        else:
+            n_still = still.count()
+        return {
+            "rows_read": rows_read,
+            "rows_recovered": recovered,
+            "rows_still_failed": n_still,
+        }
+    finally:
+        df.unpersist()
+
+
 def replay(
     spark: SparkSession,
     changelog_df: DataFrame,

@@ -619,6 +619,8 @@ class LakeTable:
     def append(self, df: DataFrame, evolve: bool = True) -> Snapshot:
         base = self.snapshot()
         schema = evolve_schema(base.schema, df.schema) if evolve else base.schema
+        if evolve:
+            self._guard_reintroduced(base, schema)
         aligned = align_to_schema(df, schema).withColumn(
             _BUCKET_COL, self._bucket_expr(base)
         )
@@ -633,6 +635,8 @@ class LakeTable:
         TRUNCATE TABLE + reinsert, /root/reference/etl.go:355-363)."""
         base = self.snapshot()
         schema = evolve_schema(base.schema, df.schema) if evolve else base.schema
+        if evolve:
+            self._guard_reintroduced(base, schema)
         aligned = align_to_schema(df, schema).withColumn(
             _BUCKET_COL, self._bucket_expr(base)
         )
@@ -702,6 +706,7 @@ class LakeTable:
             [f for f in source.schema.fields if f.name != op_col]
         )
         schema = evolve_schema(base.schema, payload_schema)
+        self._guard_reintroduced(base, schema)
         if lww_by:
             missing = [
                 c for c in lww_by
@@ -1057,6 +1062,89 @@ class LakeTable:
             return None
         with open(p) as fh:
             return json.load(fh)["next_id"]
+
+    # ----------------------------------------------------------------- DDL
+    def _guard_reintroduced(self, base: Snapshot, schema: T.StructType) -> None:
+        """Raise when evolution re-adds a previously DROPPED column whose
+        data still lives in referenced files: without Iceberg-style field
+        ids, re-reading those files would resurrect the old values into
+        the "new" column. ``compact()`` (which rewrites the live rows
+        under the current schema) clears the hazard."""
+        current = {f.name for f in base.schema.fields}
+        added = [f.name for f in schema.fields if f.name not in current]
+        if not added:
+            return
+        referenced = {f["sid"] for f in base.files}
+        for sid in referenced:
+            old_names = {
+                f["name"] for f in base.schemas[sid]["fields"]
+            }
+            hit = [c for c in added if c in old_names]
+            if hit:
+                raise SchemaEvolutionError(
+                    f"column(s) {hit} were dropped but their data still "
+                    "exists in referenced files; run compact() before "
+                    "re-adding the name (field-id-free formats cannot "
+                    "distinguish the old values from the new column)"
+                )
+
+    def add_column(self, name: str, dtype: T.DataType | str) -> Snapshot:
+        """ALTER TABLE ADD COLUMN: metadata-only commit (existing files
+        read the new column as NULL via schema alignment)."""
+        base = self.snapshot()
+        if name in {f.name for f in base.schema.fields}:
+            raise SchemaEvolutionError(f"column {name!r} already exists")
+        if isinstance(dtype, str):
+            # session-free parse of atomic DDL names (structs/arrays should
+            # be passed as DataType instances)
+            atomic = {
+                t().typeName(): t()
+                for t in (
+                    T.StringType, T.BooleanType, T.ByteType, T.ShortType,
+                    T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
+                    T.DateType, T.TimestampType, T.BinaryType,
+                )
+            }
+            atomic["int"] = T.IntegerType()
+            atomic["bigint"] = T.LongType()
+            if dtype.lower() not in atomic:
+                raise ValueError(
+                    f"unknown atomic type {dtype!r}; pass a DataType instance"
+                )
+            dt = atomic[dtype.lower()]
+        else:
+            dt = dtype
+        schema = T.StructType(
+            list(base.schema.fields) + [T.StructField(name, dt, True)]
+        )
+        self._guard_reintroduced(base, schema)
+        return self._commit(
+            base, base.files, [], schema, f"add_column({name})"
+        )
+
+    def drop_column(self, name: str) -> Snapshot:
+        """ALTER TABLE DROP COLUMN: metadata-only commit — readers simply
+        stop projecting the column (old files keep the bytes; time travel
+        to pre-drop versions still sees them). Key/bucket/stats/bloom
+        columns are protected. Re-adding the same name later requires a
+        ``compact()`` first (see ``_guard_reintroduced``)."""
+        base = self.snapshot()
+        protected = (
+            set(base.key) | set(base.bucket_by)
+            | set(base.stats_cols or []) | set(base.bloom_cols or [])
+        )
+        if name in protected:
+            raise ValueError(
+                f"cannot drop {name!r}: key/bucket/stats/bloom column"
+            )
+        if name not in {f.name for f in base.schema.fields}:
+            raise ValueError(f"no such column {name!r}")
+        schema = T.StructType(
+            [f for f in base.schema.fields if f.name != name]
+        )
+        return self._commit(
+            base, base.files, [], schema, f"drop_column({name})"
+        )
 
     # -------------------------------------------------------------- maintain
     def compact(

@@ -237,3 +237,69 @@ def test_dead_letter_write_is_idempotent_per_batch(spark, tmp_path):
                 dead_letter_dir=dl)
     dead = spark.read.option("basePath", dl).parquet(dl)
     assert dead.count() == 4  # not 8
+
+
+def test_replay_dead_letters_recovers_fixed_rows(spark, tmp_path):
+    from etl_spark.cdc.apply import replay_dead_letters
+
+    pdf = generate_changelog(SPEC)
+    # fixable: 4 GENUINELY NEW events (newest per key) that a defect
+    # op-mangled upstream — recovery must land them in the table
+    bad_op = pdf.head(4).copy()
+    bad_op["op"] = "X"
+    bad_op["ts"] = pdf["ts"].max() + pd.Timedelta(minutes=5)
+    bad_op["lsn"] = pdf["lsn"].max() + 1 + pd.RangeIndex(4)
+    bad_op["text"] = "RECOVERED " + bad_op["text"].fillna("")
+    # stale duplicate of an ALREADY-APPLIED old event, also op-mangled:
+    # the auto order guard must NOT let it clobber newer state. The key
+    # must survive to the final state — the original apply was unguarded
+    # (no tombstones), so a deleted key would legitimately resurrect.
+    exp0 = expected_final_state(pdf)
+    live_keys = set(zip(exp0["conv_id"], exp0["turn_idx"]))
+    in_final = pdf.apply(
+        lambda x: (x["conv_id"], x["turn_idx"]) in live_keys, axis=1
+    )
+    stale = pdf[in_final].head(1).copy()
+    stale["op"] = "X"
+    stale["text"] = "STALE"
+    # unfixable: key is gone
+    bad_key = pdf.head(2).copy()
+    bad_key["conv_id"] = None
+    mixed = pd.concat([pdf, bad_op, stale, bad_key], ignore_index=True)
+    table = make_target(spark, tmp_path)
+    dl_dir = str(tmp_path / "dead")
+    stats = apply_batch(
+        spark, changelog_sdf(spark, mixed), table, batch_id=0,
+        dead_letter_dir=dl_dir,
+    )
+    assert stats["rows_failed"] == 7
+    before = expected_final_state(pdf)
+
+    fix = lambda df: df.withColumn(  # noqa: E731
+        "op", F.when(F.col("op") == "X", "U").otherwise(F.col("op"))
+    )
+    r = replay_dead_letters(spark, dl_dir, table, fix=fix)
+    assert r["rows_read"] == 7
+    assert r["rows_still_failed"] == 2
+    assert r["rows_recovered"] == 4  # the new events; the stale dup lost
+    got = table.read().toPandas()
+    assert (got["text"].str.startswith("RECOVERED")).sum() == 4
+    assert not (got["text"] == "STALE").any()
+    # every key the recovery didn't touch still matches the oracle
+    recovered_keys = set(zip(bad_op["conv_id"], bad_op["turn_idx"]))
+    untouched = got[~got.apply(
+        lambda x: (x["conv_id"], x["turn_idx"]) in recovered_keys, axis=1
+    )]
+    exp_untouched = before[~before.apply(
+        lambda x: (x["conv_id"], x["turn_idx"]) in recovered_keys, axis=1
+    )]
+    assert len(untouched) == len(exp_untouched)
+    # recovered batches purged; only the requeued unfixables remain
+    dead = spark.read.parquet(dl_dir)
+    assert dead.count() == 2
+    assert set(dead.toPandas()["error"]) == {"key_not_null"}
+    # second replay with no fix: nothing recovers, nothing is lost
+    r2 = replay_dead_letters(spark, dl_dir, table)
+    assert r2["rows_read"] == 2
+    assert r2["rows_recovered"] == 0
+    assert r2["rows_still_failed"] == 2

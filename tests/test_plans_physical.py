@@ -126,14 +126,14 @@ def test_no_cartesian_product_in_query_plans(spark):
     # construction (lake replay, streaming run, media synth, update)
     skip = {
         "cdc_apply_final_state", "update_query", "streaming_cdc_replay",
-        "multimodal_meta",
+        "multimodal_meta", "merge_out_of_order",
     }
     python_ok = {
         # Arrow-batched numpy stages, by design (never per-row Python)
         "similarity_lsh", "similarity_ivf", "embedding_neardup",
         "embedding_neardup_blocked", "embedding_neardup_blocked_hi",
         "dedup_simhash", "dedup_minhash_lsh", "dedup_minhash_lsh_verified",
-        "incremental_dedup",
+        "incremental_dedup", "embedding_clusters",
     }
     sf = "/root/testdata/sf0.001"
     for name, fn in QUERIES.items():
