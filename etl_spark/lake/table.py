@@ -655,8 +655,15 @@ class LakeTable:
         broadcast_threshold: int = 200_000,
         per_bucket: dict[int, int] | None = None,
         lww_by: list[str] | None = None,
+        op_note: str | None = None,
     ) -> tuple[Snapshot | None, dict[str, int]]:
         """Copy-on-write MERGE INTO keyed on the table key.
+
+        ``op_note`` is recorded in the commit's op string
+        (``merge:<note>``) — it rides the SAME atomic snapshot write as
+        the data, so a consumer that needs "data + position applied as
+        one transaction" (e.g. incremental view maintenance recording the
+        source version it consumed) gets exactly-once semantics for free.
 
         Semantics (CDC upsert):
           WHEN MATCHED AND source.op = delete_op THEN DELETE
@@ -875,7 +882,10 @@ class LakeTable:
                         os.remove(os.path.join(self.path, f["path"]))
                 else:
                     new_files.append(f)
-            snap = self._commit(base, keep_files, new_files, schema, "merge")
+            snap = self._commit(
+                base, keep_files, new_files, schema,
+                "merge" if op_note is None else f"merge:{op_note}",
+            )
             return snap, {
                 "source_rows": src_rows,
                 # post-dedup distinct source keys that were applied:
@@ -896,9 +906,18 @@ class LakeTable:
             if guard_cache is not None:
                 guard_cache.unpersist()
 
+    def tag(self, note: str) -> Snapshot:
+        """Metadata-only commit recording ``note`` in the op string
+        (Iceberg snapshot-tag analogue). Used e.g. by incremental view
+        maintenance to advance its applied-through watermark atomically
+        when a refresh produced zero data changes."""
+        base = self.snapshot()
+        return self._commit(base, base.files, [], base.schema, note)
+
     # ------------------------------------------------------------ change feed
     def table_changes(
-        self, from_version: int, to_version: int | None = None
+        self, from_version: int, to_version: int | None = None,
+        pre_images: bool = False,
     ) -> DataFrame:
         """Change-data-feed read: the row-level diff between two snapshots
         (the Iceberg/Delta CDF analogue — lets a DOWNSTREAM consumer
@@ -909,7 +928,16 @@ class LakeTable:
         Computed as a full-outer join on the table key between the two
         snapshots — both sides are bucket-files of the same table, so at
         cluster scale this is a co-partitioned join; rows identical on
-        every shared column are dropped (no phantom updates)."""
+        every shared column are dropped (no phantom updates).
+
+        With ``pre_images=True`` every update emits TWO rows — Delta-CDF
+        style ``update_preimage`` (old values) + ``update_postimage``
+        (new values) — which is what retraction-based consumers
+        (incremental aggregate maintenance: -old, +new) need; a
+        group-moving update then adjusts BOTH groups. Inserts and deletes
+        are unchanged. Plan note: the pre-image branch re-derives from
+        the same co-partitioned join subtree (one extra projection, no
+        extra shuffle stage)."""
         snap_to = self.snapshot(to_version)
         # align the old snapshot to the NEW schema (schema evolution:
         # columns added since `from_version` read as null on the old side,
@@ -947,11 +975,30 @@ class LakeTable:
             else F.col(c)
             for c in payload
         ]
-        return (
+        base_out = (
             j.withColumn("_change_type", change)
             .filter(F.col("_change_type").isNotNull())
-            .select(*key, *out_cols, "_change_type")
         )
+        if not pre_images:
+            return base_out.select(*key, *out_cols, "_change_type")
+        post = base_out.select(
+            *key, *out_cols,
+            F.when(F.col("_change_type") == "update", F.lit("update_postimage"))
+            .otherwise(F.col("_change_type"))
+            .alias("_change_type"),
+        )
+        pre = (
+            base_out.filter(F.col("_change_type") == "update")
+            .select(
+                *key,
+                *[
+                    (F.col(f"__o_{c}") if c in shared else F.col(c)).alias(c)
+                    for c in payload
+                ],
+                F.lit("update_preimage").alias("_change_type"),
+            )
+        )
+        return post.unionByName(pre)
 
     # ---------------------------------------------------------------- update
     def update(

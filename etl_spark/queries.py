@@ -27,7 +27,12 @@ streaming SCD2 replay is rows-only here but pytest-checked bit-exact
 against that window). The out-of-order guarded MERGE
 (stale-event skip + delete tombstones) replays parity-split halves of
 the log in the wrong order and is checked against the one-window global
-LWW. Current inventory: 60 entries — 50 oracle, 10 rows-only.
+LWW. The derived-view family (incremental materialized-view maintenance
+from the change feed — delta-maintained count/sum/avg, rescan-maintained
+min/max, and a row-level filtered projection) replays a four-batch
+insert/delete/update lifecycle and is checked against the one-shot
+aggregate over the final state. Current inventory: 63 entries — 53
+oracle, 10 rows-only.
 """
 
 from __future__ import annotations
@@ -1740,6 +1745,170 @@ def q_streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --------------------------------------------------------------------------
+# Incremental materialized views (change-feed-driven view maintenance)
+# --------------------------------------------------------------------------
+
+def _churned_source(spark: SparkSession, sf_dir: str, tmp: str):
+    """Shared lifecycle for the derived-view queries: a keyed lake table
+    driven through inserts (two halves), deletes (all 'error' events) and
+    updates (value doubled for user_id % 5 == 0), with ``refresh_cb``
+    called after every source commit — so the view sees four genuinely
+    incremental deltas, never the final state in one shot."""
+    src_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = LakeTable.create(
+        spark, os.path.join(tmp, "src"), src_schema,
+        key=["event_id"], n_buckets=16,
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    batches = [
+        ev.filter(F.col("event_id") % 2 == 0).withColumn("op", F.lit("U")),
+        ev.filter(F.col("event_id") % 2 == 1).withColumn("op", F.lit("U")),
+        ev.filter(F.col("event_type") == "error").withColumn("op", F.lit("D")),
+        ev.filter(
+            (F.col("user_id") % 5 == 0) & (F.col("event_type") != "error")
+        )
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("op", F.lit("U")),
+    ]
+    return src, batches
+
+
+def _run_view_lifecycle(spark, sf_dir, view_factory, prefix):
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    src, batches = _churned_source(spark, sf_dir, tmp)
+    view = view_factory(src, tmp)
+    for b in batches:
+        src.merge(b, op_col="op")
+        view.refresh()
+    out = view.read().cache()
+    out.count()  # materialize before the temp lake dirs go away
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_derived_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained grouped aggregate (delta strategy): the
+    view NEVER rescans the source after the initial build — every refresh
+    reads only the change feed (with pre-images) and adjusts per-group
+    (count, exact-decimal sum) state, so a group-moving update or a
+    delete retracts from the old group and adds to the new one. The final
+    view must equal a one-shot aggregate over the final source state —
+    which is exactly what the oracle computes."""
+    from etl_spark.lake.derived import IncrementalAggView
+
+    def mk(src, tmp):
+        return IncrementalAggView(
+            spark, os.path.join(tmp, "view"), src, group_by=["user_id"],
+            aggs={
+                "n_events": ("count", "*"),
+                "total_value": ("sum", "value"),
+                "mean_value": ("avg", "value"),
+            },
+            strategy="delta",
+        )
+
+    return _run_view_lifecycle(
+        spark, sf_dir, mk, "etl_spark_derived_agg_q_"
+    ).select("user_id", "n_events", "total_value", "mean_value")
+
+
+_ORACLE_DERIVED_AGG = """
+WITH final AS (
+  SELECT user_id,
+         CASE WHEN user_id % 5 = 0 THEN value * 2 ELSE value END AS value
+  FROM events WHERE event_type <> 'error')
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+         AS mean_value
+FROM final GROUP BY user_id
+"""
+
+
+def q_derived_minmax_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained min/max view (rescan strategy): extremes
+    are not self-maintainable under retraction, so each refresh
+    recomputes ONLY the affected groups — a broadcast semi-join prune of
+    the source, never a full rescan. The delete batch retracts many
+    per-group extremes; the view must still equal the one-shot
+    aggregate."""
+    from etl_spark.lake.derived import IncrementalAggView
+
+    def mk(src, tmp):
+        return IncrementalAggView(
+            spark, os.path.join(tmp, "view"), src, group_by=["user_id"],
+            aggs={
+                "n_events": ("count", "*"),
+                "min_value": ("min", "value"),
+                "max_value": ("max", "value"),
+            },
+        )
+
+    return _run_view_lifecycle(
+        spark, sf_dir, mk, "etl_spark_derived_mm_q_"
+    ).select("user_id", "n_events", "min_value", "max_value")
+
+
+_ORACLE_DERIVED_MINMAX = """
+WITH final AS (
+  SELECT user_id,
+         CASE WHEN user_id % 5 = 0 THEN value * 2 ELSE value END AS value
+  FROM events WHERE event_type <> 'error')
+SELECT user_id,
+       COUNT(*)   AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM final GROUP BY user_id
+"""
+
+
+def q_derived_row_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained row-level view (filter + projection):
+    updates that cross the filter boundary move rows in/out of the view,
+    and source deletes propagate — post-images flow through the
+    transform, dropped keys become view deletes."""
+    from etl_spark.lake.derived import IncrementalRowView
+
+    def transform(df):
+        return df.filter(F.col("value") > 50.0).select(
+            "event_id", "user_id",
+            F.upper("event_type").alias("event_type_uc"),
+            (F.col("value") * 0.5).alias("half_value"),
+        )
+
+    def mk(src, tmp):
+        return IncrementalRowView(spark, os.path.join(tmp, "view"), src, transform)
+
+    return _run_view_lifecycle(
+        spark, sf_dir, mk, "etl_spark_derived_row_q_"
+    ).select("event_id", "user_id", "event_type_uc", "half_value")
+
+
+_ORACLE_DERIVED_ROW = """
+WITH final AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN user_id % 5 = 0 THEN value * 2 ELSE value END AS value
+  FROM events WHERE event_type <> 'error')
+SELECT event_id, user_id,
+       upper(event_type) AS event_type_uc,
+       value * 0.5       AS half_value
+FROM final WHERE value > 50.0
+"""
+
+
 QUERIES = {
     "cdc_apply_final_state": q_cdc_apply_final_state,
     "merge_out_of_order": q_merge_out_of_order,
@@ -1801,6 +1970,9 @@ QUERIES = {
     "stream_sessionize": q_stream_sessionize,
     "streaming_cdc_replay": q_streaming_cdc_replay,
     "streaming_scd2_replay": q_streaming_scd2_replay,
+    "derived_agg_incremental": q_derived_agg_incremental,
+    "derived_minmax_rescan": q_derived_minmax_rescan,
+    "derived_row_view": q_derived_row_view,
 }
 
 ORACLE_SQL = {
@@ -1854,4 +2026,7 @@ ORACLE_SQL = {
     "scd2_incremental_deletes": _ORACLE_SCD2_DELETES,
     "doc_fingerprint": _ORACLE_FINGERPRINT,
     "stream_sessionize": _ORACLE_STREAM_SESSIONIZE,
+    "derived_agg_incremental": _ORACLE_DERIVED_AGG,
+    "derived_minmax_rescan": _ORACLE_DERIVED_MINMAX,
+    "derived_row_view": _ORACLE_DERIVED_ROW,
 }

@@ -127,6 +127,8 @@ def test_no_cartesian_product_in_query_plans(spark):
     skip = {
         "cdc_apply_final_state", "update_query", "streaming_cdc_replay",
         "multimodal_meta", "merge_out_of_order",
+        "derived_agg_incremental", "derived_minmax_rescan",
+        "derived_row_view",
     }
     python_ok = {
         # Arrow-batched numpy stages, by design (never per-row Python)
@@ -143,6 +145,54 @@ def test_no_cartesian_product_in_query_plans(spark):
         assert "CartesianProduct" not in plan, name
         if name not in python_ok:
             assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+def test_derived_view_refresh_prunes_with_broadcast_semi(spark, tmp_path):
+    """The delta-refresh combine must read the view state through a
+    size-guarded BROADCAST left-semi join on the delta's group keys
+    (map-side prune — the view is never shuffled for a small delta), and
+    the state<-delta combine must not sort-merge."""
+    from pyspark.sql import types as T
+
+    from etl_spark.lake import LakeTable
+    from etl_spark.lake.derived import IncrementalAggView
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), schema, key=["id"], n_buckets=4
+    )
+    ops = T.StructType(list(schema.fields) + [T.StructField("op", T.StringType())])
+    src.merge(
+        spark.createDataFrame(
+            [(i, f"g{i % 7}", float(i), "U") for i in range(100)], ops
+        ),
+        op_col="op",
+    )
+    view = IncrementalAggView(
+        spark, str(tmp_path / "v"), src, group_by=["grp"],
+        aggs={"n": ("count", "*"), "s": ("sum", "val")}, strategy="delta",
+    )
+    view.capture_plans = True
+    view.refresh()
+    src.merge(spark.createDataFrame([(3, "g3", 9.0, "U")], ops), op_col="op")
+    view.refresh()
+    plan = view.last_plan
+    assert plan is not None
+    # view state is semi-pruned by the broadcast delta keys, and the
+    # state<-delta combine is itself a broadcast join — the view is never
+    # the probe side of a shuffle join
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the ONLY sort-merge join allowed is the change feed's full-outer
+    # snapshot diff (co-partitioned bucket files of the same table at
+    # cluster scale)
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert all("FullOuter" in ln for ln in smj), smj
 
 
 def test_hash_split_is_shuffle_free(spark):
