@@ -174,6 +174,102 @@ def run_scd2_apply(spark, sf_dir: str, n_batches: int = 4) -> dict:
     return {"n_batches": n_batches, "history_rows": rows, "sec": round(wall, 3)}
 
 
+def run_derived_refresh(spark, sf_dir: str, copies=(1, 8)) -> dict:
+    """Incremental materialized-view maintenance: the SAME fixed-size
+    churn batch (~1k rows) applied to sources of growing size, measuring
+    incremental refresh (bucket-pruned change feed, per-group delta
+    state) vs a full rebuild of the view. The claim that matters at
+    10^10 rows is the TREND: rebuild cost grows with the source while
+    refresh cost tracks the churn, not the table — at sandbox scale the
+    crossover is visible between 1x and 8x."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_spark.lake import LakeTable
+    from etl_spark.lake.derived import IncrementalAggView
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    # churn localized to a handful of users — with the source bucketed by
+    # user_id the change feed's copy-on-write pruning then diffs only the
+    # touched buckets, the hot-conversation CDC regime
+    churn = (
+        ev.filter(F.col("user_id") % 200 == 0)
+        .withColumn("value", F.col("value") * 3)
+        .withColumn("op", F.lit("U"))
+    )
+    runs = []
+    for k in copies:
+        # k disjoint copies (shifted keys AND groups): source and view
+        # both grow k-fold while the churn batch stays fixed
+        big = ev
+        for r in range(1, k):
+            big = big.unionByName(
+                ev.select(
+                    (F.col("event_id") + r * 1_000_000_000).alias("event_id"),
+                    (F.col("user_id") + r * 1_000_000).alias("user_id"),
+                    "event_type", "value",
+                )
+            )
+        work = tempfile.mkdtemp(prefix="etl_spark_derived_")
+        try:
+            src = LakeTable.create(
+                spark, os.path.join(work, "src"), schema,
+                key=["user_id", "event_id"], n_buckets=32,
+                bucket_by=["user_id"],
+            )
+            src.merge(big.withColumn("op", F.lit("U")), op_col="op")
+            view = IncrementalAggView(
+                spark, os.path.join(work, "view"), src, group_by=["user_id"],
+                aggs={"n": ("count", "*"), "total": ("sum", "value"),
+                      "mean": ("avg", "value")},
+                strategy="delta",
+            )
+            view.refresh()  # initial build (not measured)
+            src.merge(churn, op_col="op")
+            t0 = time.time()
+            r_ = view.refresh()
+            refresh_sec = time.time() - t0
+            t0 = time.time()
+            view.rebuild()
+            rebuild_sec = time.time() - t0
+            runs.append({
+                "copies": k,
+                "source_rows": src.row_count(),
+                "groups_updated": r_["groups_updated"],
+                "refresh_sec": round(refresh_sec, 3),
+                "rebuild_sec": round(rebuild_sec, 3),
+            })
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    big_run = runs[-1]
+    return {
+        "runs": runs,
+        "refresh_sec": big_run["refresh_sec"],
+        "rebuild_sec": big_run["rebuild_sec"],
+        "speedup_vs_rebuild": round(
+            big_run["rebuild_sec"] / big_run["refresh_sec"], 2
+        ),
+        # refresh growth vs source growth: ~1.0 means refresh cost tracks
+        # the (fixed) churn, not the table
+        "refresh_growth": round(
+            big_run["refresh_sec"] / runs[0]["refresh_sec"], 2
+        ),
+        "rebuild_growth": round(
+            big_run["rebuild_sec"] / runs[0]["rebuild_sec"], 2
+        ),
+    }
+
+
 def _materialize(df) -> int:
     """Force full computation of every column (count() alone lets Catalyst
     prune the projections we are trying to measure)."""
@@ -468,6 +564,8 @@ def main() -> None:
         queries["scd2_apply_4batch"] = scd2["sec"]
         skew = run_skew_replay(spark, work_dir)
         queries["skew_salted_replay"] = skew["replay_sec"]
+        derived = run_derived_refresh(spark, sf_dir)
+        queries["derived_view_refresh"] = derived["refresh_sec"]
         cdc = run_cdc_replay(
             spark, os.path.join(work_dir, f"run{cpus}"), wal_dir, n_events
         )
@@ -484,6 +582,7 @@ def main() -> None:
             "incremental_dedup": inc,
             "scd2_apply": scd2,
             "skew": skew,
+            "derived": derived,
         }
         if scaling:
             # Default N=2 vs 4N=8: both levels sit inside this sandbox VM's

@@ -56,7 +56,7 @@ from pyspark.sql import types as T
 
 from etl_spark.lake.table import LakeTable
 
-_REFRESH_RE = re.compile(r"^(?:merge:)?refresh:(\d+)$")
+_REFRESH_RE = re.compile(r"^(?:merge:|overwrite:)?refresh:(\d+)$")
 
 # decimal accumulator for float sums: exact addition makes the
 # incremental (batch-at-a-time) total bit-identical to a one-shot
@@ -214,13 +214,44 @@ class IncrementalAggView:
         if last is not None and last >= cur:
             return {"refreshed_through": last, "groups_updated": 0,
                     "groups_deleted": 0, "no_op": True}
-        if self.strategy == "delta":
-            stats = self._refresh_delta(last, cur)
-        else:
-            stats = self._refresh_rescan(last, cur)
+        try:
+            if self.strategy == "delta":
+                stats = self._refresh_delta(last, cur)
+            else:
+                stats = self._refresh_rescan(last, cur)
+        except FileNotFoundError:
+            # the source expired the snapshot this view last applied
+            # (view lagged past the retention horizon) — an incremental
+            # diff is impossible, so self-heal with one bounded rebuild
+            stats = self.rebuild(cur)
         stats["refreshed_through"] = cur
         stats["no_op"] = False
         return stats
+
+    def rebuild(self, version: int | None = None) -> dict:
+        """Full recompute -> atomic overwrite of the view state, recording
+        the applied-through version in the SAME commit. The recovery path
+        when the source's snapshot retention outran this view's refresh
+        cadence; also usable to (re)materialize after a definition
+        change."""
+        cur = self.source.current_version() if version is None else version
+        src = self.source.read(cur)
+        if self.strategy == "delta":
+            exprs = [F.count(F.lit(1)).alias("__rows")]
+            for out, (kind, e) in self.aggs.items():
+                if kind == "count":
+                    c = F.count(F.lit(1)) if e == "*" else F.count(F.expr(e))
+                    exprs.append(c.alias(out))
+                else:
+                    x = F.expr(e).cast(_CAST)
+                    exprs.append(F.sum(x).cast(_ACC).alias(f"__s_{out}"))
+                    exprs.append(F.count(F.expr(e)).alias(f"__n_{out}"))
+        else:
+            exprs = self._rescan_agg_exprs()
+        state = src.groupBy(*self.group_by).agg(*exprs)
+        snap = self.table.overwrite(state, op_note=f"refresh:{cur}")
+        return {"groups_updated": snap.total_rows, "groups_deleted": 0,
+                "rebuilt": True}
 
     def _changes(self, last: int | None, cur: int) -> DataFrame:
         if last is None:
@@ -230,9 +261,13 @@ class IncrementalAggView:
             )
         return self.source.table_changes(last, cur, pre_images=True)
 
-    def _commit_merge(self, src: DataFrame, cur: int) -> dict:
+    def _commit_merge(
+        self, src: DataFrame, cur: int,
+        per_bucket: dict[int, int] | None = None,
+    ) -> dict:
         snap, mstats = self.table.merge(
-            src, op_col="__op", op_note=f"refresh:{cur}"
+            src, op_col="__op", op_note=f"refresh:{cur}",
+            per_bucket=per_bucket,
         )
         if snap is None:  # zero delta — advance the watermark alone
             self.table.tag(f"refresh:{cur}")
@@ -268,7 +303,19 @@ class IncrementalAggView:
                 )
         delta = ch.groupBy(*gb).agg(*agg_exprs).persist()
         try:
-            n_groups = delta.count()
+            # ONE action sizes the broadcast guard AND pre-counts the
+            # merge's affected view buckets (delta rows map 1:1 to merge
+            # source rows), so the merge itself runs exactly one job —
+            # the write. Driver actions are the refresh's serial floor,
+            # same discipline as apply_batch.
+            bexpr = self.table._bucket_expr(self.table.snapshot())
+            per_bucket = {
+                r["__b"]: r["__n"]
+                for r in delta.groupBy(bexpr.alias("__b"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()
+            }
+            n_groups = sum(per_bucket.values())
             if n_groups == 0:
                 self.table.tag(f"refresh:{cur}")
                 return {"groups_updated": 0, "groups_deleted": 0}
@@ -312,7 +359,7 @@ class IncrementalAggView:
                 self.last_plan = (
                     merged._jdf.queryExecution().executedPlan().toString()
                 )
-            return self._commit_merge(merged, cur)
+            return self._commit_merge(merged, cur, per_bucket=per_bucket)
         finally:
             delta.unpersist()
 
@@ -321,7 +368,17 @@ class IncrementalAggView:
         ch = self._changes(last, cur)
         affected = ch.select(*gb).distinct().persist()
         try:
-            n_groups = affected.count()
+            # fresh ∪ gone partitions the affected key set exactly, so the
+            # affected per-bucket counts double as the merge's per_bucket
+            # accounting — one driver action, then the write job
+            bexpr = self.table._bucket_expr(self.table.snapshot())
+            per_bucket = {
+                r["__b"]: r["__n"]
+                for r in affected.groupBy(bexpr.alias("__b"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()
+            }
+            n_groups = sum(per_bucket.values())
             if n_groups == 0:
                 self.table.tag(f"refresh:{cur}")
                 return {"groups_updated": 0, "groups_deleted": 0}
@@ -350,7 +407,7 @@ class IncrementalAggView:
                 self.last_plan = (
                     src._jdf.queryExecution().executedPlan().toString()
                 )
-            return self._commit_merge(src, cur)
+            return self._commit_merge(src, cur, per_bucket=per_bucket)
         finally:
             affected.unpersist()
 
@@ -435,7 +492,19 @@ class IncrementalRowView:
             ups_in = self.source.read(cur)
             del_keys = ups_in.select(*key).limit(0)
         else:
-            ch = self.source.table_changes(last, cur)
+            try:
+                ch = self.source.table_changes(last, cur)
+                ch.schema  # force plan resolution against both snapshots
+            except FileNotFoundError:
+                # last-applied snapshot expired upstream: self-heal with a
+                # bounded full rebuild (atomic overwrite + watermark)
+                snap = self.table.overwrite(
+                    self.transform(self.source.read(cur)),
+                    op_note=f"refresh:{cur}",
+                )
+                return {"refreshed_through": cur,
+                        "rows_upserted": snap.total_rows,
+                        "rows_deleted": 0, "no_op": False, "rebuilt": True}
             del_keys = ch.filter(F.col("_change_type") == "delete").select(*key)
             ups_in = ch.filter(F.col("_change_type") != "delete").drop(
                 "_change_type"

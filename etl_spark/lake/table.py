@@ -630,9 +630,13 @@ class LakeTable:
         )
         return self._commit(base, base.files, new_files, schema, "append")
 
-    def overwrite(self, df: DataFrame, evolve: bool = True) -> Snapshot:
+    def overwrite(
+        self, df: DataFrame, evolve: bool = True, op_note: str | None = None
+    ) -> Snapshot:
         """Truncate-then-load as one atomic snapshot swap (reference does
-        TRUNCATE TABLE + reinsert, /root/reference/etl.go:355-363)."""
+        TRUNCATE TABLE + reinsert, /root/reference/etl.go:355-363).
+        ``op_note`` rides the commit op string (``overwrite:<note>``) —
+        same atomic data+position contract as ``merge(op_note=...)``."""
         base = self.snapshot()
         schema = evolve_schema(base.schema, df.schema) if evolve else base.schema
         if evolve:
@@ -644,7 +648,10 @@ class LakeTable:
             base.version + 1, aligned, base.n_buckets, stats_cols=base.stats_cols,
             bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
         )
-        return self._commit(base, [], new_files, schema, "overwrite")
+        return self._commit(
+            base, [], new_files, schema,
+            "overwrite" if op_note is None else f"overwrite:{op_note}",
+        )
 
     # ----------------------------------------------------------------- merge
     def merge(
@@ -937,13 +944,44 @@ class LakeTable:
         group-moving update then adjusts BOTH groups. Inserts and deletes
         are unchanged. Plan note: the pre-image branch re-derives from
         the same co-partitioned join subtree (one extra projection, no
-        extra shuffle stage)."""
+        extra shuffle stage).
+
+        BUCKET-PRUNED: under copy-on-write, a bucket whose file set is
+        identical in both snapshots cannot contain a changed row — so the
+        diff reads ONLY the buckets some commit in (from, to] rewrote
+        (computed from the manifests, zero I/O). A key-localized change
+        stream (the common CDC regime) then diffs a sliver of the table
+        regardless of table size; the worst case (every bucket touched)
+        degrades to the full co-partitioned diff. Pruning is skipped when
+        the bucket layout changed between the versions (rebucket)."""
         snap_to = self.snapshot(to_version)
+        snap_from = self.snapshot(from_version)
+        from_entries = snap_from.data_files
+        to_entries = snap_to.data_files
+        if (
+            snap_from.n_buckets == snap_to.n_buckets
+            and snap_from.bucket_by == snap_to.bucket_by
+        ):
+            from_paths = {f["path"] for f in from_entries}
+            to_paths = {f["path"] for f in to_entries}
+            changed_buckets = {
+                f["bucket"] for f in to_entries if f["path"] not in from_paths
+            } | {
+                f["bucket"] for f in from_entries if f["path"] not in to_paths
+            }
+            from_entries = [
+                f for f in from_entries if f["bucket"] in changed_buckets
+            ]
+            to_entries = [
+                f for f in to_entries if f["bucket"] in changed_buckets
+            ]
         # align the old snapshot to the NEW schema (schema evolution:
         # columns added since `from_version` read as null on the old side,
         # so an update that only sets a new column still surfaces)
-        old = align_to_schema(self.read(from_version), snap_to.schema)
-        new = self.read(to_version)
+        old = align_to_schema(
+            self._read_files(snap_from, from_entries), snap_to.schema
+        )
+        new = self._read_files(snap_to, to_entries)
         key = snap_to.key
         payload = [f.name for f in snap_to.schema.fields if f.name not in key]
         shared = payload

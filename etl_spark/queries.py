@@ -31,8 +31,14 @@ LWW. The derived-view family (incremental materialized-view maintenance
 from the change feed — delta-maintained count/sum/avg, rescan-maintained
 min/max, and a row-level filtered projection) replays a four-batch
 insert/delete/update lifecycle and is checked against the one-shot
-aggregate over the final state. Current inventory: 63 entries — 53
-oracle, 10 rows-only.
+aggregate over the final state. The approximate-search family follows
+the full-recall-config pattern throughout: each production config stays
+rows-only while a degenerate config that MUST equal the exact answer
+(LSH bits=0, IVF probing all lists, winnowing window=1, the verified
+MinHash band config, the blocked near-dup at full-recall params) is
+oracle-checked bit-exactly — so the bucketing/re-rank machinery is
+proven to add no error beyond the documented approximation. Current
+inventory: 66 entries — 56 oracle, 10 rows-only.
 """
 
 from __future__ import annotations
@@ -980,6 +986,39 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_lsh_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k at the degenerate full-recall config (bits=0 -> every
+    vector shares the single bucket): the candidate set is the whole
+    corpus, so the bucketed pipeline must reproduce the EXACT brute-force
+    top-k — same oracle as ``similarity_topk``. Proves the bucket-join +
+    re-rank machinery introduces no approximation beyond the blocking
+    itself (the production config stays rows-only as ``similarity_lsh``)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, q, k=10, bits=0, n_tables=1).select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_similarity_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k probing EVERY list (n_probe = n_lists): the candidate set
+    is the whole corpus, so the list-partitioned pipeline must equal the
+    exact brute-force top-k — same oracle as ``similarity_topk``. The
+    production config (n_probe=4) stays rows-only as ``similarity_ivf``."""
+    from etl_spark.sources.files import parquet_row_count
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_rows = parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, q, k=10, n_lists=16, n_probe=16, n_rows=n_rows
+    ).select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic clustering over the embeddings table (rows-only: assignments
     depend on engine-internal hash sampling; blob-separation semantics are
@@ -1347,6 +1386,42 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return winnow_overlap_pairs(docs, k=5, window=4, min_shared=2)
+
+
+def q_winnow_overlap_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap at the degenerate full-density config (window=1
+    -> EVERY k-gram's window minimum is itself, so the fingerprint set is
+    exactly the distinct k-gram set): shared-fingerprint counts must then
+    equal shared-distinct-5-gram counts, which DuckDB can compute from the
+    raw text — the bit-exact check for the k-gram staging + inverted-index
+    overlap join (the sampled window=4 config stays rows-only as
+    ``winnow_overlap``)."""
+    from etl_spark.functions.text import winnow_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, k=5, window=1, min_shared=2)
+
+
+_ORACLE_WINNOW_FULL = r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+kg AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) < 5 THEN array_to_string(w, ' ')
+              ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                   w[i+3] || ' ' || w[i+4] END AS g
+  FROM words,
+       UNNEST(CASE WHEN len(w) < 5 THEN [1]
+                   ELSE range(1, len(w) - 3) END) AS t(i))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS shared_fingerprints
+FROM kg a JOIN kg b USING (g)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1944,7 +2019,9 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
+    "similarity_lsh_full": q_similarity_lsh_full,
     "similarity_ivf": q_similarity_ivf,
+    "similarity_ivf_full": q_similarity_ivf_full,
     "embedding_clusters": q_embedding_clusters,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_blocked": q_embedding_neardup_blocked,
@@ -1959,6 +2036,7 @@ QUERIES = {
     "sequence_packing": q_sequence_packing,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_overlap": q_winnow_overlap,
+    "winnow_overlap_full": q_winnow_overlap_full,
     "incremental_dedup": q_incremental_dedup,
     "multimodal_meta": q_multimodal_meta,
     "asof_join": q_asof_join,
@@ -2007,6 +2085,8 @@ ORACLE_SQL = {
     "dedup_survivors": _ORACLE_SURVIVORS,
     "quality_filter": _ORACLE_QUALITY_FILTER,
     "similarity_topk": _ORACLE_TOPK,
+    "similarity_lsh_full": _ORACLE_TOPK,
+    "similarity_ivf_full": _ORACLE_TOPK,
     "embedding_neardup": _ORACLE_EMB_NEARDUP,
     "embedding_neardup_blocked": _ORACLE_EMB_NEARDUP,
     "embedding_neardup_blocked_hi": _ORACLE_EMB_NEARDUP_HI,
@@ -2025,6 +2105,7 @@ ORACLE_SQL = {
     "scd2_deletes": _ORACLE_SCD2_DELETES,
     "scd2_incremental_deletes": _ORACLE_SCD2_DELETES,
     "doc_fingerprint": _ORACLE_FINGERPRINT,
+    "winnow_overlap_full": _ORACLE_WINNOW_FULL,
     "stream_sessionize": _ORACLE_STREAM_SESSIONIZE,
     "derived_agg_incremental": _ORACLE_DERIVED_AGG,
     "derived_minmax_rescan": _ORACLE_DERIVED_MINMAX,

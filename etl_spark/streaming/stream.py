@@ -134,6 +134,14 @@ class CdcStream:
     dedup_index: bool = False
     dedup_text_col: str = "text"
     dedup_threshold: float | None = None
+    # Downstream incremental materialized views (lake.derived.*View over
+    # THIS table): refreshed every N applied batches. Each refresh is
+    # exactly-once on its own (the applied-through source version commits
+    # atomically with the view data), so a crash between table apply and
+    # view refresh just catches up at the next cadence — views may lag
+    # the table by < N batches but can never double-apply. 0 disables.
+    views: list = field(default_factory=list)
+    refresh_views_every: int = 1
     query: object = field(default=None, init=False)
 
     def __post_init__(self) -> None:
@@ -188,11 +196,19 @@ class CdcStream:
                 attempts=self.retry_attempts,
             )
         self.batch_stats.append(stats)
+        applied = len([s for s in self.batch_stats if not s.get("skipped")])
+        if (
+            self.views
+            and self.refresh_views_every
+            and not stats.get("skipped")
+            and applied % self.refresh_views_every == 0
+        ):
+            for v in self.views:
+                retry_with_backoff(v.refresh, attempts=self.retry_attempts)
         if (
             self.compact_every
             and not stats.get("skipped")
-            and len([s for s in self.batch_stats if not s.get("skipped")])
-            % self.compact_every == 0
+            and applied % self.compact_every == 0
         ):
             self.table.compact(sort_by=self.compact_sort_by)
             if self.expire_keep_last:

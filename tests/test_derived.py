@@ -116,10 +116,9 @@ def test_delta_strategy_never_rescans_source(spark, tmp_path):
     src.merge(
         spark.createDataFrame([(0, "g0", 9.9, "U")], ops), op_col="op"
     )
-    # the delta pipeline reads table_changes(last, cur): versions last..cur
-    # of the SOURCE — both snapshot reads are change-feed inputs, fine.
-    # What must NOT appear is a full-history scan: monkeypatch read() to
-    # count which versions get materialized.
+    # the delta pipeline reads ONLY the change feed (bucket-pruned
+    # manifest entries of the two endpoint snapshots via _read_files) —
+    # a call to source.read() would mean a full-table rescan
     seen = []
     orig = src.read
 
@@ -132,9 +131,33 @@ def test_delta_strategy_never_rescans_source(spark, tmp_path):
         view.refresh()
     finally:
         src.read = orig
-    # change feed reads exactly the two endpoint snapshots (pinned
-    # versions); an unpinned full read (None) would mean a source rescan
-    assert None not in seen and len(seen) == 2
+    assert seen == []
+
+
+def test_change_feed_is_bucket_pruned(spark, tmp_path):
+    """Copy-on-write lineage: a churn batch confined to a few buckets
+    must produce a change feed that SCANS only those buckets' files —
+    the property that keeps view refresh O(churn) on a 100 TB table."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "p"), SRC_SCHEMA, key=["id"], n_buckets=16
+    )
+    ops = T.StructType(list(SRC_SCHEMA.fields) + [T.StructField("op", T.StringType())])
+    t.merge(
+        spark.createDataFrame(
+            [(i, f"g{i % 5}", float(i), "U") for i in range(2000)], ops
+        ),
+        op_col="op",
+    )
+    v0 = t.current_version()
+    t.merge(spark.createDataFrame([(7, "g7", 1.0, "U")], ops), op_col="op")
+    ch = t.table_changes(v0)
+    full_files = len(t.read().inputFiles())
+    ch_files = len(ch.inputFiles())
+    # one changed key -> one rewritten bucket -> the diff reads that
+    # bucket's old + new file, not 2 x 16 buckets
+    assert ch_files <= 4 < full_files
+    rows = ch.collect()
+    assert len(rows) == 1 and rows[0]["id"] == 7
 
 
 def test_refresh_is_idempotent_and_watermarked(spark, tmp_path):
@@ -243,6 +266,79 @@ def test_row_view_requires_key_preserving_transform(spark, tmp_path):
             spark, str(tmp_path / "rv"), src,
             lambda df: df.select("grp", "val"),
         )
+
+
+def test_view_self_heals_after_source_snapshot_expiry(spark, tmp_path):
+    """A view lagging past the source's snapshot retention cannot diff
+    incrementally — refresh must fall back to ONE bounded full rebuild
+    (atomic overwrite carrying the watermark) and converge."""
+    src = make_source(spark, tmp_path)
+    view = IncrementalAggView(
+        spark, str(tmp_path / "v"), src, group_by=["grp"], aggs=AGGS,
+        strategy="delta",
+    )
+    view.refresh()
+    ops = T.StructType(list(SRC_SCHEMA.fields) + [T.StructField("op", T.StringType())])
+    for i in range(3):  # source races ahead while the view lags
+        src.merge(
+            spark.createDataFrame([(i, f"g{i}", 500.0 + i, "U")], ops),
+            op_col="op",
+        )
+    src.expire_snapshots(keep_last=1)  # the view's watermark is now gone
+    r = view.refresh()
+    assert r.get("rebuilt") and not r["no_op"]
+    assert view.last_applied() == src.current_version()
+    got = view.read().orderBy("grp").toPandas()
+    exp = full_recompute(src).orderBy("grp").toPandas()
+    pd.testing.assert_frame_equal(got, exp)
+    # and the view is incremental again afterwards
+    src.merge(spark.createDataFrame([(0, "g0", 1.0, "U")], ops), op_col="op")
+    r2 = view.refresh()
+    assert not r2.get("rebuilt") and r2["groups_updated"] == 1
+    pd.testing.assert_frame_equal(
+        view.read().orderBy("grp").toPandas(),
+        full_recompute(src).orderBy("grp").toPandas(),
+    )
+
+
+def test_streaming_cadence_refreshes_views(spark, tmp_path):
+    """CdcStream(views=[...]) keeps downstream materialized views
+    converged with the streamed table as part of the maintenance
+    cadence."""
+    from etl_spark.cdc import ChangelogSpec, generate_changelog, write_changelog
+    from etl_spark.cdc.changelog import TRANSCRIPTS_SCHEMA
+    from etl_spark.streaming import CdcStream
+
+    spec = ChangelogSpec(
+        n_conversations=30, max_turns=4, churn=1.5, n_partitions=2,
+        segments_per_partition=2,
+    )
+    pdf = generate_changelog(spec)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, spec)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA,
+        key=["conv_id", "turn_idx"], n_buckets=8, bucket_by=["conv_id"],
+    )
+    view = IncrementalAggView(
+        spark, str(tmp_path / "v"), table, group_by=["role"],
+        aggs={"n_turns": ("count", "*"), "chars": ("sum", "length(text)")},
+        strategy="delta",
+    )
+    CdcStream(
+        spark, wal, table, str(tmp_path / "state"),
+        max_files_per_trigger=2, views=[view],
+    ).run_to_completion()
+    assert view.last_applied() == table.current_version()
+    got = {r["role"]: (r["n_turns"], r["chars"])
+           for r in view.read().collect()}
+    exp = {r["role"]: (r["n_turns"], r["chars"])
+           for r in table.read().groupBy("role").agg(
+               F.count(F.lit(1)).alias("n_turns"),
+               F.sum(F.expr("length(text)").cast("decimal(18,6)"))
+               .cast("decimal(28,6)").cast("double").alias("chars"),
+           ).collect()}
+    assert got == exp
 
 
 def test_pre_image_change_feed(spark, tmp_path):
