@@ -58,6 +58,24 @@ from etl_spark.lake.table import LakeTable
 
 _REFRESH_RE = re.compile(r"^(?:merge:|overwrite:)?refresh:(\d+)$")
 
+# commits that provably change NO logical row content: a refresh over a
+# range containing only these advances the watermark without reading a
+# byte of data (a compaction rewrites every bucket's files, so the
+# change feed's path-equality pruning alone cannot skip it)
+_MAINT_RE = re.compile(
+    r"^(compact|rebucket\(|add_column\(|drop_column\(|refresh:)"
+)
+
+
+def _maintenance_only(source: LakeTable, last: int, cur: int) -> bool:
+    try:
+        return all(
+            _MAINT_RE.match(source.snapshot(v).op) is not None
+            for v in range(last + 1, cur + 1)
+        )
+    except FileNotFoundError:
+        return False  # expired mid-range: let the diff/rebuild path decide
+
 # decimal accumulator for float sums: exact addition makes the
 # incremental (batch-at-a-time) total bit-identical to a one-shot
 # aggregate, regardless of grouping/order — same discipline as the
@@ -214,6 +232,11 @@ class IncrementalAggView:
         if last is not None and last >= cur:
             return {"refreshed_through": last, "groups_updated": 0,
                     "groups_deleted": 0, "no_op": True}
+        if last is not None and _maintenance_only(self.source, last, cur):
+            self.table.tag(f"refresh:{cur}")
+            return {"refreshed_through": cur, "groups_updated": 0,
+                    "groups_deleted": 0, "no_op": False,
+                    "maintenance_only": True}
         try:
             if self.strategy == "delta":
                 stats = self._refresh_delta(last, cur)
@@ -487,6 +510,11 @@ class IncrementalRowView:
         if last is not None and last >= cur:
             return {"refreshed_through": last, "rows_upserted": 0,
                     "rows_deleted": 0, "no_op": True}
+        if last is not None and _maintenance_only(self.source, last, cur):
+            self.table.tag(f"refresh:{cur}")
+            return {"refreshed_through": cur, "rows_upserted": 0,
+                    "rows_deleted": 0, "no_op": False,
+                    "maintenance_only": True}
         key = self.source.key
         if last is None:
             ups_in = self.source.read(cur)
@@ -524,7 +552,13 @@ class IncrementalRowView:
             .select(*key, *null_payload)
             .withColumn("__op", F.lit("D"))
         )
-        src = t.withColumn("__op", F.lit("U")).unionByName(dels)
+        # allowMissingColumns: mid-stream source evolution can give the
+        # transform output columns the view table (and thus the D-rows'
+        # null payload) doesn't know yet — they ride as NULL on deletes
+        # and evolve the view schema through the merge
+        src = t.withColumn("__op", F.lit("U")).unionByName(
+            dels, allowMissingColumns=True
+        )
         snap, mstats = self.table.merge(
             src, op_col="__op", op_note=f"refresh:{cur}"
         )

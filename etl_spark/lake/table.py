@@ -921,6 +921,35 @@ class LakeTable:
         base = self.snapshot()
         return self._commit(base, base.files, [], base.schema, note)
 
+    def merge_with_retry(
+        self,
+        source: DataFrame,
+        attempts: int = 5,
+        backoff_s: float = 0.05,
+        **kwargs: Any,
+    ) -> tuple[Snapshot | None, dict[str, int]]:
+        """Optimistic-concurrency MERGE: when another writer wins the
+        O_EXCL race for the next snapshot version (``CommitConflict``),
+        re-read the new current snapshot and recompute the whole merge on
+        top of it — the Iceberg/Delta commit-retry loop. Correct because
+        ``merge`` derives everything (schema, affected buckets, survivors,
+        guards) from the snapshot it reads at entry, and the batch is
+        key-unique, so applying it after the winner is exactly the serial
+        order the conflict implies. Jittered exponential backoff breaks
+        repeated collisions under fan-in; data files written by a losing
+        attempt are stranded in their unique commit dir and reclaimed by
+        ``vacuum()``."""
+        import random as _random
+
+        last_exc: CommitConflict | None = None
+        for i in range(attempts):
+            try:
+                return self.merge(source, **kwargs)
+            except CommitConflict as e:
+                last_exc = e
+                time.sleep(backoff_s * (2**i) * _random.uniform(0.5, 1.5))
+        raise last_exc  # type: ignore[misc]
+
     # ------------------------------------------------------------ change feed
     def table_changes(
         self, from_version: int, to_version: int | None = None,
@@ -1232,11 +1261,53 @@ class LakeTable:
         )
 
     # -------------------------------------------------------------- maintain
+    def _zorder_expr(self, cols: list[str], bits: int = 8) -> Column:
+        """Morton (Z-order) value over ``cols``: each column is range-
+        binned into 2^bits buckets between its global min/max (one small
+        agg — this runs inside a maintenance rewrite that scans everything
+        anyway), then the bin bits are interleaved. Pure codegen
+        arithmetic — no UDF, no higher-order functions (those are
+        CodegenFallback on this Spark and ~1000x slower per element).
+
+        Uniform-range binning is the classic z-order simplification: it
+        clusters multi-dimensional RANGE locality (time x key, the ingest
+        read pattern) rather than equalizing bin populations — heavy skew
+        in a column degrades that column's contribution toward the linear
+        order, never below it."""
+        row = self.read().agg(
+            *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],
+        ).collect()[0]
+        n_bins = 1 << bits
+        bins = []
+        for c in cols:
+            lo = row[f"__lo_{c}"]
+            hi = row[f"__hi_{c}"]
+            if lo is None:  # all-null column: constant bin
+                bins.append(F.lit(0).cast("long"))
+                continue
+            span = (hi - lo) or 1.0
+            b = F.floor(
+                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+                * F.lit(n_bins)
+            ).cast("long")
+            b = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), b))
+            bins.append(F.coalesce(b, F.lit(0)))
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for d, b in enumerate(bins):
+                z = z + F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                    i * len(bins) + d,
+                )
+        return z
+
     def compact(
         self,
         target_file_rows: int = 5_000_000,
         drop_tombstones: bool = False,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> Snapshot:
         """Rewrite small files per bucket into fewer large ones (snapshot-
         atomic, like Iceberg rewrite_data_files). Needed because each CDC
@@ -1251,18 +1322,29 @@ class LakeTable:
         compress better. Cost: one sortWithinPartitions inside the rewrite
         the compaction was already paying for — no extra shuffle.
 
+        ``zorder_by`` (mutually exclusive with ``sort_by``) clusters each
+        bucket by the MORTON value over 2+ columns instead of a linear
+        order — row groups then have tight ranges on EVERY listed column
+        simultaneously (a linear sort gives that only for its leading
+        column), the layout for mixed time x key range reads.
+
         ``drop_tombstones=True`` additionally retires the delete tombstones
         accumulated by guarded merges (``merge(lww_by=...)``) — safe once
         the out-of-order horizon has passed (no event older than the
         tombstones can still arrive); the files themselves are reclaimed by
         the next ``expire_snapshots``."""
+        if sort_by and zorder_by:
+            raise ValueError("pass either sort_by or zorder_by, not both")
         base = self.snapshot()
         kept = [] if drop_tombstones else base.tomb_files
         df = self.read().withColumn(_BUCKET_COL, self._bucket_expr(base))
+        sort_cols: list | None = sort_by
+        if zorder_by:
+            sort_cols = [self._zorder_expr(zorder_by)]
         new_files = self._write_data_files(
             base.version + 1, df, base.n_buckets, stats_cols=base.stats_cols,
             bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
-            sort_by=sort_by,
+            sort_by=sort_cols,
         )
         return self._commit(base, kept, new_files, base.schema, "compact")
 

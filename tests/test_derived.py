@@ -341,6 +341,134 @@ def test_streaming_cadence_refreshes_views(spark, tmp_path):
     assert got == exp
 
 
+def test_maintenance_only_range_skips_diff(spark, tmp_path):
+    """Compaction rewrites every bucket's files, so path-equality pruning
+    cannot skip it — the op-based maintenance detector must: a refresh
+    over a compact/DDL-only range advances the watermark without reading
+    any data files."""
+    src = make_source(spark, tmp_path)
+    view = IncrementalAggView(
+        spark, str(tmp_path / "v"), src, group_by=["grp"], aggs=AGGS,
+    )
+    view.refresh()
+    src.compact()
+    src.add_column("note", "string")
+    calls = []
+    orig = src.table_changes
+
+    def spy(*a, **k):
+        calls.append(a)
+        return orig(*a, **k)
+
+    src.table_changes = spy
+    try:
+        r = view.refresh()
+    finally:
+        src.table_changes = orig
+    assert r.get("maintenance_only") and calls == []
+    assert view.last_applied() == src.current_version()
+    # a real change after the maintenance range still flows through
+    ops2 = T.StructType(
+        list(SRC_SCHEMA.fields)
+        + [T.StructField("note", T.StringType()),
+           T.StructField("op", T.StringType())]
+    )
+    src.merge(
+        spark.createDataFrame([(0, "g0", 7.0, "x", "U")], ops2), op_col="op"
+    )
+    r2 = view.refresh()
+    assert not r2.get("maintenance_only") and r2["groups_updated"] >= 1
+    pd.testing.assert_frame_equal(
+        view.read().orderBy("grp").toPandas(),
+        full_recompute(src).orderBy("grp").toPandas(),
+    )
+
+
+def test_row_view_survives_source_schema_evolution(spark, tmp_path):
+    """A column added to the source mid-stream: the change feed aligns old
+    snapshots to the new schema (NULLs), the transform sees the column,
+    and the view's own table evolves on the next merge."""
+    src = make_source(spark, tmp_path)
+
+    def transform(df):
+        cols = ["id", "grp", (F.col("val") * 2).alias("doubled")]
+        if "note" in df.columns:
+            cols.append(F.upper("note").alias("note_uc"))
+        return df.select(*cols)
+
+    view = IncrementalRowView(spark, str(tmp_path / "rv"), src, transform)
+    view.refresh()
+    assert "note_uc" not in view.read().columns
+    ops2 = T.StructType(
+        list(SRC_SCHEMA.fields)
+        + [T.StructField("note", T.StringType()),
+           T.StructField("op", T.StringType())]
+    )
+    src.merge(
+        spark.createDataFrame(
+            [(0, "g0", 0.0, "hello", "U"), (99, "g9", 9.0, "hey", "U")],
+            ops2,
+        ),
+        op_col="op",
+    )
+    view.refresh()
+    got = view.read()
+    assert "note_uc" in got.columns
+    rows = {r["id"]: r["note_uc"] for r in got.collect()}
+    assert rows[0] == "HELLO" and rows[99] == "HEY"
+    assert rows[5] is None  # untouched pre-evolution row reads NULL
+
+
+def test_agg_view_random_churn_equivalence(spark, tmp_path):
+    """Randomized lifecycle soak (seeded): many batches of random
+    inserts/updates/deletes with NULLs and group moves, refresh after
+    each — the delta-maintained view must equal the full recompute at
+    every step."""
+    import random
+
+    rng = random.Random(1234)
+    src = make_source(spark, tmp_path)
+    view = IncrementalAggView(
+        spark, str(tmp_path / "v"), src, group_by=["grp"], aggs=AGGS,
+        strategy="delta",
+    )
+    ops = T.StructType(list(SRC_SCHEMA.fields) + [T.StructField("op", T.StringType())])
+    live = set(range(40))
+    next_id = 100
+    for _ in range(5):
+        batch = []
+        used: set[int] = set()  # merge contract: <= 1 row per key per batch
+        for _ in range(rng.randint(3, 10)):
+            kind = rng.choice(["ins", "upd", "del"])
+            free = sorted(live - used)
+            if kind == "ins" or not free:
+                batch.append(
+                    (next_id, f"g{rng.randint(0, 8)}",
+                     rng.choice([None, round(rng.uniform(-50, 50), 3)]), "U")
+                )
+                live.add(next_id)
+                used.add(next_id)
+                next_id += 1
+            elif kind == "upd":
+                i = rng.choice(free)
+                used.add(i)
+                batch.append(
+                    (i, f"g{rng.randint(0, 8)}",
+                     rng.choice([None, round(rng.uniform(-50, 50), 3)]), "U")
+                )
+            else:
+                i = rng.choice(free)
+                used.add(i)
+                live.discard(i)
+                batch.append((i, None, None, "D"))
+        src.merge(spark.createDataFrame(batch, ops), op_col="op")
+        view.refresh()
+        pd.testing.assert_frame_equal(
+            view.read().orderBy("grp").toPandas(),
+            full_recompute(src).orderBy("grp").toPandas(),
+        )
+
+
 def test_pre_image_change_feed(spark, tmp_path):
     """table_changes(pre_images=True) is the retraction feed: updates emit
     (update_preimage, update_postimage) pairs with old/new values."""

@@ -825,6 +825,97 @@ def test_vacuum_removes_orphans_keeps_referenced(spark, tmp_path):
     assert n_after == n_parquet - removed
 
 
+def test_compact_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Z-order compaction: consecutive row runs must be tight in BOTH
+    listed columns simultaneously (a linear sort gives that only for its
+    leading column — the trailing column's per-run range stays ~full)."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("y", T.IntegerType()),
+        ]
+    )
+
+    def chunk_area(table_path_cols, n_chunks=16):
+        xs, ys = table_path_cols
+        n = len(xs)
+        step = max(1, n // n_chunks)
+        areas = []
+        for i in range(0, n - step + 1, step):
+            cx = xs[i:i + step]
+            cy = ys[i:i + step]
+            areas.append((max(cx) - min(cx) + 1) * (max(cy) - min(cy) + 1))
+        return sum(areas) / len(areas)
+
+    rows = [(i, i % 32, (i * 17) % 32) for i in range(1024)]  # full 32x32 grid
+    results = {}
+    for mode in ("zorder", "linear"):
+        t = LakeTable.create(
+            spark, str(tmp_path / mode), schema, key=["id"], n_buckets=1
+        )
+        t.append(spark.createDataFrame(rows, schema))
+        if mode == "zorder":
+            t.compact(zorder_by=["x", "y"])
+        else:
+            t.compact(sort_by=["x"])
+        e = t.snapshot().data_files[0]
+        tbl = pq.read_table(
+            _os.path.join(t.path, e["path"]), columns=["x", "y"]
+        )
+        results[mode] = chunk_area(
+            (tbl["x"].to_pylist(), tbl["y"].to_pylist())
+        )
+    # full grid area is 1024; a 64-row z-curve run covers ~an 8x8 tile
+    # (~64), a linear-x run covers a 2-col x full-y stripe (~64 x-tight
+    # but y-wide). Require z-order to beat linear on the COMBINED area.
+    assert results["zorder"] < results["linear"] * 0.5, results
+    with pytest.raises(ValueError, match="not both"):
+        LakeTable.load(spark, str(tmp_path / "zorder")).compact(
+            sort_by=["x"], zorder_by=["x", "y"]
+        )
+
+
+def test_merge_with_retry_survives_commit_race(spark, tmp_path):
+    """Two writers race for the same snapshot version: the loser's
+    CommitConflict must trigger a recompute on top of the winner's
+    state — both writes land, serialized."""
+    t = make(spark, tmp_path)
+    t.append(spark.createDataFrame([("c1", 0, "base")], SCHEMA))
+    t2 = LakeTable.load(spark, t.path)
+
+    orig = t._write_snapshot
+    raced = {"done": False}
+
+    def racy(snap):
+        if not raced["done"]:
+            raced["done"] = True
+            # competing writer commits THIS version first
+            t2.append(spark.createDataFrame([("c9", 9, "winner")], SCHEMA))
+        return orig(snap)
+
+    t._write_snapshot = racy
+    ops = T.StructType(list(SCHEMA.fields) + [T.StructField("op", T.StringType())])
+    try:
+        snap, stats = t.merge_with_retry(
+            spark.createDataFrame([("c1", 0, "merged", "U")], ops),
+            op_col="op",
+        )
+    finally:
+        t._write_snapshot = orig
+    assert raced["done"] and stats["rows_applied"] == 1
+    got = rows(t.read())
+    assert ("c9", 9, "winner") in got      # winner's row survived
+    assert ("c1", 0, "merged") in got      # loser recomputed and landed
+    assert len(got) == 2
+    # the losing attempt's stranded data files are vacuum-reclaimable
+    assert t.vacuum(older_than_s=0.0) >= 1
+
+
 # --------------------------------------------------------------------- DDL
 
 def test_add_and_drop_column_metadata_only(spark, tmp_path):
