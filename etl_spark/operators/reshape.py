@@ -90,3 +90,81 @@ def multi_mapping(df: DataFrame, mappings: list[dict[str, Any]]) -> DataFrame:
                 fields.append(F.lit(v).alias(k))
         structs.append(F.struct(*fields))
     return df.select(F.explode(F.array(*structs)).alias("_m")).select("_m.*")
+
+
+def with_context_window(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    value_col: str,
+    n: int = 3,
+    sep: str = " ",
+    out_col: str = "context",
+) -> DataFrame:
+    """Concatenated trailing context per row: the previous ``n`` values of
+    ``value_col`` within a partition, in order — the transcript
+    training-pair primitive (context = prior turns, response = this
+    turn). One window per partition key (a single key-equality shuffle;
+    at transcript scale the partition is a conversation — thousands of
+    rows, never the table). First rows with no history get NULL (not ""),
+    matching SQL string_agg-over-empty-frame semantics."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-n, -1)
+    )
+    ctx = F.collect_list(F.col(value_col)).over(w)
+    return df.withColumn(
+        out_col,
+        F.when(F.size(ctx) > 0, F.array_join(ctx, sep)),
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+      n_words          whitespace word count
+      dup_word_frac    1 - distinct_words / n_words (0 = all unique)
+      top_bigram_frac  occurrences of the most frequent word bigram /
+                       total bigrams (NULL for docs with < 2 words)
+
+    High values flag degenerate/boilerplate docs (Rae et al., Gopher
+    §A1.1-style filters). Shape at scale: posexplode + two groupBys keyed
+    by (doc, token) — pure codegen key-equality shuffles, no higher-order
+    functions (CodegenFallback) and no Python; the doc-level reduction is
+    map-side combinable."""
+    from pyspark.sql import Window as W
+
+    words = df.select(
+        id_col,
+        F.posexplode(
+            F.split(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))), " ")
+        ).alias("__p", "__w"),
+    )
+    per_word = words.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
+    word_stats = per_word.groupBy(id_col).agg(
+        F.sum("__c").alias("n_words"),
+        (
+            F.lit(1.0)
+            - F.count(F.lit(1)).cast("double") / F.sum("__c").cast("double")
+        ).alias("dup_word_frac"),
+    )
+    nxt = F.lead("__w").over(W.partitionBy(id_col).orderBy("__p"))
+    bigrams = words.select(
+        id_col, F.concat_ws(" ", "__w", nxt).alias("__bg"), nxt.alias("__nx")
+    ).filter(F.col("__nx").isNotNull())
+    per_bg = bigrams.groupBy(id_col, "__bg").agg(F.count(F.lit(1)).alias("__c"))
+    bg_stats = per_bg.groupBy(id_col).agg(
+        (
+            F.max("__c").cast("double") / F.sum("__c").cast("double")
+        ).alias("top_bigram_frac")
+    )
+    return word_stats.join(bg_stats, on=id_col, how="left").select(
+        id_col, "n_words", "dup_word_frac", "top_bigram_frac"
+    )

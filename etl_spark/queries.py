@@ -38,7 +38,7 @@ rows-only while a degenerate config that MUST equal the exact answer
 MinHash band config, the blocked near-dup at full-recall params) is
 oracle-checked bit-exactly — so the bucketing/re-rank machinery is
 proven to add no error beyond the documented approximation. Current
-inventory: 66 entries — 56 oracle, 10 rows-only.
+inventory: 68 entries — 58 oracle, 10 rows-only.
 """
 
 from __future__ import annotations
@@ -1821,6 +1821,84 @@ def q_streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Transcript / quality extensions (context windows, repetition filters)
+# --------------------------------------------------------------------------
+
+def q_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair extraction primitive: per event, the concatenated
+    trailing context (previous 3 event_types per user in event-time
+    order) — the transcript shape (context = prior turns, response =
+    this turn) expressed over the events stream. First events per user
+    carry NULL context (string_agg-over-empty-frame semantics)."""
+    from etl_spark.operators.reshape import with_context_window
+
+    ev = _t(spark, sf_dir, "events")
+    out = with_context_window(
+        ev, ["user_id"], ["ts", "event_id"], "event_type", n=3
+    )
+    return out.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        F.col("event_type").alias("response"), "context",
+    )
+
+
+_ORACLE_CONTEXT = """
+WITH w AS (
+  SELECT event_id, user_id, event_type,
+         string_agg(event_type, ' ') OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context
+  FROM events)
+SELECT event_id, user_id, event_type AS response, context
+FROM w WHERE event_type = 'purchase'
+"""
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-word fraction,
+    top-bigram fraction) per document — the degenerate/boilerplate-text
+    filter of a pretraining pipeline, as pure key-equality shuffles."""
+    from etl_spark.operators.reshape import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs).select(
+        "doc_id", "n_words",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+_ORACLE_REPETITION = r"""
+WITH words AS (
+  SELECT doc_id, i AS p, w[i] AS w
+  FROM (SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                            ' ') AS w
+        FROM documents),
+       UNNEST(range(1, len(w) + 1)) AS t(i)),
+pw AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
+ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+              1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                AS dup_word_frac
+       FROM pw GROUP BY 1),
+bg AS (SELECT doc_id,
+              w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS bg,
+              lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS nx
+       FROM words),
+pb AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg WHERE nx IS NOT NULL
+       GROUP BY 1, 2),
+bs AS (SELECT doc_id,
+              CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                AS top_bigram_frac
+       FROM pb GROUP BY 1)
+SELECT ws.doc_id, n_words,
+       round(dup_word_frac, 6) AS dup_word_frac,
+       round(top_bigram_frac, 6) AS top_bigram_frac
+FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Incremental materialized views (change-feed-driven view maintenance)
 # --------------------------------------------------------------------------
 
@@ -2051,6 +2129,8 @@ QUERIES = {
     "derived_agg_incremental": q_derived_agg_incremental,
     "derived_minmax_rescan": q_derived_minmax_rescan,
     "derived_row_view": q_derived_row_view,
+    "context_window": q_context_window,
+    "repetition_signals": q_repetition_signals,
 }
 
 ORACLE_SQL = {
@@ -2110,4 +2190,6 @@ ORACLE_SQL = {
     "derived_agg_incremental": _ORACLE_DERIVED_AGG,
     "derived_minmax_rescan": _ORACLE_DERIVED_MINMAX,
     "derived_row_view": _ORACLE_DERIVED_ROW,
+    "context_window": _ORACLE_CONTEXT,
+    "repetition_signals": _ORACLE_REPETITION,
 }

@@ -141,3 +141,39 @@ def test_unigram_lm_score_ranks_fluent_above_gibberish(spark):
     assert all(out[i].avg_logprob > out[100].avg_logprob for i in range(20))
     # smoothed probabilities are proper: logprob strictly negative
     assert all(r.avg_logprob < 0 for r in out.values())
+
+
+def test_repetition_signals_flags_degenerate_docs(spark):
+    from etl_spark.operators.reshape import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "the quick brown fox jumps over lazy dogs"),
+            (3, "word"),  # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert got[1]["n_words"] == 6
+    assert got[1]["dup_word_frac"] == 1 - 1 / 6
+    assert got[1]["top_bigram_frac"] == 1.0  # "spam spam" is every bigram
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 1 / 7
+    assert got[3]["n_words"] == 1 and got[3]["top_bigram_frac"] is None
+
+
+def test_context_window_first_rows_null(spark):
+    from etl_spark.operators.reshape import with_context_window
+
+    df = spark.createDataFrame(
+        [("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "c"), ("u1", 4, "d"),
+         ("u2", 1, "x")],
+        "user string, seq int, turn string",
+    )
+    out = with_context_window(df, ["user"], ["seq"], "turn", n=2, sep=" | ")
+    got = {(r["user"], r["seq"]): r["context"] for r in out.collect()}
+    assert got[("u1", 1)] is None          # no history -> NULL, never ""
+    assert got[("u1", 2)] == "a"
+    assert got[("u1", 4)] == "b | c"       # trailing window of 2, in order
+    assert got[("u2", 1)] is None          # partitions are independent
