@@ -184,6 +184,14 @@ class IncrementalAggView:
             spark, path, T.StructType(state_fields),
             key=list(self.group_by), n_buckets=n_buckets, if_not_exists=True,
         )
+        stored = [f.name for f in self.table.schema.fields]
+        wanted = [f.name for f in state_fields]
+        if stored != wanted:
+            raise ValueError(
+                f"view at {path} was materialized with a different "
+                f"definition (state columns {stored} != {wanted}); "
+                "point the new definition at a fresh path"
+            )
 
     # ------------------------------------------------------------- helpers
     def _rescan_agg_exprs(self) -> list:

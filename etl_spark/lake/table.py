@@ -349,10 +349,34 @@ class LakeTable:
     def key(self) -> list[str]:
         return self.snapshot().key
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """DataFrame over the snapshot's file set (time travel if version
-        given). Files written before a schema evolution are read with their
-        exact historical schema and cast-aligned — no rewrites, ever."""
+    def version_as_of(self, ts: float) -> int:
+        """Newest snapshot committed at or before unix-seconds ``ts``
+        (Iceberg/Delta ``TIMESTAMP AS OF``). Driver-side metadata walk —
+        commit timestamps live in the snapshot manifests."""
+        best: int | None = None
+        v = self.current_version()
+        for i in range((v if v is not None else -1) + 1):
+            if not os.path.exists(self._snap_path(i)):
+                continue
+            if self.snapshot(i).ts <= ts:
+                best = i
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before ts={ts} at {self.path}"
+            )
+        return best
+
+    def read(
+        self, version: int | None = None, as_of_ts: float | None = None
+    ) -> DataFrame:
+        """DataFrame over the snapshot's file set (time travel via
+        ``version`` or ``as_of_ts`` unix seconds). Files written before a
+        schema evolution are read with their exact historical schema and
+        cast-aligned — no rewrites, ever."""
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass version or as_of_ts, not both")
+            version = self.version_as_of(as_of_ts)
         snap = self.snapshot(version)
         return self._read_files(snap, snap.data_files)
 

@@ -205,6 +205,18 @@ def test_rescan_minmax_with_retraction_of_extremes(spark, tmp_path):
     assert got["g4"][1] == 34.0  # new max after retracting 39.0
 
 
+def test_reopen_with_changed_definition_rejected(spark, tmp_path):
+    src = make_source(spark, tmp_path)
+    IncrementalAggView(
+        spark, str(tmp_path / "v"), src, group_by=["grp"], aggs=AGGS,
+    ).refresh()
+    with pytest.raises(ValueError, match="different\\s+definition"):
+        IncrementalAggView(
+            spark, str(tmp_path / "v"), src, group_by=["grp"],
+            aggs={"n": ("count", "*")},
+        )
+
+
 def test_delta_rejects_minmax(spark, tmp_path):
     src = make_source(spark, tmp_path)
     with pytest.raises(ValueError, match="not self-maintainable"):
@@ -467,6 +479,80 @@ def test_agg_view_random_churn_equivalence(spark, tmp_path):
             view.read().orderBy("grp").toPandas(),
             full_recompute(src).orderBy("grp").toPandas(),
         )
+
+
+def test_medallion_chain_view_on_view(spark, tmp_path):
+    """Bronze -> silver (row view) -> gold (agg view): a view's own table
+    is a LakeTable, so views CHAIN — each layer refreshes incrementally
+    from the previous layer's change feed. A silver refresh commits
+    `merge:refresh:N`, which the gold layer correctly treats as a data
+    change (only bare `refresh:N` tags are maintenance-only)."""
+    bronze = make_source(spark, tmp_path)
+
+    def silver_tf(df):
+        return df.filter(F.col("val").isNotNull()).select(
+            "id", "grp", (F.col("val") * 10).alias("scaled")
+        )
+
+    silver = IncrementalRowView(
+        spark, str(tmp_path / "silver"), bronze, silver_tf
+    )
+    silver.refresh()
+    gold = IncrementalAggView(
+        spark, str(tmp_path / "gold"), silver.table, group_by=["grp"],
+        aggs={"n": ("count", "*"), "total": ("sum", "scaled")},
+        strategy="delta",
+    )
+    gold.refresh()
+
+    ops = T.StructType(list(SRC_SCHEMA.fields) + [T.StructField("op", T.StringType())])
+    bronze.merge(
+        spark.createDataFrame(
+            [(0, "g4", 99.0, "U"),      # group move g0 -> g4
+             (1, "g1", None, "U"),      # falls out of silver's filter
+             (5, None, None, "D"),      # delete propagates both layers
+             (77, "gZ", 7.0, "U")],     # new group appears in gold
+            ops,
+        ),
+        op_col="op",
+    )
+    silver.refresh()
+    gold.refresh()
+
+    dec = "decimal(18,6)"
+    expect = (
+        silver_tf(bronze.read())
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("scaled").cast(dec)).cast("decimal(28,6)")
+            .cast("double").alias("total"),
+        )
+        .orderBy("grp")
+        .toPandas()
+    )
+    got = gold.read().orderBy("grp").toPandas()
+    pd.testing.assert_frame_equal(got, expect)
+    assert "gZ" in set(got["grp"])
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    import time as _time
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "tt"), SRC_SCHEMA, key=["id"], n_buckets=2
+    )
+    t.append(spark.createDataFrame([(1, "a", 1.0)], SRC_SCHEMA))
+    mid = _time.time()
+    _time.sleep(0.01)
+    t.append(spark.createDataFrame([(2, "b", 2.0)], SRC_SCHEMA))
+    assert t.read(as_of_ts=mid).count() == 1
+    assert t.read(as_of_ts=_time.time()).count() == 2
+    assert t.version_as_of(mid) < t.current_version()
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.version_as_of(0.0)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=0, as_of_ts=mid)
 
 
 def test_pre_image_change_feed(spark, tmp_path):
