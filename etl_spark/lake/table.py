@@ -1284,6 +1284,77 @@ class LakeTable:
             base, base.files, [], schema, f"drop_column({name})"
         )
 
+    def purge(self, where: Any) -> dict[str, int]:
+        """Hard delete for data-subject erasure (GDPR/RTBF): physically
+        remove every row matching ``where`` from the table INCLUDING all
+        history — unlike ``merge`` deletes, which only remove rows from
+        the current snapshot while prior versions (and tombstones) keep
+        the bytes time-travelable.
+
+        Mechanics: rewrite only the buckets that contain matches (one
+        pushdown scan finds them), rewrite tombstones the same way (a
+        tombstone carries the subject's key columns), commit, then
+        ``expire_snapshots(keep_last=1)`` + ``vacuum(0)`` so every
+        pre-purge file is deleted from disk. History collapses to the
+        purge commit BY DESIGN — erasure and time travel are mutually
+        exclusive; snapshot the table elsewhere first if you need the
+        audit trail. Returns {rows_purged, rewritten_buckets,
+        files_removed}."""
+        base = self.snapshot()
+        cond = F.expr(where) if isinstance(where, str) else where
+        df = self.read().withColumn(_BUCKET_COL, self._bucket_expr(base))
+        affected = {
+            r[_BUCKET_COL]
+            for r in df.filter(cond).select(_BUCKET_COL).distinct().collect()
+        }
+        if not affected and not base.tomb_files:
+            # nothing matches and no tombstones could carry the subject:
+            # keep history intact
+            return {"rows_purged": 0, "rewritten_buckets": 0,
+                    "files_removed": 0}
+        new_files: list[dict[str, Any]] = []
+        rows_purged = 0
+        if affected:
+            keep_rows = df.filter(F.col(_BUCKET_COL).isin(*affected)).filter(
+                ~cond | cond.isNull()
+            )
+            written = self._write_data_files(
+                base.version + 1, keep_rows, base.n_buckets,
+                stats_cols=base.stats_cols,
+                bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
+            )
+            before = sum(
+                f.get("rows", 0)
+                for f in base.data_files if f["bucket"] in affected
+            )
+            rows_purged = before - sum(f["rows"] for f in written)
+            new_files += written
+        if base.tomb_files:
+            tombs = self._read_files(
+                base, base.tomb_files, target_schema=base.schema
+            ).filter(~cond | cond.isNull()).withColumn(
+                _BUCKET_COL, self._bucket_expr(base)
+            )
+            new_files += [
+                {**f, "kind": "tomb"}
+                for f in self._write_data_files(
+                    base.version + 1, tombs, base.n_buckets,
+                    stats_cols=base.stats_cols,
+                )
+            ]
+        kept = [
+            f for f in base.files
+            if f.get("kind") != "tomb" and f["bucket"] not in affected
+        ]
+        self._commit(base, kept, new_files, base.schema, "purge")
+        self.expire_snapshots(keep_last=1)
+        removed = self.vacuum(older_than_s=0.0)
+        return {
+            "rows_purged": rows_purged,
+            "rewritten_buckets": len(affected),
+            "files_removed": removed,
+        }
+
     # -------------------------------------------------------------- maintain
     def _zorder_expr(self, cols: list[str], bits: int = 8) -> Column:
         """Morton (Z-order) value over ``cols``: each column is range-

@@ -38,7 +38,7 @@ rows-only while a degenerate config that MUST equal the exact answer
 MinHash band config, the blocked near-dup at full-recall params) is
 oracle-checked bit-exactly — so the bucketing/re-rank machinery is
 proven to add no error beyond the documented approximation. Current
-inventory: 68 entries — 58 oracle, 10 rows-only.
+inventory: 69 entries — 59 oracle, 10 rows-only.
 """
 
 from __future__ import annotations
@@ -1032,6 +1032,39 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_embeddings(emb, n_clusters=8, n_rows=n_rows).select(
         "vec_id", "cluster_id", F.round("sim", 6).alias("sim")
     )
+
+
+def q_embedding_clusters_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster ASSIGNMENT machinery under a fixed, analytically-known
+    centroid matrix (the first 8 axis unit vectors): the BLAS
+    assignment pass must then reduce to argmax over the first 8
+    normalized components — which DuckDB computes directly from the raw
+    embeddings. Proves the mapInPandas matmul + argmax + sim plumbing
+    bit-exactly; the trained-centroid config stays rows-only as
+    ``embedding_clusters`` (engine-internal kmeans)."""
+    import numpy as np
+
+    from etl_spark.operators.similarity import cluster_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = np.eye(8, 64)
+    return cluster_embeddings(emb, n_clusters=8, centroids=C).select(
+        "vec_id", "cluster_id", F.round("sim", 6).alias("sim")
+    )
+
+
+_ORACLE_CLUSTERS_FIXED = """
+WITH s AS (
+  SELECT vec_id,
+         [x / sqrt(list_inner_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]))
+          FOR x IN (embedding::DOUBLE[])[1:8]] AS u
+  FROM embeddings)
+SELECT vec_id,
+       CAST(list_position(u, list_max(u)) - 1 AS INTEGER) AS cluster_id,
+       round(list_max(u), 6) AS sim
+FROM s
+"""
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2101,6 +2134,7 @@ QUERIES = {
     "similarity_ivf": q_similarity_ivf,
     "similarity_ivf_full": q_similarity_ivf_full,
     "embedding_clusters": q_embedding_clusters,
+    "embedding_clusters_fixed": q_embedding_clusters_fixed,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_blocked": q_embedding_neardup_blocked,
     "embedding_neardup_blocked_hi": q_embedding_neardup_blocked_hi,
@@ -2186,6 +2220,7 @@ ORACLE_SQL = {
     "scd2_incremental_deletes": _ORACLE_SCD2_DELETES,
     "doc_fingerprint": _ORACLE_FINGERPRINT,
     "winnow_overlap_full": _ORACLE_WINNOW_FULL,
+    "embedding_clusters_fixed": _ORACLE_CLUSTERS_FIXED,
     "stream_sessionize": _ORACLE_STREAM_SESSIONIZE,
     "derived_agg_incremental": _ORACLE_DERIVED_AGG,
     "derived_minmax_rescan": _ORACLE_DERIVED_MINMAX,

@@ -555,6 +555,26 @@ def test_read_as_of_timestamp(spark, tmp_path):
         t.read(version=0, as_of_ts=mid)
 
 
+def test_view_rebuilds_after_source_purge(spark, tmp_path):
+    """An RTBF purge collapses the source's history, so a downstream view
+    cannot diff — refresh must fall back to the rebuild path and the
+    purged subject must vanish from the view too (erasure propagates)."""
+    src = make_source(spark, tmp_path)
+    view = IncrementalAggView(
+        spark, str(tmp_path / "v"), src, group_by=["grp"], aggs=AGGS,
+    )
+    view.refresh()
+    assert "g0" in {r["grp"] for r in view.read().collect()}
+    src.purge("grp = 'g0'")
+    r = view.refresh()
+    assert r.get("rebuilt")
+    got = view.read().orderBy("grp").toPandas()
+    assert "g0" not in set(got["grp"])
+    pd.testing.assert_frame_equal(
+        got, full_recompute(src).orderBy("grp").toPandas()
+    )
+
+
 def test_pre_image_change_feed(spark, tmp_path):
     """table_changes(pre_images=True) is the retraction feed: updates emit
     (update_preimage, update_postimage) pairs with old/new values."""

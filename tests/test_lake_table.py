@@ -916,6 +916,112 @@ def test_merge_with_retry_survives_commit_race(spark, tmp_path):
     assert t.vacuum(older_than_s=0.0) >= 1
 
 
+def test_concurrent_writers_serialize_through_retry(spark, tmp_path):
+    """Four writers merging concurrently into the same table through
+    merge_with_retry: the O_EXCL commit race must serialize them into a
+    linear history with every batch applied exactly once."""
+    import os
+    import threading
+
+    t = make(spark, tmp_path)
+    errors: list[Exception] = []
+
+    def writer(w: int):
+        try:
+            handle = LakeTable.load(spark, t.path)
+            ops = T.StructType(
+                list(SCHEMA.fields) + [T.StructField("op", T.StringType())]
+            )
+            for b in range(3):
+                handle.merge_with_retry(
+                    spark.createDataFrame(
+                        [(f"w{w}", b, f"t{w}-{b}", "U")], ops
+                    ),
+                    op_col="op",
+                    attempts=10,
+                )
+        except Exception as e:  # noqa: BLE001 - surfaced via main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    got = rows(t.read())
+    assert got == {(f"w{w}", b, f"t{w}-{b}") for w in range(4) for b in range(3)}
+    # linear history: every version 0..current exists exactly once
+    v = t.current_version()
+    assert v == 12  # create + 12 serialized merges
+    assert all(os.path.exists(t._snap_path(i)) for i in range(v + 1))
+
+
+def test_purge_erases_subject_from_disk_and_history(spark, tmp_path):
+    """RTBF purge: after purging a conversation, its bytes must be gone
+    from EVERY file on disk (not just the current snapshot) — including
+    guarded-merge tombstones carrying the key — while unrelated rows and
+    the table's forward operation are untouched."""
+    import os as _os
+
+    t = make_guard(spark, tmp_path)  # guarded table: lww_by + tombstones
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("secret-conv", 0, "the secret text", 1, 1, "U"),
+                ("secret-conv", 1, "more secret", 1, 2, "U"),
+                ("keep-conv", 0, "public", 1, 3, "U"),
+            ],
+            OPS,
+        ),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    # update -> old version lives in history; delete -> tombstone w/ key
+    t.merge(
+        spark.createDataFrame(
+            [("secret-conv", 0, "rewritten secret", 2, 4, "U")], OPS
+        ),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    t.merge(
+        spark.createDataFrame(
+            [("secret-conv", 1, None, 3, 5, "D")], OPS
+        ),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    assert t.snapshot().tomb_files  # the delete left a tombstone
+    r = t.purge("conv_id = 'secret-conv'")
+    assert r["rows_purged"] == 1  # the one live secret row
+    # live state: only the unrelated conversation remains
+    left = t.read().collect()
+    assert [(x["conv_id"], x["text"]) for x in left] == [("keep-conv", "public")]
+    # DISK-LEVEL: no parquet file anywhere still contains the subject
+    for root, _d, names in _os.walk(_os.path.join(t.path, "data")):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            raw = open(_os.path.join(root, n), "rb").read()
+            assert b"secret" not in raw, f"{n} still holds purged bytes"
+    # history collapsed to the purge commit (erasure XOR time travel)
+    assert len(t.history()) == 1
+    # the table still works after the purge
+    t.merge(
+        spark.createDataFrame([("new-conv", 0, "hello", 9, 9, "U")], OPS),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    assert t.read().count() == 2
+
+
+def test_purge_no_match_keeps_history(spark, tmp_path):
+    t = make(spark, tmp_path)
+    t.append(spark.createDataFrame([("c1", 0, "a")], SCHEMA))
+    t.append(spark.createDataFrame([("c2", 0, "b")], SCHEMA))
+    n_hist = len(t.history())
+    r = t.purge("conv_id = 'nobody'")
+    assert r == {"rows_purged": 0, "rewritten_buckets": 0, "files_removed": 0}
+    assert len(t.history()) == n_hist  # untouched: no bytes to erase
+
+
 # --------------------------------------------------------------------- DDL
 
 def test_add_and_drop_column_metadata_only(spark, tmp_path):

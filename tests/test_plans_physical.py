@@ -137,6 +137,7 @@ def test_no_cartesian_product_in_query_plans(spark):
         "embedding_neardup_blocked", "embedding_neardup_blocked_hi",
         "dedup_simhash", "dedup_minhash_lsh", "dedup_minhash_lsh_verified",
         "incremental_dedup", "embedding_clusters",
+        "embedding_clusters_fixed",
     }
     sf = "/root/testdata/sf0.001"
     for name, fn in QUERIES.items():
