@@ -1072,24 +1072,30 @@ class LakeTable:
         )
         if not pre_images:
             return base_out.select(*key, *out_cols, "_change_type")
-        post = base_out.select(
-            *key, *out_cols,
-            F.when(F.col("_change_type") == "update", F.lit("update_postimage"))
-            .otherwise(F.col("_change_type"))
-            .alias("_change_type"),
+        # FUSED pre+post emission: one pass over the join (a union of two
+        # selects would evaluate the full-outer diff subtree TWICE — 2x
+        # the scan+shuffle on the feed-heavy path). Updates inline to two
+        # struct rows, inserts/deletes to one.
+        post_struct = F.struct(
+            *[F.col(k).alias(k) for k in key],
+            *[c.alias(n) for c, n in zip(out_cols, payload)],
+            F.when(
+                F.col("_change_type") == "update", F.lit("update_postimage")
+            ).otherwise(F.col("_change_type")).alias("_change_type"),
         )
-        pre = (
-            base_out.filter(F.col("_change_type") == "update")
-            .select(
-                *key,
-                *[
-                    (F.col(f"__o_{c}") if c in shared else F.col(c)).alias(c)
-                    for c in payload
-                ],
-                F.lit("update_preimage").alias("_change_type"),
-            )
+        pre_struct = F.struct(
+            *[F.col(k).alias(k) for k in key],
+            *[
+                (F.col(f"__o_{c}") if c in shared else F.col(c)).alias(c)
+                for c in payload
+            ],
+            F.lit("update_preimage").alias("_change_type"),
         )
-        return post.unionByName(pre)
+        arr = F.when(
+            F.col("_change_type") == "update",
+            F.array(post_struct, pre_struct),
+        ).otherwise(F.array(post_struct))
+        return base_out.select(F.inline(arr))
 
     # ---------------------------------------------------------------- update
     def update(
