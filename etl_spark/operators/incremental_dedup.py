@@ -140,7 +140,17 @@ class MinHashIndex:
         The band rows for this batch are appended AFTER the probe, so a
         doc never matches itself."""
         bands = self._band_rows(docs, id_col, text_col).persist()
-        small = bands.count() <= broadcast_threshold
+        # ONE action sizes the broadcast guard AND pre-counts the index
+        # merge's per-bucket accounting (driver actions are the per-batch
+        # serial floor — same discipline as apply_batch / view refresh)
+        bexpr = self.table._bucket_expr(self.table.snapshot())
+        per_bucket = {
+            r["__b"]: r["__n"]
+            for r in bands.groupBy(bexpr.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        }
+        small = sum(per_bucket.values()) <= broadcast_threshold
         vs_index = (
             self._probe_join(bands, broadcast=small)
             .distinct()
@@ -179,8 +189,9 @@ class MinHashIndex:
             # (crash-recovery re-ingest) leaves the index unchanged instead
             # of appending duplicate band rows. Costs the anti-join; plain
             # append is the fast path when the caller already gates batches
-            # (e.g. through the CDC commit log).
-            self.table.merge(bands)
+            # (e.g. through the CDC commit log). per_bucket skips the
+            # merge's own counting action — the merge is then one write job.
+            self.table.merge(bands, per_bucket=per_bucket)
         else:
             self.table.append(bands)
         bands.unpersist()

@@ -203,8 +203,10 @@ class CdcStream:
             and not stats.get("skipped")
             and applied % self.refresh_views_every == 0
         ):
-            for v in self.views:
+            stats["view_refreshes"] = [
                 retry_with_backoff(v.refresh, attempts=self.retry_attempts)
+                for v in self.views
+            ]
         if (
             self.compact_every
             and not stats.get("skipped")
