@@ -139,6 +139,87 @@ def run_incremental_dedup(spark, sf_dir: str, n_batches: int = 4) -> dict:
     return {"n_batches": n_batches, "pairs": pairs, "sec": round(wall, 3)}
 
 
+def run_mor_vs_cow(spark, sf_dir: str, n_batches: int = 4) -> dict:
+    """Write-amplification headline: the same ``n_batches`` chronological
+    changelog batches MERGEd copy-on-write vs merge-on-read
+    (``LakeTable.merge(mode="mor")``). Reports per-mode replay wall,
+    TOTAL BYTES WRITTEN across commits (the number that scales: cow
+    rewrites every touched bucket per batch — at 10^10 events that is
+    the whole table per micro-batch window — while mor commits O(batch)),
+    and the post-replay read wall (mor's read amplification before
+    compaction) plus the compaction fold time. Correctness of the exact
+    pattern is oracle-gated by the `cdc_apply_mor` driver entry."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc.apply import replay
+    from etl_spark.lake import LakeTable
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    chg = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        "ts", "user_id", "event_type", "value",
+    )
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    step = (hi + n_batches) // n_batches
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+
+    def bytes_written(table) -> int:
+        seen, total = set(), 0
+        for snap in table.history():
+            for f in snap.files:
+                if f["path"] in seen:
+                    continue
+                seen.add(f["path"])
+                p = os.path.join(table.path, f["path"])
+                if os.path.exists(p):
+                    total += os.path.getsize(p)
+        return total
+
+    out: dict = {"n_batches": n_batches}
+    for mode in ("cow", "mor"):
+        work = tempfile.mkdtemp(prefix=f"etl_spark_{mode}_")
+        try:
+            table = LakeTable.create(
+                spark, os.path.join(work, "t"), schema,
+                key=["user_id"], n_buckets=32,
+            )
+            t0 = time.time()
+            for b in range(n_batches):
+                batch = chg.filter(
+                    (F.col("lsn") >= b * step) & (F.col("lsn") < (b + 1) * step)
+                )
+                replay(spark, batch, table, mor=(mode == "mor"))
+            wall = time.time() - t0
+            t1 = time.time()
+            rows = table.read().count()
+            read_sec = time.time() - t1
+            entry = {
+                "sec": round(wall, 3),
+                "bytes_written": bytes_written(table),
+                "read_sec": round(read_sec, 3),
+                "rows": rows,
+            }
+            if mode == "mor":
+                t2 = time.time()
+                table.compact()
+                entry["compact_sec"] = round(time.time() - t2, 3)
+            out[mode] = entry
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    out["write_amplification_cow_vs_mor"] = round(
+        out["cow"]["bytes_written"] / max(1, out["mor"]["bytes_written"]), 2
+    )
+    return out
+
+
 def run_scd2_apply(spark, sf_dir: str, n_batches: int = 4) -> dict:
     """History-preserving CDC: the events changelog applied in
     ``n_batches`` chronological batches through cdc.scd2.apply_scd2
@@ -562,6 +643,9 @@ def main() -> None:
         queries["incremental_dedup_4batch"] = inc["sec"]
         scd2 = run_scd2_apply(spark, sf_dir, n_batches=4)
         queries["scd2_apply_4batch"] = scd2["sec"]
+        mor = run_mor_vs_cow(spark, sf_dir, n_batches=4)
+        queries["cdc_apply_cow_4batch"] = mor["cow"]["sec"]
+        queries["cdc_apply_mor_4batch"] = mor["mor"]["sec"]
         skew = run_skew_replay(spark, work_dir)
         queries["skew_salted_replay"] = skew["replay_sec"]
         derived = run_derived_refresh(spark, sf_dir)
@@ -581,6 +665,7 @@ def main() -> None:
             "cdc": cdc,
             "incremental_dedup": inc,
             "scd2_apply": scd2,
+            "mor_vs_cow": mor,
             "skew": skew,
             "derived": derived,
         }

@@ -108,8 +108,14 @@ def apply_batch(
     transform_preserves_keys_and_validity: bool = True,
     transform_stage: str = "pre",
     merge_lww_by: Sequence[str] | None = None,
+    merge_mode: str = "cow",
 ) -> dict:
     """Apply one changelog micro-batch to the lake table, exactly once.
+
+    ``merge_mode="mor"`` commits each batch merge-on-read (O(batch) bytes
+    per micro-batch instead of rewriting every touched bucket — see
+    ``LakeTable.merge``); pair it with a compaction cadence so the read-
+    side delta backlog stays bounded.
 
     Pipeline: commit-log skip -> watermark filter -> transform ->
     validator split (dead-letter) -> LWW dedup -> MERGE -> advance
@@ -265,6 +271,7 @@ def apply_batch(
         snap, merge_stats = table.merge(
             merge_src, op_col=op_col, per_bucket=per_bucket,
             lww_by=list(merge_lww_by) if merge_lww_by else None,
+            mode=merge_mode,
         )
         stats.update(merge_stats)
         # Post-dedup count observed on the merge-write job — NOT the
@@ -430,9 +437,11 @@ def replay(
     salted_dedup: bool = False,
     transform_stage: str = "pre",
     merge_lww_by: Sequence[str] | None = None,
+    mor: bool = False,
 ) -> dict:
     """Bulk backfill: collapse the ENTIRE changelog to final per-key state
-    with one LWW dedup, then one MERGE. This is the bootstrap path — at
+    with one LWW dedup, then one MERGE (``mor=True`` commits it
+    merge-on-read — see ``LakeTable.merge``). This is the bootstrap path — at
     10^10 events it is one shuffle on the key (with map-side combine
     reducing each key to one row per map task) + one bucketed write, the
     minimum possible data movement for CDC compaction.
@@ -453,6 +462,7 @@ def replay(
     snap, stats = table.merge(
         merge_src, op_col=op_col,
         lww_by=list(merge_lww_by) if merge_lww_by else None,
+        mode="mor" if mor else "cow",
     )
     stats["table_version"] = snap.version if snap else None
     return stats

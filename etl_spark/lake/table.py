@@ -53,6 +53,21 @@ _BUCKET_COL = "__bucket"
 _ORIGIN_COL = "__origin"
 _META_DIR = "_meta"
 _DATA_DIR = "data"
+_SEQ_COL = "__seq"
+_DELSEQ_COL = "__del_seq"
+# Merge-on-read: the shadow-key set read per scan is bounded by the delta
+# volume since the last compaction; below this many delta rows the
+# max-seq-per-key side is broadcast so the base scan never shuffles.
+_MOR_BROADCAST_ROWS = 200_000
+
+
+def _entry_seq(e: dict) -> int:
+    """Data sequence number of a manifest entry (Iceberg v2 semantics):
+    delete sources shadow same-key rows in files with STRICTLY lower seq.
+    Defaults to the committing version (sid); rewrites that must preserve
+    a delete source's original ordering (purge rewriting tombstones) pin
+    an explicit ``seq``."""
+    return int(e.get("seq", e["sid"]))
 
 # Types eligible for zone-map stats: totally ordered, and parquet footer
 # min/max is exact (string statistics may be writer-truncated, so they
@@ -185,17 +200,33 @@ class Snapshot:
 
     @property
     def total_rows(self) -> int:
+        """Physical rows across data entries. Equals the live row count
+        only when the snapshot has no merge-on-read entries (delta files
+        may carry shadowed copies of keys also present in older files);
+        ``LakeTable.row_count()`` returns the live count on every path."""
         return sum(f.get("rows", 0) for f in self.data_files)
 
     @property
     def data_files(self) -> list[dict[str, Any]]:
-        """Live data entries — excludes delete-tombstone files, which are
-        guard metadata for out-of-order MERGE, never query-visible rows."""
-        return [f for f in self.files if f.get("kind") != "tomb"]
+        """Query-visible data entries — excludes delete tombstones (guard
+        metadata for out-of-order MERGE) and equality-delete files
+        (merge-on-read delete markers)."""
+        return [f for f in self.files if f.get("kind") not in ("tomb", "eqdel")]
 
     @property
     def tomb_files(self) -> list[dict[str, Any]]:
         return [f for f in self.files if f.get("kind") == "tomb"]
+
+    @property
+    def delete_source_files(self) -> list[dict[str, Any]]:
+        """Merge-on-read shadow sources: equality-delete files plus every
+        ``delta``-flagged entry (a MOR upsert's data file supersedes older
+        copies of its keys; a MOR delete's tombstone removes them). Their
+        keys erase same-key rows in files with strictly lower seq."""
+        return [
+            f for f in self.files
+            if f.get("delta") or f.get("kind") == "eqdel"
+        ]
 
 
 class LakeTable:
@@ -383,10 +414,60 @@ class LakeTable:
     def _read_files(
         self, snap: Snapshot, entries: list[dict[str, Any]],
         target_schema: T.StructType | None = None,
+        raw: bool = False,
     ) -> DataFrame:
+        """DataFrame over ``entries``. When the snapshot carries
+        merge-on-read entries in the touched buckets, shadowed rows are
+        filtered out here — every read path (read/scan/read_for_keys/
+        table_changes/compact/update) flows through this one gate, so MOR
+        state is invisible to callers. ``raw=True`` skips the shadow
+        filter (delete-source scans and the LWW guard, whose max-order is
+        identical over raw rows under guarded discipline)."""
         target = target_schema or snap.schema
         if not entries:
             return self.spark.createDataFrame([], target)
+        if raw:
+            return self._read_plain(snap, entries, target)
+        buckets = {e["bucket"] for e in entries}
+        dels = [f for f in snap.delete_source_files if f["bucket"] in buckets]
+        if not dels:
+            return self._read_plain(snap, entries, target)
+        # Merge-on-read: a row survives unless some delete source carries
+        # its key at a strictly higher seq. Delete sources are taken from
+        # the SNAPSHOT's bucket set, not the (possibly zone-map-pruned)
+        # entry list — pruning a delta file as data must never lose its
+        # shadowing role. Keys hash to one bucket, so restricting both
+        # sides to the read buckets is exact.
+        tnames = {f.name for f in target.fields}
+        extra = [snap.schema[c] for c in snap.key if c not in tnames]
+        read_schema = (
+            T.StructType(list(target.fields) + extra) if extra else target
+        )
+        data = self._read_with_seq(snap, entries, read_schema)
+        kschema = T.StructType([snap.schema[c] for c in snap.key])
+        dmax = (
+            self._read_with_seq(snap, dels, kschema)
+            .groupBy(*snap.key)
+            .agg(F.max(_SEQ_COL).alias(_DELSEQ_COL))
+        )
+        # Footer row counts bound the shadow-key set exactly; small delta
+        # volume (the steady state between compactions) broadcasts, so
+        # the base scan stays shuffle-free.
+        if sum(f.get("rows", 0) for f in dels) <= _MOR_BROADCAST_ROWS:
+            dmax = F.broadcast(dmax)
+        out = (
+            data.join(dmax, on=list(snap.key), how="left")
+            .filter(
+                F.col(_DELSEQ_COL).isNull()
+                | (F.col(_SEQ_COL) >= F.col(_DELSEQ_COL))
+            )
+        )
+        return out.select(*[f.name for f in target.fields])
+
+    def _read_plain(
+        self, snap: Snapshot, entries: list[dict[str, Any]],
+        target: T.StructType,
+    ) -> DataFrame:
         by_sid: dict[str, list[str]] = {}
         for e in entries:
             by_sid.setdefault(e["sid"], []).append(
@@ -402,8 +483,41 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def _read_with_seq(
+        self, snap: Snapshot, entries: list[dict[str, Any]],
+        target: T.StructType,
+    ) -> DataFrame:
+        """Like ``_read_plain`` but each row carries its file's data
+        sequence number — groups by (sid, seq) so rewrites that pinned an
+        explicit seq keep their original shadow ordering."""
+        groups: dict[tuple[str, int], list[str]] = {}
+        for e in entries:
+            groups.setdefault((e["sid"], _entry_seq(e)), []).append(
+                os.path.join(self.path, e["path"])
+            )
+        parts = []
+        for (sid, seq), paths in sorted(groups.items()):
+            file_schema = T.StructType.fromJson(snap.schemas[sid])
+            df = self.spark.read.schema(file_schema).parquet(*paths)
+            parts.append(
+                align_to_schema(df, target).withColumn(
+                    _SEQ_COL, F.lit(seq).cast("long")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def row_count(self) -> int:
-        return self.snapshot().total_rows
+        """Live row count. Manifest-sum (zero I/O) when the snapshot has
+        no merge-on-read backlog; with delta/equality-delete entries the
+        physical sum over-counts shadowed copies, so one shadow-applied
+        count job gives the exact number."""
+        snap = self.snapshot()
+        if snap.delete_source_files:
+            return self._read_files(snap, snap.data_files).count()
+        return snap.total_rows
 
     def read_for_keys(self, values: list, version: int | None = None) -> DataFrame:
         """Point-lookup scan: read ONLY the buckets that can contain the
@@ -687,8 +801,28 @@ class LakeTable:
         per_bucket: dict[int, int] | None = None,
         lww_by: list[str] | None = None,
         op_note: str | None = None,
+        mode: str = "cow",
     ) -> tuple[Snapshot | None, dict[str, int]]:
-        """Copy-on-write MERGE INTO keyed on the table key.
+        """MERGE INTO keyed on the table key — copy-on-write by default,
+        merge-on-read with ``mode="mor"``.
+
+        ``mode="mor"`` (Iceberg-v2-style equality deletes): instead of
+        rewriting every touched bucket, the batch commits O(batch) new
+        bytes — upsert rows land as ``delta`` data files and delete rows
+        as equality-delete files (``kind="eqdel"``; tombstones carrying
+        ``delta`` under ``lww_by``), each stamped with the commit's data
+        sequence number. A delta entry shadows same-key rows in files
+        with strictly lower seq, so the read path reconstructs exactly
+        the copy-on-write result (one key-local join against the
+        accumulated delta keys, broadcast while the delta volume is
+        small). This is THE high-frequency-micro-batch shape at 10^10
+        events: per-batch write cost stops depending on bucket size
+        (copy-on-write rewrites ~batch_keys/n_buckets × bucket_rows per
+        commit), at the price of read amplification that grows with the
+        delta backlog until ``compact()`` — or any copy-on-write merge
+        over the same buckets — folds it down. Mirrors the reference's
+        row-level upsert loop (/root/reference/etl.go:300-340) re-costed
+        for lake storage.
 
         ``op_note`` is recorded in the commit's op string
         (``merge:<note>``) — it rides the SAME atomic snapshot write as
@@ -736,6 +870,8 @@ class LakeTable:
 
         Returns (new snapshot | None if source empty, stats dict).
         """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         base = self.snapshot()
         if base.n_buckets <= 0:
             raise ValueError("merge requires a bucketed table (n_buckets > 0)")
@@ -778,11 +914,23 @@ class LakeTable:
             affected = set(per_bucket)
 
             # Tombstone entries are never rewritten by a merge — they are
-            # carried in every commit and only compact() retires them.
-            keep_files = [
-                f for f in base.files
-                if f["bucket"] not in affected or f.get("kind") == "tomb"
-            ]
+            # carried in every commit and only compact() retires them. A
+            # copy-on-write pass over a bucket CONSUMES its merge-on-read
+            # backlog: delta/eqdel entries fold into the rewrite (the
+            # survivors read is shadow-applied) and kept tombstones drop
+            # their delete-source role (all surviving rows now sit at a
+            # higher seq). mode="mor" keeps every base entry untouched.
+            if mode == "mor":
+                keep_files = list(base.files)
+            else:
+                keep_files = []
+                for f in base.files:
+                    if f["bucket"] not in affected:
+                        keep_files.append(f)
+                    elif f.get("kind") == "tomb":
+                        keep_files.append(
+                            {k: v for k, v in f.items() if k != "delta"}
+                        )
             read_entries = [
                 f for f in base.data_files if f["bucket"] in affected
             ]
@@ -812,10 +960,18 @@ class LakeTable:
                 # Bootstrap / untouched-bucket fast path: nothing to anti-join
                 # against — the batch IS the new bucket content.
                 result = src_all
+            elif mode == "mor" and lww_by is None:
+                # Merge-on-read upsert: the batch IS the commit. No target
+                # read, no survivors — older copies of the batch keys are
+                # shadowed at read time by this commit's higher seq, and
+                # delete rows become equality-delete entries below.
+                result = src_all
             else:
-                target_aff = self._read_files(
-                    base, read_entries, target_schema=schema
-                ).withColumn(_BUCKET_COL, self._bucket_expr(base))
+                target_aff = None
+                if mode == "cow":
+                    target_aff = self._read_files(
+                        base, read_entries, target_schema=schema
+                    ).withColumn(_BUCKET_COL, self._bucket_expr(base))
 
                 # Survivors: target rows in affected buckets whose key is NOT
                 # in the batch. Force-broadcast only a genuinely small batch
@@ -847,11 +1003,25 @@ class LakeTable:
                     ord_struct = F.struct(*[F.col(c) for c in ordc])
                     guard_parts = []
                     if read_entries:
-                        guard_parts.append(target_aff.select(*base.key, *ordc))
+                        # Under mor the guard scans raw copies: shadowed
+                        # rows only ever carry orders <= the live row's
+                        # (guarded merges write strictly-newer winners),
+                        # so the raw max equals the live max and the
+                        # shadow join is skipped on the hot guard path.
+                        guard_rows = (
+                            self._read_files(
+                                base, read_entries, target_schema=schema,
+                                raw=True,
+                            )
+                            if mode == "mor"
+                            else target_aff
+                        )
+                        guard_parts.append(guard_rows.select(*base.key, *ordc))
                     if guard_tombs:
                         guard_parts.append(
                             self._read_files(
-                                base, guard_tombs, target_schema=schema
+                                base, guard_tombs, target_schema=schema,
+                                raw=True,
                             ).select(*base.key, *ordc)
                         )
                     guard_src = guard_parts[0]
@@ -880,15 +1050,18 @@ class LakeTable:
                     winners = src_all.join(
                         applied_b, on=base.key, how="left_semi"
                     )
-                    if read_entries:
+                    if mode == "mor" or not read_entries:
+                        # mor: winners alone are the commit — stale events
+                        # write NOTHING, so a replayed batch converges
+                        # with zero new bytes (not just identical bytes).
+                        result = winners
+                    else:
                         survivors = target_aff.join(
                             applied_b, on=base.key, how="left_anti"
                         ).withColumn(_ORIGIN_COL, F.lit("s"))
                         result = survivors.select(src_all.columns).unionByName(
                             winners
                         )
-                    else:
-                        result = winners
             written = self._write_data_files(
                 base.version + 1, result, base.n_buckets, origin_partition=True,
                 stats_cols=base.stats_cols,
@@ -903,7 +1076,19 @@ class LakeTable:
             new_files = []
             for f in written:
                 if f.pop("origin", None) == "d":
-                    if lww_by is not None:
+                    if mode == "mor":
+                        # merge-on-read delete: an equality-delete entry
+                        # (guarded: a tombstone that is ALSO a delete
+                        # source — it must both out-order stale events
+                        # and shadow the stored row, which mor never
+                        # rewrites away)
+                        if lww_by is not None:
+                            f["kind"] = "tomb"
+                            f["delta"] = True
+                        else:
+                            f["kind"] = "eqdel"
+                        new_files.append(f)
+                    elif lww_by is not None:
                         # guarded merge retains delete rows as tombstones:
                         # their (key, order) must keep beating later-arriving
                         # staler events for the deleted key
@@ -912,12 +1097,15 @@ class LakeTable:
                     else:
                         os.remove(os.path.join(self.path, f["path"]))
                 else:
+                    if mode == "mor":
+                        # delta data: shadows older copies of its keys
+                        f["delta"] = True
                     new_files.append(f)
             snap = self._commit(
                 base, keep_files, new_files, schema,
                 "merge" if op_note is None else f"merge:{op_note}",
             )
-            return snap, {
+            stats = {
                 "source_rows": src_rows,
                 # post-dedup distinct source keys that were applied:
                 # upserts written + delete events processed (matched or
@@ -926,11 +1114,31 @@ class LakeTable:
                 "rows_applied": rows_upserted + rows_deleted,
                 "rows_upserted": rows_upserted,
                 "rows_deleted": rows_deleted,
-                "rewritten_buckets": len(affected),
-                "kept_buckets": base.n_buckets - len(affected),
-                "target_rows_scanned": target_rows_affected,
-                "rows_after": snap.total_rows,
+                "mode": mode,
             }
+            if mode == "mor":
+                stats.update({
+                    "rewritten_buckets": 0,
+                    "delta_buckets": len(affected),
+                    "kept_buckets": base.n_buckets,
+                    # no target scan happens in unguarded mor; the guard
+                    # scan under lww_by is key+order column-pruned
+                    "target_rows_scanned": (
+                        target_rows_affected if lww_by else 0
+                    ),
+                    # physical rows: delta files may shadow older copies,
+                    # so this is an upper bound on the live count — use
+                    # row_count() for the exact number
+                    "physical_rows_after": snap.total_rows,
+                })
+            else:
+                stats.update({
+                    "rewritten_buckets": len(affected),
+                    "kept_buckets": base.n_buckets - len(affected),
+                    "target_rows_scanned": target_rows_affected,
+                    "rows_after": snap.total_rows,
+                })
+            return snap, stats
         finally:
             if not caller_counts:
                 src.unpersist()
@@ -1015,12 +1223,21 @@ class LakeTable:
             snap_from.n_buckets == snap_to.n_buckets
             and snap_from.bucket_by == snap_to.bucket_by
         ):
-            from_paths = {f["path"] for f in from_entries}
-            to_paths = {f["path"] for f in to_entries}
+            # Diff over ALL manifest entries, not just data files: a
+            # merge-on-read delete-only commit changes a bucket's state by
+            # adding ONLY an equality-delete entry, and a guarded merge's
+            # tombstone marks the bucket too — identical FULL file sets
+            # (paths + kinds/flags) are what guarantees identical state.
+            from_paths = {f["path"] for f in snap_from.files}
+            to_paths = {f["path"] for f in snap_to.files}
             changed_buckets = {
-                f["bucket"] for f in to_entries if f["path"] not in from_paths
+                f["bucket"]
+                for f in snap_to.files
+                if f["path"] not in from_paths
             } | {
-                f["bucket"] for f in from_entries if f["path"] not in to_paths
+                f["bucket"]
+                for f in snap_from.files
+                if f["path"] not in to_paths
             }
             from_entries = [
                 f for f in from_entries if f["bucket"] in changed_buckets
@@ -1134,10 +1351,14 @@ class LakeTable:
             affected = {f["bucket"] for f in base.files}
         if not affected:
             return None, {"rows_updated": 0, "rewritten_buckets": 0}
-        keep_files = [
-            f for f in base.files
-            if f["bucket"] not in affected or f.get("kind") == "tomb"
-        ]
+        keep_files = []
+        for f in base.files:
+            if f["bucket"] not in affected:
+                keep_files.append(f)
+            elif f.get("kind") == "tomb":
+                # rewritten bucket = mor backlog consumed; the tombstone
+                # keeps its guard role, drops its delete-source role
+                keep_files.append({k: v for k, v in f.items() if k != "delta"})
         read_entries = [f for f in base.data_files if f["bucket"] in affected]
         tgt = self._read_files(base, read_entries).withColumn(
             _BUCKET_COL, self._bucket_expr(base)
@@ -1309,19 +1530,32 @@ class LakeTable:
         base = self.snapshot()
         cond = F.expr(where) if isinstance(where, str) else where
         df = self.read().withColumn(_BUCKET_COL, self._bucket_expr(base))
-        affected = {
-            r[_BUCKET_COL]
-            for r in df.filter(cond).select(_BUCKET_COL).distinct().collect()
+        # one action: affected-bucket set AND exact match count (the live
+        # read is shadow-applied, so physical before/after arithmetic
+        # would over-count on merge-on-read tables)
+        match_counts = (
+            df.filter(cond)
+            .groupBy(_BUCKET_COL)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        affected = {r[_BUCKET_COL] for r in match_counts}
+        rows_purged = sum(r["n"] for r in match_counts)
+        # merge-on-read entries can carry the subject's bytes (delta
+        # copies, equality-delete keys) even when no LIVE row matches —
+        # fold every bucket that has any, so no pre-purge file survives
+        mor_buckets = {f["bucket"] for f in base.delete_source_files} | {
+            f["bucket"] for f in base.files if f.get("delta")
         }
-        if not affected and not base.tomb_files:
-            # nothing matches and no tombstones could carry the subject:
-            # keep history intact
+        rewrite = affected | mor_buckets
+        if not rewrite and not base.tomb_files:
+            # nothing matches and no tombstones/deltas could carry the
+            # subject: keep history intact
             return {"rows_purged": 0, "rewritten_buckets": 0,
                     "files_removed": 0}
         new_files: list[dict[str, Any]] = []
-        rows_purged = 0
-        if affected:
-            keep_rows = df.filter(F.col(_BUCKET_COL).isin(*affected)).filter(
+        if rewrite:
+            keep_rows = df.filter(F.col(_BUCKET_COL).isin(*rewrite)).filter(
                 ~cond | cond.isNull()
             )
             written = self._write_data_files(
@@ -1329,15 +1563,13 @@ class LakeTable:
                 stats_cols=base.stats_cols,
                 bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
             )
-            before = sum(
-                f.get("rows", 0)
-                for f in base.data_files if f["bucket"] in affected
-            )
-            rows_purged = before - sum(f["rows"] for f in written)
             new_files += written
         if base.tomb_files:
+            # raw: tombstones are guard records, not data — and their
+            # delete-source role is consumed here (every rewritten bucket
+            # lands at a higher seq), so the rewrite drops the delta flag
             tombs = self._read_files(
-                base, base.tomb_files, target_schema=base.schema
+                base, base.tomb_files, target_schema=base.schema, raw=True,
             ).filter(~cond | cond.isNull()).withColumn(
                 _BUCKET_COL, self._bucket_expr(base)
             )
@@ -1350,14 +1582,16 @@ class LakeTable:
             ]
         kept = [
             f for f in base.files
-            if f.get("kind") != "tomb" and f["bucket"] not in affected
+            if f.get("kind") not in ("tomb", "eqdel")
+            and not f.get("delta")
+            and f["bucket"] not in rewrite
         ]
         self._commit(base, kept, new_files, base.schema, "purge")
         self.expire_snapshots(keep_last=1)
         removed = self.vacuum(older_than_s=0.0)
         return {
             "rows_purged": rows_purged,
-            "rewritten_buckets": len(affected),
+            "rewritten_buckets": len(rewrite),
             "files_removed": removed,
         }
 
@@ -1437,7 +1671,19 @@ class LakeTable:
         if sort_by and zorder_by:
             raise ValueError("pass either sort_by or zorder_by, not both")
         base = self.snapshot()
-        kept = [] if drop_tombstones else base.tomb_files
+        # The full rewrite folds the merge-on-read backlog: the shadow-
+        # applied read below materializes live rows only, equality-delete
+        # entries are not carried, and kept tombstones drop their
+        # delete-source flag (every data row now sits at a higher seq) —
+        # after compact() reads pay zero mor overhead again.
+        kept = (
+            []
+            if drop_tombstones
+            else [
+                {k: v for k, v in f.items() if k != "delta"}
+                for f in base.tomb_files
+            ]
+        )
         df = self.read().withColumn(_BUCKET_COL, self._bucket_expr(base))
         sort_cols: list | None = sort_by
         if zorder_by:
@@ -1469,9 +1715,11 @@ class LakeTable:
             bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
         )
         if base.tomb_files:
-            tombs = self._read_files(base, base.tomb_files).withColumn(
-                _BUCKET_COL, bucket
-            )
+            # raw: guard records, not data; the full rewrite above consumed
+            # every delete-source role (all data now sits at a higher seq)
+            tombs = self._read_files(
+                base, base.tomb_files, raw=True
+            ).withColumn(_BUCKET_COL, bucket)
             new_files += [
                 {**f, "kind": "tomb"}
                 for f in self._write_data_files(

@@ -27,7 +27,12 @@ streaming SCD2 replay is rows-only here but pytest-checked bit-exact
 against that window). The out-of-order guarded MERGE
 (stale-event skip + delete tombstones) replays parity-split halves of
 the log in the wrong order and is checked against the one-window global
-LWW. The derived-view family (incremental materialized-view maintenance
+LWW; the merge-on-read mode replays the same lifecycles as delta/
+equality-delete commits (`cdc_apply_mor`: four ts-ordered mor batches vs
+the cow flagship's oracle; `merge_mor_out_of_order`: the guarded
+wrong-order parity replay vs the global-LWW oracle) — proving the
+shadow-applied read path reconstructs exactly the copy-on-write state.
+The derived-view family (incremental materialized-view maintenance
 from the change feed — delta-maintained count/sum/avg, rescan-maintained
 min/max, and a row-level filtered projection) replays a four-batch
 insert/delete/update lifecycle and is checked against the one-shot
@@ -38,7 +43,7 @@ rows-only while a degenerate config that MUST equal the exact answer
 MinHash band config, the blocked near-dup at full-recall params) is
 oracle-checked bit-exactly — so the bucketing/re-rank machinery is
 proven to add no error beyond the documented approximation. Current
-inventory: 69 entries — 59 oracle, 10 rows-only.
+inventory: 72 entries — 62 oracle, 10 rows-only.
 """
 
 from __future__ import annotations
@@ -264,6 +269,136 @@ def q_merge_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay(
         spark, chg.filter(F.col("lsn") % 2 == 1), table,
         merge_lww_by=["ts", "lsn"],
+    )
+    return table.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+        F.col("lsn").alias("last_lsn"),
+    )
+
+
+def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+
+
+def q_cdc_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read CDC lifecycle (``LakeTable.merge(mode="mor")``): the
+    events changelog is split into FOUR (ts, lsn)-ordered batches and
+    applied as successive mor commits — each batch lands as O(batch)
+    delta/equality-delete files, no bucket is ever rewritten, and the
+    shadow-applied READ path must reconstruct exactly the state the
+    copy-on-write flagship produces (same DuckDB oracle as
+    ``cdc_apply_final_state``). Cross-batch upserts, deletes and
+    delete-then-reinsert sequences all resolve through the seq-ordered
+    equality-delete join at read time."""
+    from pyspark.sql.window import Window
+
+    chg = _events_changelog(spark, sf_dir).withColumn(
+        "__q",
+        F.ntile(4).over(Window.orderBy(F.col("ts"), F.col("lsn"))),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_mor_q_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, key=["user_id"], n_buckets=32
+    )
+    for q in range(1, 5):
+        replay(spark, chg.filter(F.col("__q") == q).drop("__q"), table,
+               mor=True)
+    return table.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+def q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-envelope adapter (sources.debezium): the events changelog
+    is serialized into standard Debezium JSON envelopes (before/after
+    images, source.lsn, ts_ms) and parsed back into normalized engine
+    change rows — one ``to_json`` and one ``from_json`` projection, pure
+    JVM codegen. The oracle computes the same normalization straight from
+    the parquet, so the round trip must be the identity: payload values
+    bit-exact, deletes carrying their pre-image, ts at the envelope's
+    millisecond precision."""
+    from etl_spark.sources.debezium import (
+        parse_debezium,
+        split_rejects,
+        to_debezium_json,
+    )
+
+    chg = _events_changelog(spark, sf_dir)
+    payload_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    js = to_debezium_json(chg, ["user_id", "event_type", "value"])
+    clean, _rejects = split_rejects(
+        parse_debezium(js, payload_schema)
+    )
+    return clean.select("user_id", "event_type", "value", "op", "lsn", "ts")
+
+
+_ORACLE_DEBEZIUM = """
+SELECT user_id, event_type, value,
+       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+       event_id AS lsn,
+       make_timestamp(epoch_ms(ts) * 1000) AS ts
+FROM events
+"""
+
+
+def q_merge_mor_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guarded merge-on-read (``mode="mor"`` + ``lww_by``): the same
+    wrong-order parity split as ``merge_out_of_order``, but every commit
+    is a mor delta — stale events must be skipped by the stored-order
+    guard AND already-applied newer state must keep shadowing at read
+    time; delete tombstones double as equality-delete sources. Converges
+    to the identical global-LWW oracle without ever rewriting a bucket."""
+    chg = _events_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_mor_ooo_q_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, key=["user_id"], n_buckets=32
+    )
+    replay(
+        spark, chg.filter(F.col("lsn") % 2 == 0), table,
+        merge_lww_by=["ts", "lsn"], mor=True,
+    )
+    replay(
+        spark, chg.filter(F.col("lsn") % 2 == 1), table,
+        merge_lww_by=["ts", "lsn"], mor=True,
     )
     return table.read().select(
         "user_id",
@@ -2097,7 +2232,10 @@ FROM final WHERE value > 50.0
 
 QUERIES = {
     "cdc_apply_final_state": q_cdc_apply_final_state,
+    "cdc_apply_mor": q_cdc_apply_mor,
     "merge_out_of_order": q_merge_out_of_order,
+    "merge_mor_out_of_order": q_merge_mor_out_of_order,
+    "debezium_roundtrip": q_debezium_roundtrip,
     "lww_dedup": q_lww_dedup,
     "lww_dedup_salted": q_lww_dedup_salted,
     "incremental_tail": q_incremental_tail,
@@ -2169,7 +2307,10 @@ QUERIES = {
 
 ORACLE_SQL = {
     "cdc_apply_final_state": _ORACLE_CDC_FINAL,
+    "cdc_apply_mor": _ORACLE_CDC_FINAL,
     "merge_out_of_order": _ORACLE_OOO_MERGE,
+    "merge_mor_out_of_order": _ORACLE_OOO_MERGE,
+    "debezium_roundtrip": _ORACLE_DEBEZIUM,
     "lww_dedup": _ORACLE_LWW,
     "lww_dedup_salted": _ORACLE_LWW,
     "incremental_tail": _ORACLE_TAIL,

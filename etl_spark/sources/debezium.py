@@ -1,0 +1,134 @@
+"""Debezium-envelope changelog adapter: binlog/WAL JSON -> engine change rows.
+
+The reference tails databases row-by-row with driver-managed cursors
+(/root/reference/etl.go:95-140); the industry-standard way the same
+change stream arrives at a lake pipeline is a Debezium envelope per event
+(Kafka topic or file dump):
+
+    {"payload": {
+        "before": {...} | null,        # pre-image (u/d)
+        "after":  {...} | null,        # post-image (c/r/u)
+        "source": {"lsn": 123, "ts_ms": ..., "table": ...},
+        "op": "c" | "r" | "u" | "d",
+        "ts_ms": 1700000000000}}
+
+``parse_debezium`` turns a column of such JSON strings into the
+normalized change shape every sink in this engine consumes
+(op U/D + payload columns + lsn + ts) as ONE ``from_json`` projection —
+pure JVM codegen, no Python in the hot path, safe at 10^10 events/day.
+Malformed JSON or envelopes missing both images surface in a rejects
+split (``PERMISSIVE`` + corrupt-record column), never silently drop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def envelope_schema(payload_schema: T.StructType) -> T.StructType:
+    """Spark schema of one Debezium envelope for ``payload_schema`` rows.
+
+    Only the fields this adapter consumes are declared — ``from_json``
+    ignores extra envelope fields (connector/source metadata), so the
+    parse stays forward-compatible with richer producers."""
+    return T.StructType([
+        T.StructField("payload", T.StructType([
+            T.StructField("before", payload_schema),
+            T.StructField("after", payload_schema),
+            T.StructField("source", T.StructType([
+                T.StructField("lsn", T.LongType()),
+                T.StructField("ts_ms", T.LongType()),
+                T.StructField("table", T.StringType()),
+            ])),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ])),
+    ])
+
+
+def parse_debezium(
+    df: DataFrame,
+    payload_schema: T.StructType,
+    value_col: str = "value",
+    op_col: str = "op",
+    lsn_col: str = "lsn",
+    ts_col: str = "ts",
+    corrupt_col: str = "_corrupt",
+) -> DataFrame:
+    """Normalize a Debezium JSON column into engine change rows.
+
+    Output: payload columns + ``op`` ("U" for c/r/u, "D" for d) +
+    ``lsn`` (source.lsn) + ``ts`` (event ts_ms as timestamp) +
+    ``_corrupt`` (NULL for clean rows; the raw string when the JSON is
+    malformed or the envelope carries neither image). Deletes take their
+    payload from ``before`` (Debezium's post-image is null on d), every
+    other op from ``after`` — so a downstream ``LakeTable.merge`` sees
+    full rows for upserts and key-bearing rows for deletes.
+
+    Snapshot reads (op "r") normalize to upserts: replaying a snapshot +
+    tail through the idempotent MERGE converges, which is exactly the
+    Debezium initial-load contract. Works identically on batch and
+    streaming frames (one column projection, no state)."""
+    parsed = F.from_json(
+        F.col(value_col), envelope_schema(payload_schema),
+        {"mode": "PERMISSIVE"},
+    )
+    p = parsed["payload"]
+    image: Column = F.when(p["op"] == "d", p["before"]).otherwise(p["after"])
+    bad = (
+        parsed.isNull()
+        | p.isNull()
+        | p["op"].isNull()          # null op short-circuits isin to NULL,
+        | ~p["op"].isin("c", "r", "u", "d")  # which when() would read as ok
+        | image.isNull()
+    )
+    cols = [
+        image[f.name].alias(f.name) for f in payload_schema.fields
+    ] + [
+        F.when(p["op"] == "d", F.lit("D")).otherwise(F.lit("U")).alias(op_col),
+        p["source"]["lsn"].alias(lsn_col),
+        F.timestamp_millis(F.coalesce(p["ts_ms"], p["source"]["ts_ms"]))
+        .alias(ts_col),
+        F.when(bad, F.col(value_col)).alias(corrupt_col),
+    ]
+    return df.select(*cols)
+
+
+def split_rejects(parsed: DataFrame, corrupt_col: str = "_corrupt"):
+    """(clean_rows_without_corrupt_col, reject_rows) — the dead-letter
+    split for the parse stage; wire rejects to the same per-batch
+    dead-letter directory ``apply_batch`` uses for validator failures."""
+    clean = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    rejects = parsed.filter(F.col(corrupt_col).isNotNull())
+    return clean, rejects
+
+
+def to_debezium_json(
+    df: DataFrame,
+    payload_cols: list[str],
+    op_col: str = "op",
+    lsn_col: str = "lsn",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Inverse adapter (testing + fan-out to Debezium-speaking consumers):
+    engine change rows -> one-column DataFrame of envelope JSON strings.
+    ``parse_debezium(to_debezium_json(x)) == x`` up to column order — the
+    round-trip the oracle entry checks bit-exactly."""
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    is_del = F.col(op_col) == "D"
+    envelope = F.struct(
+        F.struct(
+            F.when(is_del, payload).alias("before"),
+            F.when(~is_del, payload).alias("after"),
+            F.struct(
+                F.col(lsn_col).cast("long").alias("lsn"),
+                F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+                F.lit("events").alias("table"),
+            ).alias("source"),
+            F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+            F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+        ).alias("payload"),
+    )
+    return df.select(F.to_json(envelope).alias("value"))

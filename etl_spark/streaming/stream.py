@@ -101,6 +101,12 @@ class CdcStream:
     # or reorder across the per-partition LSN contract (e.g. a key
     # migrating between source partitions).
     merge_lww_by: list[str] | None = None
+    # "mor" commits each micro-batch merge-on-read: O(batch) bytes per
+    # commit instead of rewriting every touched bucket (LakeTable.merge
+    # mode="mor") — the high-frequency shape; the compact_every cadence
+    # below then also bounds the read-side delta backlog (compaction
+    # folds equality-deletes/shadowed copies back into plain buckets).
+    merge_mode: str = "cow"
     # Multi-destination fan-out: the same batch is applied to each extra
     # table after the primary (reference re-runs the whole ETL per
     # destination, /root/reference/etl.go:463-477; here the batch is
@@ -171,6 +177,7 @@ class CdcStream:
                 dead_letter_dir=self.dead_letter_dir,
                 salted_dedup=self.salted_dedup,
                 merge_lww_by=self.merge_lww_by,
+                merge_mode=self.merge_mode,
             ),
             attempts=self.retry_attempts,
         )
@@ -187,6 +194,7 @@ class CdcStream:
                     commit_log=self.commit_log,
                     salted_dedup=self.salted_dedup,
                     merge_lww_by=self.merge_lww_by,
+                    merge_mode=self.merge_mode,
                 ),
                 attempts=self.retry_attempts,
             )
