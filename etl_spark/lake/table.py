@@ -309,12 +309,43 @@ class LakeTable:
         ]
         return max(versions) if versions else None
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
+    def _manifest_dir(self) -> str:
+        return os.path.join(self._meta, "manifests")
+
+    def _load_manifest(self, ref: str) -> list[dict[str, Any]]:
+        with open(os.path.join(self._meta, ref)) as fh:
+            return json.load(fh)
+
+    def snapshot(
+        self, version: int | None = None,
+        buckets: set[int] | None = None,
+    ) -> Snapshot:
+        """Snapshot metadata. ``buckets`` loads ONLY those buckets'
+        manifests (the point-lookup path: at 4k buckets a key read opens
+        1-2 small manifest files instead of all of them) — the returned
+        snapshot's file list is partial, so callers must not use it for
+        totals or commits; internal use by ``read_for_keys`` only."""
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         with open(self._snap_path(v)) as fh:
             d = json.load(fh)
+        if "files" not in d:
+            # manifest-list format: per-bucket immutable manifests,
+            # referenced by content hash (legacy inline `files` still read)
+            refs = d["manifest_refs"]
+            if buckets is not None:
+                # ref names are b{bucket:06d}-{hash}.json
+                want = {f"b{b:06d}-" for b in buckets}
+                refs = [
+                    r for r in refs
+                    if os.path.basename(r)[:8] in want
+                ]
+            d["files"] = [
+                e for ref in refs for e in self._load_manifest(ref)
+            ]
+        elif buckets is not None:
+            d["files"] = [e for e in d["files"] if e["bucket"] in buckets]
         return Snapshot(
             version=d["version"],
             schema=T.StructType.fromJson(d["schema"]),
@@ -330,6 +361,38 @@ class LakeTable:
             bloom_ndv=d.get("bloom_ndv", 1_000_000),
         )
 
+    def _write_manifests(self, files: list[dict[str, Any]]) -> list[str]:
+        """Per-bucket, content-addressed manifest files (the Iceberg
+        manifest-list idea sized for this engine): a commit writes ONE
+        small JSON per bucket it changed and re-references every other
+        bucket's manifest verbatim — commit metadata cost is O(touched
+        buckets), not O(total files). Content addressing (sha1 of the
+        canonical entry list) makes reuse automatic across snapshots,
+        rollbacks and concurrent writers (identical content -> same path,
+        atomic replace), and expire_snapshots GCs unreferenced ones. At
+        10^5 files per table this turns the per-micro-batch snapshot
+        write from a multi-MB rewrite into a few KB."""
+        import hashlib
+
+        os.makedirs(self._manifest_dir(), exist_ok=True)
+        by_bucket: dict[int, list[dict[str, Any]]] = {}
+        for e in files:
+            by_bucket.setdefault(e["bucket"], []).append(e)
+        refs = []
+        for bucket in sorted(by_bucket):
+            entries = sorted(by_bucket[bucket], key=lambda e: e["path"])
+            blob = json.dumps(entries, sort_keys=True)
+            h = hashlib.sha1(blob.encode()).hexdigest()[:16]
+            name = f"b{bucket:06d}-{h}.json"
+            full = os.path.join(self._manifest_dir(), name)
+            if not os.path.exists(full):
+                tmp = full + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    fh.write(blob)
+                os.replace(tmp, full)  # same content -> same path: benign race
+            refs.append(os.path.join("manifests", name))
+        return refs
+
     def _write_snapshot(self, snap: Snapshot) -> None:
         payload = json.dumps(
             {
@@ -338,7 +401,7 @@ class LakeTable:
                 "key": snap.key,
                 "bucket_by": snap.bucket_by,
                 "n_buckets": snap.n_buckets,
-                "files": snap.files,
+                "manifest_refs": self._write_manifests(snap.files),
                 "schemas": snap.schemas,
                 "op": snap.op,
                 "ts": snap.ts,
@@ -530,17 +593,22 @@ class LakeTable:
         engine's xxhash64 bucketing must match bit-for-bit, so it is never
         re-implemented driver-side); the result still carries the exact
         key filter, so collisions inside a bucket are filtered out."""
-        snap = self.snapshot(version)
-        if snap.n_buckets <= 0:
+        # header-only snapshot first (buckets=set() skips every manifest):
+        # the lookup needs bucketing config before it knows WHICH 1-2
+        # bucket manifests to open — at 4k buckets this is the difference
+        # between 2 metadata reads and 4k per point lookup
+        head = self.snapshot(version, buckets=set())
+        if head.n_buckets <= 0:
             raise ValueError("read_for_keys requires a bucketed table")
-        cols = snap.bucket_by
+        cols = head.bucket_by
         tuples = [v if isinstance(v, tuple) else (v,) for v in values]
-        schema = T.StructType([snap.schema[c] for c in cols])
+        schema = T.StructType([head.schema[c] for c in cols])
         vals_df = self.spark.createDataFrame(tuples, schema)
         buckets = {
             r["__b"]
-            for r in vals_df.select(self._bucket_expr(snap).alias("__b")).collect()
+            for r in vals_df.select(self._bucket_expr(head).alias("__b")).collect()
         }
+        snap = self.snapshot(version, buckets=buckets)
         entries = [f for f in snap.data_files if f["bucket"] in buckets]
         out = self._read_files(snap, entries)
         pred = None
@@ -1826,4 +1894,21 @@ class LakeTable:
                         os.remove(full)
                         removed += 1
             os.remove(self._snap_path(i))
+        # GC manifest files referenced by no surviving snapshot (content-
+        # addressed manifests are shared across snapshots; expired
+        # versions and losers of commit races strand theirs)
+        mdir = self._manifest_dir()
+        if os.path.isdir(mdir):
+            live_refs: set[str] = set()
+            for kv in keep_versions:
+                if not os.path.exists(self._snap_path(kv)):
+                    continue
+                with open(self._snap_path(kv)) as fh:
+                    live_refs |= set(json.load(fh).get("manifest_refs", []))
+            for n in os.listdir(mdir):
+                if (
+                    n.endswith(".json")
+                    and os.path.join("manifests", n) not in live_refs
+                ):
+                    os.remove(os.path.join(mdir, n))
         return removed

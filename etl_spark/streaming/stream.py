@@ -127,6 +127,12 @@ class CdcStream:
     # compaction (tight parquet row-group stats for time-range reads of
     # the ingest table); None keeps arrival order
     compact_sort_by: list[str] | None = None
+    # Backlog-aware compaction for merge_mode="mor": fold the delta/
+    # equality-delete backlog once its ROW COUNT (manifest footer sums,
+    # zero I/O) reaches this threshold. Complements compact_every's
+    # batch cadence; 0 disables. Size it at/below the mor read path's
+    # broadcast guard so shadow joins stay map-side between folds.
+    compact_when_delta_rows: int = 0
     # Ingest-time near-dup detection (the training-data-pipeline stage):
     # after each applied batch, the batch's post-dedup upsert TEXTS are
     # probed against and appended to a persisted MinHash band index under
@@ -215,11 +221,26 @@ class CdcStream:
                 retry_with_backoff(v.refresh, attempts=self.retry_attempts)
                 for v in self.views
             ]
-        if (
+        cadence_due = (
             self.compact_every
             and not stats.get("skipped")
             and applied % self.compact_every == 0
-        ):
+        )
+        # Backlog-aware trigger for merge-on-read: compact when the
+        # accumulated delta/equality-delete rows (the shadow-key set every
+        # read joins against) exceed the threshold — a pure manifest-sum
+        # check, zero I/O. Cadence counts batches; this counts actual
+        # read-side debt, so a quiet stream never compacts and a hot one
+        # compacts exactly when the broadcast guard is about to tip.
+        backlog_due = False
+        if self.compact_when_delta_rows and not stats.get("skipped"):
+            backlog = sum(
+                f.get("rows", 0)
+                for f in self.table.snapshot().delete_source_files
+            )
+            stats["delta_backlog_rows"] = backlog
+            backlog_due = backlog >= self.compact_when_delta_rows
+        if cadence_due or backlog_due:
             self.table.compact(sort_by=self.compact_sort_by)
             if self.expire_keep_last:
                 self.table.expire_snapshots(keep_last=self.expire_keep_last)

@@ -589,3 +589,53 @@ def test_stream_guarded_merge_survives_stale_redelivery(spark, tmp_path):
     assert sum(s["rows_applied"] for s in stats if not s.get("skipped")) == 0
     assert_converged(table, pdf)
     assert not table.read().filter("text LIKE 'STALE%'").count()
+
+
+def test_stream_mor_with_backlog_compaction_converges(spark, tmp_path):
+    """merge_mode='mor' end to end: every micro-batch commits O(batch)
+    delta bytes, the backlog-aware trigger folds the table mid-stream,
+    and the converged state equals the oracle."""
+    pdf = generate_changelog(SPEC)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+    table = make_target(spark, tmp_path)
+    stream = CdcStream(
+        spark, wal, table, str(tmp_path / "state"),
+        max_files_per_trigger=2, merge_mode="mor",
+        compact_when_delta_rows=1,  # fold after every batch with backlog
+        expire_keep_last=2,
+    )
+    stats = stream.run_to_completion()
+    assert len(stats) >= 2
+    assert_converged(table, pdf)
+    assert any(s.get("delta_backlog_rows", 0) > 0 for s in stats)
+    # the trigger folded the final backlog: no delete sources remain and
+    # the manifest row sum is the live count again
+    snap = table.snapshot()
+    assert snap.delete_source_files == []
+    assert snap.total_rows == table.row_count()
+    assert any(s.op == "compact" for s in table.history())
+
+
+def test_stream_mor_without_compaction_converges(spark, tmp_path):
+    """Pure mor stream (no maintenance): base files written by earlier
+    batches are never rewritten by later ones, and the read still
+    converges through the shadow join."""
+    pdf = generate_changelog(SPEC)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+    table = make_target(spark, tmp_path)
+    stream = CdcStream(
+        spark, wal, table, str(tmp_path / "state"),
+        max_files_per_trigger=2, merge_mode="mor",
+    )
+    stats = stream.run_to_completion()
+    applied = [s for s in stats if not s.get("skipped")]
+    assert len(applied) >= 2
+    assert_converged(table, pdf)
+    # additive commits only: every file of the first applied version is
+    # still referenced by the final snapshot
+    first_v = applied[0]["table_version"]
+    early = {f["path"] for f in table.snapshot(first_v).files}
+    final = {f["path"] for f in table.snapshot().files}
+    assert early <= final
