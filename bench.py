@@ -139,37 +139,31 @@ def run_incremental_dedup(spark, sf_dir: str, n_batches: int = 4) -> dict:
     return {"n_batches": n_batches, "pairs": pairs, "sec": round(wall, 3)}
 
 
-def run_mor_vs_cow(spark, sf_dir: str, n_batches: int = 4) -> dict:
-    """Write-amplification headline: the same ``n_batches`` chronological
-    changelog batches MERGEd copy-on-write vs merge-on-read
-    (``LakeTable.merge(mode="mor")``). Reports per-mode replay wall,
-    TOTAL BYTES WRITTEN across commits (the number that scales: cow
-    rewrites every touched bucket per batch — at 10^10 events that is
-    the whole table per micro-batch window — while mor commits O(batch)),
-    and the post-replay read wall (mor's read amplification before
-    compaction) plus the compaction fold time. Correctness of the exact
-    pattern is oracle-gated by the `cdc_apply_mor` driver entry."""
+def run_mor_vs_cow(spark, wal_dir: str, n_batches: int = 8) -> dict:
+    """Write-amplification headline, measured in the regime merge-on-read
+    exists for: SMALL churn batches against a BIG table. Both modes seed
+    the same ~440k-key transcript table with one bulk merge, then apply
+    ``n_batches`` churn batches of ~1/64th of the conversations each
+    (split by a hash UNcorrelated with the bucket hash, so every batch
+    touches every bucket — the realistic CDC key spread). Copy-on-write
+    must rewrite all touched buckets per batch (~the whole table), mor
+    commits O(batch) — `churn_bytes` is the number that scales: at a
+    10^10-row table the cow column is the full table per micro-batch
+    window. Also reports mor's pre-compaction read wall (the read
+    amplification it trades) and the compaction fold time. Correctness
+    of the pattern is oracle-gated by the `cdc_apply_mor` driver entry."""
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     from etl_spark.cdc.apply import replay
+    from etl_spark.cdc.changelog import TRANSCRIPTS_SCHEMA
     from etl_spark.lake import LakeTable
+    from etl_spark.streaming.stream import discover_wal_schema
 
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    chg = ev.select(
-        F.when(F.col("event_type") == "error", F.lit("D"))
-        .otherwise(F.lit("U")).alias("op"),
-        F.col("event_id").alias("lsn"),
-        "ts", "user_id", "event_type", "value",
+    wal = spark.read.schema(discover_wal_schema(spark, wal_dir)).parquet(
+        wal_dir
     )
-    hi = ev.agg(F.max("event_id")).collect()[0][0]
-    step = (hi + n_batches) // n_batches
-    schema = T.StructType([
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("ts", T.TimestampType()),
-    ])
+    # uncorrelated with pmod(xxhash64(conv_id), n_buckets): extra seed col
+    churn_key = F.pmod(F.xxhash64(F.col("conv_id"), F.lit(42)), F.lit(64))
 
     def bytes_written(table) -> int:
         seen, total = set(), 0
@@ -188,22 +182,24 @@ def run_mor_vs_cow(spark, sf_dir: str, n_batches: int = 4) -> dict:
         work = tempfile.mkdtemp(prefix=f"etl_spark_{mode}_")
         try:
             table = LakeTable.create(
-                spark, os.path.join(work, "t"), schema,
-                key=["user_id"], n_buckets=32,
+                spark, os.path.join(work, "t"), TRANSCRIPTS_SCHEMA,
+                key=["conv_id", "turn_idx"], n_buckets=32,
+                bucket_by=["conv_id"],
             )
+            replay(spark, wal, table)  # both modes seed copy-on-write
+            seed_bytes = bytes_written(table)
             t0 = time.time()
             for b in range(n_batches):
-                batch = chg.filter(
-                    (F.col("lsn") >= b * step) & (F.col("lsn") < (b + 1) * step)
-                )
-                replay(spark, batch, table, mor=(mode == "mor"))
+                replay(spark, wal.filter(churn_key == b), table,
+                       mor=(mode == "mor"))
             wall = time.time() - t0
             t1 = time.time()
             rows = table.read().count()
             read_sec = time.time() - t1
             entry = {
                 "sec": round(wall, 3),
-                "bytes_written": bytes_written(table),
+                "sec_per_batch": round(wall / n_batches, 3),
+                "churn_bytes": bytes_written(table) - seed_bytes,
                 "read_sec": round(read_sec, 3),
                 "rows": rows,
             }
@@ -215,7 +211,7 @@ def run_mor_vs_cow(spark, sf_dir: str, n_batches: int = 4) -> dict:
         finally:
             shutil.rmtree(work, ignore_errors=True)
     out["write_amplification_cow_vs_mor"] = round(
-        out["cow"]["bytes_written"] / max(1, out["mor"]["bytes_written"]), 2
+        out["cow"]["churn_bytes"] / max(1, out["mor"]["churn_bytes"]), 2
     )
     return out
 
@@ -643,9 +639,9 @@ def main() -> None:
         queries["incremental_dedup_4batch"] = inc["sec"]
         scd2 = run_scd2_apply(spark, sf_dir, n_batches=4)
         queries["scd2_apply_4batch"] = scd2["sec"]
-        mor = run_mor_vs_cow(spark, sf_dir, n_batches=4)
-        queries["cdc_apply_cow_4batch"] = mor["cow"]["sec"]
-        queries["cdc_apply_mor_4batch"] = mor["mor"]["sec"]
+        mor = run_mor_vs_cow(spark, wal_dir, n_batches=8)
+        queries["cow_churn_8batch"] = mor["cow"]["sec"]
+        queries["mor_churn_8batch"] = mor["mor"]["sec"]
         skew = run_skew_replay(spark, work_dir)
         queries["skew_salted_replay"] = skew["replay_sec"]
         derived = run_derived_refresh(spark, sf_dir)
