@@ -111,13 +111,25 @@ def to_debezium_json(
     op_col: str = "op",
     lsn_col: str = "lsn",
     ts_col: str = "ts",
+    dbz_op_col: str | None = None,
+    table_name: str = "events",
 ) -> DataFrame:
-    """Inverse adapter (testing + fan-out to Debezium-speaking consumers):
-    engine change rows -> one-column DataFrame of envelope JSON strings.
+    """Inverse adapter (fan-out to Debezium-speaking consumers + the
+    outbound change-feed export, lake.export): engine change rows -> one-
+    column DataFrame of envelope JSON strings.
     ``parse_debezium(to_debezium_json(x)) == x`` up to column order — the
-    round-trip the oracle entry checks bit-exactly."""
+    round-trip the oracle entry checks bit-exactly.
+
+    ``dbz_op_col`` (values in c/r/u/d) overrides the default U/D -> u/d
+    mapping when the producer knows insert-vs-update (a change feed does);
+    the delete pre-image placement keys off that envelope op either way."""
     payload = F.struct(*[F.col(c) for c in payload_cols])
-    is_del = F.col(op_col) == "D"
+    dbz_op = (
+        F.col(dbz_op_col)
+        if dbz_op_col is not None
+        else F.when(F.col(op_col) == "D", F.lit("d")).otherwise(F.lit("u"))
+    )
+    is_del = dbz_op == "d"
     envelope = F.struct(
         F.struct(
             F.when(is_del, payload).alias("before"),
@@ -125,9 +137,9 @@ def to_debezium_json(
             F.struct(
                 F.col(lsn_col).cast("long").alias("lsn"),
                 F.unix_millis(F.col(ts_col)).alias("ts_ms"),
-                F.lit("events").alias("table"),
+                F.lit(table_name).alias("table"),
             ).alias("source"),
-            F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+            dbz_op.alias("op"),
             F.unix_millis(F.col(ts_col)).alias("ts_ms"),
         ).alias("payload"),
     )
