@@ -1,0 +1,282 @@
+"""Outbound change-feed export: the lake table as a Debezium PRODUCER.
+
+The reference is strictly a CDC *consumer* — it tails a database and
+loads destinations (/root/reference/etl.go:95-140, 463-477). A lake
+table that downstream systems subscribe to needs the inverse: publish
+its own row-level history as a changelog other pipelines (including a
+second instance of this engine) can tail. That is CDC *chaining* —
+Debezium's outbox / Delta's Change Data Feed consumption pattern — and
+this module closes the loop using only pieces the engine already has:
+
+    primary.table_changes(v0, v1)            # bucket-pruned CDF diff
+      -> to_debezium_json(...)               # envelope encode, pure JVM
+      -> seg-{v0}-{v1}/ JSONL directory      # the outbound WAL
+      -> parse_debezium(...) on the replica  # envelope decode
+      -> apply_batch(...)                    # exactly-once LWW MERGE
+
+Scale shape: each export window reads ONLY the buckets some commit in
+(v0, v1] rewrote (change-feed bucket pruning), encodes with codegen
+expressions, and writes once — O(changed data), never O(table). The
+replica side is the engine's normal ingest: one key shuffle + bucketed
+MERGE per window.
+
+Exactly-once, both directions:
+
+- **Producer**: a window is exported at most once. The segment directory
+  is written to a hidden ``.inprogress`` temp and atomically renamed to
+  its final ``seg-<from>-<to>`` name; the cursor (last exported version)
+  advances only after the rename. A crash before the rename leaves an
+  invisible temp (re-export overwrites it); a crash after the rename but
+  before the cursor advance finds the segment already present and only
+  advances the cursor — the window is never encoded twice.
+- **Consumer**: windows apply in ascending ``to_version`` order, each as
+  one ``apply_batch`` keyed ``batch_id = to_version`` in the replica's
+  commit log — a replayed or re-listed segment is skipped. Within a
+  window every key appears once (it is a snapshot diff), so LWW dedup is
+  a no-op and MERGE idempotence covers crash replays.
+
+Ordering contract: windows are totally ordered by version, and a later
+window's rows supersede an earlier window's for the same key by merge
+order alone — consumers need no cross-window LWW column. The envelope
+``lsn`` is the window's ``to_version`` (monotonic), ``ts_ms`` the
+commit wall-clock, so Debezium-speaking consumers that DO sort by
+(lsn) get the same total order.
+
+Retention coupling: ``table_changes(from, to)`` needs BOTH snapshots'
+manifests, so the export cadence must outpace snapshot expiry
+(``expire_snapshots``). A cursor pointing below the retention floor
+raises; recover by re-bootstrapping consumers from a fresh full export
+(``reset_cursor()`` to 0 — version 0 is the empty create snapshot, so
+the next window is a clean full-table initial load, all inserts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.cdc.apply import apply_batch
+from etl_spark.cdc.state import CommitLog
+from etl_spark.lake.table import LakeTable
+from etl_spark.sources.debezium import parse_debezium, split_rejects, to_debezium_json
+
+_SEG_PREFIX = "seg-"
+
+
+class ChangeFeedExporter:
+    """Publish a :class:`LakeTable`'s change feed as Debezium-envelope
+    JSONL segments under ``out_dir`` — one ``seg-<from>-<to>`` directory
+    per exported version window, plus a ``_cursor.json`` marker (hidden
+    from Spark file listings by the leading underscore)."""
+
+    def __init__(
+        self,
+        table: LakeTable,
+        out_dir: str,
+        *,
+        table_name: str | None = None,
+    ):
+        self.table = table
+        self.out_dir = os.path.abspath(out_dir)
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.table_name = table_name or os.path.basename(table.path)
+
+    # ----------------------------------------------------------- cursor
+    def _cursor_file(self) -> str:
+        return os.path.join(self.out_dir, "_cursor.json")
+
+    def cursor(self) -> int:
+        """Last exported table version (0 = nothing exported yet; version
+        0 is the empty create snapshot, so the first window is the full
+        initial load)."""
+        try:
+            with open(self._cursor_file()) as fh:
+                return int(json.load(fh)["exported_version"])
+        except FileNotFoundError:
+            return 0
+
+    def reset_cursor(self, version: int = 0) -> None:
+        self._advance_cursor(version, force=True)
+
+    def _advance_cursor(self, version: int, force: bool = False) -> None:
+        if not force and version <= self.cursor():
+            return
+        tmp = self._cursor_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"exported_version": version, "updated_at": time.time()}, fh
+            )
+        os.replace(tmp, self._cursor_file())
+
+    def _seg_dir(self, from_v: int, to_v: int) -> str:
+        return os.path.join(
+            self.out_dir, f"{_SEG_PREFIX}{from_v:012d}-{to_v:012d}"
+        )
+
+    # ----------------------------------------------------------- export
+    def export_once(self) -> dict:
+        """Export the window (cursor, current_version] as one segment.
+
+        Returns ``{"skipped": True}`` when the table has no new version.
+        One diff scan + one write per call — no row-count action (text
+        files carry no footer counts; consumers account on apply)."""
+        cur = self.table.current_version()
+        last = self.cursor()
+        if cur is None or cur <= last:
+            return {"skipped": True, "from_version": last, "to_version": last}
+        seg = self._seg_dir(last, cur)
+        if not os.path.exists(seg):
+            snap = self.table.snapshot(cur)
+            payload_cols = [f.name for f in snap.schema.fields]
+            chg = self.table.table_changes(last, cur)
+            dbz_op = (
+                F.when(F.col("_change_type") == "insert", F.lit("c"))
+                .when(F.col("_change_type") == "delete", F.lit("d"))
+                .otherwise(F.lit("u"))
+            )
+            df = (
+                chg.withColumn("_dbz_op", dbz_op)
+                .withColumn("_lsn", F.lit(int(cur)).cast("long"))
+                # envelope event time = commit wall-clock; the payload
+                # carries the table's own time columns untouched, so the
+                # round trip is lossless (ts_ms would truncate sub-ms)
+                .withColumn(
+                    "_ets", F.timestamp_millis(F.lit(int(snap.ts * 1000)))
+                )
+            )
+            js = to_debezium_json(
+                df,
+                payload_cols,
+                lsn_col="_lsn",
+                ts_col="_ets",
+                dbz_op_col="_dbz_op",
+                table_name=self.table_name,
+            )
+            tmp = os.path.join(
+                self.out_dir, f".inprogress-{last:012d}-{cur:012d}"
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+            js.write.mode("overwrite").text(tmp)
+            os.rename(tmp, seg)
+        self._advance_cursor(cur)
+        return {
+            "skipped": False,
+            "from_version": last,
+            "to_version": cur,
+            "segment": seg,
+        }
+
+
+def pending_segments(
+    export_dir: str, commit_log: CommitLog, source: str
+) -> list[tuple[int, int, str]]:
+    """Unapplied ``(from_version, to_version, path)`` windows in ascending
+    version order — driver-side listing of O(#segments) names, no I/O."""
+    out = []
+    for name in sorted(os.listdir(export_dir)):
+        if not name.startswith(_SEG_PREFIX):
+            continue
+        try:
+            from_s, to_s = name[len(_SEG_PREFIX):].split("-")
+            from_v, to_v = int(from_s), int(to_s)
+        except ValueError:
+            continue
+        if not commit_log.is_committed(source, to_v):
+            out.append((from_v, to_v, os.path.join(export_dir, name)))
+    return out
+
+
+def replicate_available(
+    spark: SparkSession,
+    export_dir: str,
+    table: LakeTable,
+    state_dir: str,
+    *,
+    source: str = "cdf-replica",
+    merge_mode: str = "cow",
+    check_rejects: bool = True,
+    payload_schema=None,
+) -> list[dict]:
+    """Apply every pending export segment to ``table``, exactly once.
+
+    Each window is one ``apply_batch`` (commit-log batch id = the
+    window's ``to_version``): parse the envelopes, split malformed lines
+    to ``state_dir/rejects/batch=N``, key-validate, MERGE. Ascending
+    window order makes later windows supersede earlier ones by merge
+    sequence alone. ``check_rejects=False`` drops the per-window rejects
+    count action when the producer is this engine (trusted encode).
+
+    ``payload_schema`` is the PRODUCER's schema when it may have evolved
+    ahead of the replica (columns the parse schema omits are silently
+    dropped by ``from_json``); the replica's MERGE then evolves its own
+    schema on the first window carrying the new column."""
+    commit_log = CommitLog(os.path.join(state_dir, "commits"))
+    schema = payload_schema if payload_schema is not None else table.schema
+    key = table.key
+    stats: list[dict] = []
+    for _from_v, to_v, seg in pending_segments(export_dir, commit_log, source):
+        raw = spark.read.text(seg)
+        # envelope ts aliases to a scratch column: the payload carries the
+        # table's own time columns, so the merge sees them byte-exact
+        parsed = parse_debezium(raw, schema, ts_col="_env_ts")
+        clean, rejects = split_rejects(parsed)
+        if check_rejects:
+            n_bad = rejects.count()
+            if n_bad:
+                rejects.write.mode("overwrite").parquet(
+                    os.path.join(state_dir, "rejects", f"batch={to_v}")
+                )
+        clean = clean.drop("_env_ts")
+        s = apply_batch(
+            spark,
+            clean,
+            table,
+            batch_id=to_v,
+            source=source,
+            commit_log=commit_log,
+            validators=[
+                (
+                    "key_not_null",
+                    F.expr(
+                        " AND ".join(f"{c} IS NOT NULL" for c in key)
+                    ),
+                )
+            ],
+            merge_mode=merge_mode,
+        )
+        stats.append(s)
+    return stats
+
+
+def replicate(
+    spark: SparkSession,
+    src: LakeTable,
+    dst: LakeTable,
+    work_dir: str,
+    *,
+    table_name: str | None = None,
+    merge_mode: str = "cow",
+) -> dict:
+    """One replication tick: export ``src``'s newest window, apply every
+    pending window to ``dst``. Call on a cadence (or after each upstream
+    commit) for continuous primary -> replica chaining; both halves are
+    idempotent, so overlapping ticks and crash replays converge."""
+    exporter = ChangeFeedExporter(
+        src, os.path.join(work_dir, "feed"), table_name=table_name
+    )
+    ex = exporter.export_once()
+    applied = replicate_available(
+        spark,
+        exporter.out_dir,
+        dst,
+        os.path.join(work_dir, "replica-state"),
+        merge_mode=merge_mode,
+        check_rejects=False,
+        payload_schema=src.schema,
+    )
+    return {"export": ex, "applied": applied}

@@ -371,6 +371,60 @@ FROM events
 """
 
 
+def q_change_feed_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC chaining end-to-end (lake.export): the events changelog replays
+    into a PRIMARY lake table in two temporal windows; after each window
+    the primary's change feed is exported as Debezium-envelope JSONL (the
+    engine as a CDC *producer* — bucket-pruned ``table_changes`` diff +
+    ``to_debezium_json`` encode) and applied to a REPLICA through
+    ``parse_debezium`` + exactly-once ``apply_batch``. Returns the
+    replica's converged state, checked against the SAME full-log LWW
+    oracle as ``cdc_apply_final_state`` — the export -> feed -> replay
+    chain must be lossless: deletes, NULL updates, doubles, and
+    microsecond timestamps all survive the JSON wire format."""
+    from etl_spark.lake.export import replicate
+
+    events = _t(spark, sf_dir, "events")
+    chg = events.select(
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_cdf_rep_")
+    primary = LakeTable.create(
+        spark, os.path.join(tmp, "primary"), schema, key=["user_id"],
+        n_buckets=32,
+    )
+    replica = LakeTable.create(
+        spark, os.path.join(tmp, "replica"), schema, key=["user_id"],
+        n_buckets=32,
+    )
+    # split on event time so cross-window per-key order IS (ts, lsn) order
+    cut = F.lit("2024-01-16").cast("timestamp")
+    for window in (chg.filter(F.col("ts") < cut), chg.filter(F.col("ts") >= cut)):
+        replay(spark, window, primary)
+        replicate(spark, primary, replica, os.path.join(tmp, "chain"))
+    return replica.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
 def q_merge_mor_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Guarded merge-on-read (``mode="mor"`` + ``lww_by``): the same
     wrong-order parity split as ``merge_out_of_order``, but every commit
@@ -2233,6 +2287,7 @@ FROM final WHERE value > 50.0
 QUERIES = {
     "cdc_apply_final_state": q_cdc_apply_final_state,
     "cdc_apply_mor": q_cdc_apply_mor,
+    "change_feed_replicate": q_change_feed_replicate,
     "merge_out_of_order": q_merge_out_of_order,
     "merge_mor_out_of_order": q_merge_mor_out_of_order,
     "debezium_roundtrip": q_debezium_roundtrip,
@@ -2308,6 +2363,7 @@ QUERIES = {
 ORACLE_SQL = {
     "cdc_apply_final_state": _ORACLE_CDC_FINAL,
     "cdc_apply_mor": _ORACLE_CDC_FINAL,
+    "change_feed_replicate": _ORACLE_CDC_FINAL,
     "merge_out_of_order": _ORACLE_OOO_MERGE,
     "merge_mor_out_of_order": _ORACLE_OOO_MERGE,
     "debezium_roundtrip": _ORACLE_DEBEZIUM,

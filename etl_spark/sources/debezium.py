@@ -26,6 +26,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Microsecond-precision envelope timestamps. Spark's default JSON
+# timestampFormat truncates to milliseconds, which silently corrupts any
+# payload time column shipped through the feed (the replication round
+# trip must be lossless); Debezium itself ships MicroTimestamp.
+TIMESTAMP_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
 
 def envelope_schema(payload_schema: T.StructType) -> T.StructType:
     """Spark schema of one Debezium envelope for ``payload_schema`` rows.
@@ -73,7 +79,7 @@ def parse_debezium(
     streaming frames (one column projection, no state)."""
     parsed = F.from_json(
         F.col(value_col), envelope_schema(payload_schema),
-        {"mode": "PERMISSIVE"},
+        {"mode": "PERMISSIVE", "timestampFormat": TIMESTAMP_FORMAT},
     )
     p = parsed["payload"]
     image: Column = F.when(p["op"] == "d", p["before"]).otherwise(p["after"])
@@ -143,4 +149,6 @@ def to_debezium_json(
             F.unix_millis(F.col(ts_col)).alias("ts_ms"),
         ).alias("payload"),
     )
-    return df.select(F.to_json(envelope).alias("value"))
+    return df.select(
+        F.to_json(envelope, {"timestampFormat": TIMESTAMP_FORMAT}).alias("value")
+    )

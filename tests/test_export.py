@@ -1,0 +1,186 @@
+"""Change-feed export + replication (lake.export): primary -> Debezium
+JSONL feed -> replica, exactly-once, bit-exact including deletes,
+NULL-setting updates, multi-window ordering, crash-replay, evolution."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.lake import LakeTable
+from etl_spark.lake.export import (
+    ChangeFeedExporter,
+    pending_segments,
+    replicate,
+    replicate_available,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def ts(i: int) -> datetime:
+    # microsecond component proves the payload time column round-trips
+    # losslessly (the envelope's ts_ms alone would truncate to millis)
+    return datetime(2024, 1, 1, 12, i // 60, i % 60, 123456 + i)
+
+
+def rows(ids, tag="a", t0=0):
+    return [(i, f"{tag}{i}", i + 0.1, ts(t0 + (i % 50))) for i in ids]
+
+
+def make_pair(spark, tmp_path):
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), SCHEMA, key=["id"], n_buckets=4
+    )
+    dst = LakeTable.create(
+        spark, str(tmp_path / "dst"), SCHEMA, key=["id"], n_buckets=4
+    )
+    return src, dst
+
+
+def assert_same(src, dst):
+    a = src.read().orderBy("id").toPandas().reset_index(drop=True)
+    b = dst.read().orderBy("id").toPandas().reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_chained_replication_converges(spark, tmp_path):
+    """Full initial export, then an incremental window carrying updates,
+    a non-null -> NULL update, deletes, and inserts: the replica must be
+    bit-exact after each tick, and tick 2 must ship ONLY the diff."""
+    src, dst = make_pair(spark, tmp_path)
+    work = str(tmp_path / "work")
+    src.merge(spark.createDataFrame(rows(range(20)), SCHEMA))
+
+    r1 = replicate(spark, src, dst, work)
+    assert not r1["export"]["skipped"]
+    assert len(r1["applied"]) == 1 and r1["applied"][0]["rows_applied"] == 20
+    assert_same(src, dst)
+
+    # window 2: update 0-4, NULL-out 5's val, delete 6+7, insert 20+21
+    upd = spark.createDataFrame(
+        rows(range(5), tag="b", t0=50)
+        + [(5, None, 5.1, ts(55))]
+        + rows([20, 21], t0=56),
+        SCHEMA,
+    ).withColumn("op", F.lit("U"))
+    dels = spark.createDataFrame(
+        [(6, None, None, ts(57)), (7, None, None, ts(58))], SCHEMA
+    ).withColumn("op", F.lit("D"))
+    src.merge(upd.unionByName(dels), op_col="op")
+
+    r2 = replicate(spark, src, dst, work)
+    assert_same(src, dst)
+    # the incremental window shipped the changed keys only (10), not 20
+    assert r2["applied"][0]["rows_in"] == 10
+    got = {
+        r["id"]: r["val"]
+        for r in dst.read().filter(F.col("id").isin(5, 6, 7, 20)).collect()
+    }
+    assert got == {5: None, 20: "a20"}  # NULL update applied; 6/7 deleted
+
+
+def test_multi_window_ordering_and_exactly_once(spark, tmp_path):
+    """Two windows exported BEFORE any replication apply in ascending
+    version order (later window wins per key); a replay tick applies
+    nothing and leaves the replica version unchanged."""
+    src, dst = make_pair(spark, tmp_path)
+    feed = str(tmp_path / "feed")
+    state = str(tmp_path / "state")
+    ex = ChangeFeedExporter(src, feed, table_name="t")
+
+    src.merge(spark.createDataFrame(rows(range(10)), SCHEMA))
+    assert not ex.export_once()["skipped"]
+    src.merge(
+        spark.createDataFrame(rows(range(5), tag="z", t0=50), SCHEMA)
+    )
+    assert not ex.export_once()["skipped"]
+    assert ex.export_once()["skipped"]  # no new version -> no-op
+
+    stats = replicate_available(spark, feed, dst, state)
+    assert [s["batch_id"] for s in stats] == sorted(s["batch_id"] for s in stats)
+    assert_same(src, dst)
+    vals = {r["id"]: r["val"] for r in dst.read().collect()}
+    assert vals[0] == "z0" and vals[9] == "a9"  # window 2 superseded window 1
+
+    v = dst.current_version()
+    again = replicate_available(spark, feed, dst, state)
+    assert again == [] and dst.current_version() == v
+
+
+def test_export_crash_between_rename_and_cursor(spark, tmp_path):
+    """Crash after the segment rename but before the cursor advance: the
+    re-run finds the segment, advances the cursor, and never encodes the
+    window twice (no duplicate segment, replica unaffected)."""
+    src, dst = make_pair(spark, tmp_path)
+    feed = str(tmp_path / "feed")
+    ex = ChangeFeedExporter(src, feed, table_name="t")
+    src.merge(spark.createDataFrame(rows(range(8)), SCHEMA))
+
+    first = ex.export_once()
+    segs = [n for n in os.listdir(feed) if n.startswith("seg-")]
+    ex.reset_cursor(0)  # cursor lost; segment survived
+    redo = ex.export_once()
+    assert redo["segment"] == first["segment"]
+    assert [n for n in os.listdir(feed) if n.startswith("seg-")] == segs
+    assert ex.cursor() == src.current_version()
+
+    replicate_available(spark, feed, dst, str(tmp_path / "state"))
+    assert_same(src, dst)
+
+
+def test_corrupt_line_dead_letters_clean_rows_apply(spark, tmp_path):
+    """A malformed envelope inside a window lands in the rejects dir;
+    the window's clean rows still apply."""
+    src, dst = make_pair(spark, tmp_path)
+    feed = str(tmp_path / "feed")
+    state = str(tmp_path / "state")
+    ex = ChangeFeedExporter(src, feed, table_name="t")
+    src.merge(spark.createDataFrame(rows(range(6)), SCHEMA))
+    seg = ex.export_once()["segment"]
+    with open(os.path.join(seg, "part-junk.txt"), "w") as fh:
+        fh.write("{not-an-envelope\n")
+
+    stats = replicate_available(spark, feed, dst, state)
+    assert stats[0]["rows_applied"] == 6
+    assert dst.read().count() == 6
+    rejects = spark.read.parquet(
+        os.path.join(state, "rejects", f"batch={stats[0]['batch_id']}")
+    )
+    assert rejects.count() == 1
+
+
+def test_schema_evolution_propagates_through_feed(spark, tmp_path):
+    """A column added on the primary reaches the replica: parse with the
+    producer's schema, the replica MERGE evolves, values land."""
+    src, dst = make_pair(spark, tmp_path)
+    work = str(tmp_path / "work")
+    src.merge(spark.createDataFrame(rows(range(6)), SCHEMA))
+    replicate(spark, src, dst, work)
+
+    evolved = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("lang", T.StringType())]
+    )
+    src.merge(
+        spark.createDataFrame(
+            [(1, "b1", 1.1, ts(50), "en"), (6, "a6", 6.1, ts(51), "fr")],
+            evolved,
+        )
+    )
+    replicate(spark, src, dst, work)
+    assert_same(src, dst)
+    langs = {r["id"]: r["lang"] for r in dst.read().collect()}
+    assert langs[1] == "en" and langs[6] == "fr" and langs[0] is None
