@@ -216,6 +216,83 @@ def run_mor_vs_cow(spark, wal_dir: str, n_batches: int = 8) -> dict:
     return out
 
 
+def run_replication_tick(spark, wal_dir: str, n_ticks: int = 4) -> dict:
+    """Change-feed export -> replica chaining cost in ITS regime: small
+    churn batches against a big primary. Seeds primary AND replica with
+    the full ~440k-key transcript state (bootstrap full-load window,
+    measured separately), then per tick applies ~1/64th-of-conversations
+    churn to the primary and runs one `replicate` tick (bucket-pruned
+    diff -> Debezium JSONL segment -> exactly-once apply). The number
+    that scales is `bytes_per_tick` vs `table_bytes`: a tick ships the
+    diff, never the table."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.apply import replay
+    from etl_spark.cdc.changelog import TRANSCRIPTS_SCHEMA
+    from etl_spark.lake import LakeTable
+    from etl_spark.lake.export import replicate
+    from etl_spark.streaming.stream import discover_wal_schema
+
+    wal = spark.read.schema(discover_wal_schema(spark, wal_dir)).parquet(
+        wal_dir
+    )
+    churn_key = F.pmod(F.xxhash64(F.col("conv_id"), F.lit(7)), F.lit(64))
+    work = tempfile.mkdtemp(prefix="etl_spark_repl_")
+    try:
+        primary = LakeTable.create(
+            spark, os.path.join(work, "p"), TRANSCRIPTS_SCHEMA,
+            key=["conv_id", "turn_idx"], n_buckets=32, bucket_by=["conv_id"],
+        )
+        replica = LakeTable.create(
+            spark, os.path.join(work, "r"), TRANSCRIPTS_SCHEMA,
+            key=["conv_id", "turn_idx"], n_buckets=32, bucket_by=["conv_id"],
+        )
+        replay(spark, wal, primary)
+        chain = os.path.join(work, "chain")
+        t0 = time.time()
+        replicate(spark, primary, replica, chain)  # full-load bootstrap
+        bootstrap_sec = time.time() - t0
+
+        feed = os.path.join(chain, "feed")
+        seg_bytes_before = _dir_bytes(feed)
+        ticks_sec = 0.0
+        for b in range(n_ticks):
+            # churn batch with a REAL payload change (re-replaying the
+            # already-applied events verbatim would diff to an empty
+            # window — LWW is idempotent)
+            batch = (
+                wal.filter(churn_key == b)
+                .withColumn("text", F.concat("text", F.lit(f" rev{b}")))
+                .withColumn("lsn", F.col("lsn") + (b + 1) * 1_000_000_000)
+            )
+            replay(spark, batch, primary)
+            t0 = time.time()  # measure the tick, not the upstream churn
+            replicate(spark, primary, replica, chain)
+            ticks_sec += time.time() - t0
+        return {
+            "n_ticks": n_ticks,
+            "bootstrap_sec": round(bootstrap_sec, 3),
+            "sec": round(ticks_sec, 3),
+            "sec_per_tick": round(ticks_sec / n_ticks, 3),
+            "bytes_per_tick": (_dir_bytes(feed) - seg_bytes_before)
+            // n_ticks,
+            "table_bytes": _dir_bytes(primary.path),
+            "replica_rows": replica.row_count(),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            if os.path.exists(p):
+                total += os.path.getsize(p)
+    return total
+
+
 def run_scd2_apply(spark, sf_dir: str, n_batches: int = 4) -> dict:
     """History-preserving CDC: the events changelog applied in
     ``n_batches`` chronological batches through cdc.scd2.apply_scd2
@@ -642,6 +719,8 @@ def main() -> None:
         mor = run_mor_vs_cow(spark, wal_dir, n_batches=8)
         queries["cow_churn_8batch"] = mor["cow"]["sec"]
         queries["mor_churn_8batch"] = mor["mor"]["sec"]
+        repl = run_replication_tick(spark, wal_dir, n_ticks=4)
+        queries["cdf_replicate_tick"] = repl["sec_per_tick"]
         skew = run_skew_replay(spark, work_dir)
         queries["skew_salted_replay"] = skew["replay_sec"]
         derived = run_derived_refresh(spark, sf_dir)
@@ -662,6 +741,7 @@ def main() -> None:
             "incremental_dedup": inc,
             "scd2_apply": scd2,
             "mor_vs_cow": mor,
+            "replication": repl,
             "skew": skew,
             "derived": derived,
         }

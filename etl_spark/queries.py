@@ -40,10 +40,14 @@ aggregate over the final state. The approximate-search family follows
 the full-recall-config pattern throughout: each production config stays
 rows-only while a degenerate config that MUST equal the exact answer
 (LSH bits=0, IVF probing all lists, winnowing window=1, the verified
-MinHash band config, the blocked near-dup at full-recall params) is
-oracle-checked bit-exactly — so the bucketing/re-rank machinery is
-proven to add no error beyond the documented approximation. Current
-inventory: 72 entries — 62 oracle, 10 rows-only.
+MinHash band config — one-shot AND the two-batch incremental index —
+and the blocked near-dup at full-recall params) is oracle-checked
+bit-exactly — so the bucketing/re-rank machinery is proven to add no
+error beyond the documented approximation. The change-feed export
+chain (`change_feed_replicate`: primary -> Debezium JSONL feed ->
+replica, two windows) is checked against the same full-log LWW oracle
+as the flagship. Current inventory: 74 entries — 64 oracle, 10
+rows-only.
 """
 
 from __future__ import annotations
@@ -1599,6 +1603,60 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_incremental_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest path at a FULL-RECALL band config, bit-exact vs
+    the exact-Jaccard DuckDB oracle (same evidence pattern as
+    ``dedup_minhash_lsh_verified``): n_bands=64/rows_per_band=1 makes a
+    pair a candidate when ANY of the 64 seed-deterministic minhash values
+    agree (P[miss] <= (1-j)^64 at j >= 0.5), and every pair is either
+    within one ingest batch or across them — so the union of both
+    batches' candidates, exact-verified against the corpus text, must
+    reproduce the one-shot exact pair set EXACTLY. Proves the persisted
+    index + broadcast probe loses nothing across batch boundaries."""
+    from etl_spark.operators.dedup import with_shingle_hashes
+    from etl_spark.operators.incremental_dedup import MinHashIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    idx = MinHashIndex(
+        spark, os.path.join(tempfile.mkdtemp("etl_idx_v_"), "idx"),
+        n_hashes=64, n_bands=64,
+    )
+    first = idx.ingest(docs.filter(F.col("doc_id") <= half))
+    second = idx.ingest(docs.filter(F.col("doc_id") > half))
+    cand = (
+        first.unionByName(second)
+        .select(
+            F.least("new_id", "match_id").alias("id_a"),
+            F.greatest("new_id", "match_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    # exact verify on candidates only — identical expression family to
+    # ngram_jaccard_pairs (distinct hashed 3-shingles, intersect/union)
+    sets_ = with_shingle_hashes(docs, "text", 3, "__sh").select(
+        F.col("doc_id").cast("long").alias("_id"), "__sh"
+    )
+    out = (
+        cand.join(sets_.select(F.col("_id").alias("id_a"),
+                               F.col("__sh").alias("_sa")), on="id_a")
+        .join(sets_.select(F.col("_id").alias("id_b"),
+                           F.col("__sh").alias("_sb")), on="id_b")
+        .withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("_i") / (F.size("_sa") + F.size("_sb") - F.col("_i")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    out = out.persist()
+    out.count()
+    first.unpersist()
+    second.unpersist()
+    return out
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style winnowing overlap pairs (rows-only: fingerprints are
     engine-xxhash64 window minima DuckDB cannot reproduce; the winnowing
@@ -2343,6 +2401,7 @@ QUERIES = {
     "winnow_overlap": q_winnow_overlap,
     "winnow_overlap_full": q_winnow_overlap_full,
     "incremental_dedup": q_incremental_dedup,
+    "incremental_dedup_verified": q_incremental_dedup_verified,
     "multimodal_meta": q_multimodal_meta,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
@@ -2392,6 +2451,7 @@ ORACLE_SQL = {
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": _ORACLE_JACCARD,
     "dedup_minhash_lsh_verified": _ORACLE_JACCARD,
+    "incremental_dedup_verified": _ORACLE_JACCARD,
     "dedup_clusters": _ORACLE_CLUSTERS,
     "dedup_survivors": _ORACLE_SURVIVORS,
     "quality_filter": _ORACLE_QUALITY_FILTER,

@@ -154,6 +154,14 @@ class CdcStream:
     # the table by < N batches but can never double-apply. 0 disables.
     views: list = field(default_factory=list)
     refresh_views_every: int = 1
+    # Outbound change-feed publication (lake.export): every N applied
+    # batches, export the table's newest change window as Debezium-envelope
+    # JSONL segments under `replicate_to` (crash-safe cursor, idempotent —
+    # downstream replicas tail with lake.export.replicate_available).
+    # Runs BEFORE the maintenance cadence so the export cursor always
+    # advances ahead of expire_snapshots' retention floor. None disables.
+    replicate_to: str | None = None
+    replicate_every: int = 1
     query: object = field(default=None, init=False)
 
     def __post_init__(self) -> None:
@@ -166,6 +174,11 @@ class CdcStream:
             os.path.join(self.state_dir, "dead_letter") if self.dead_letter else None
         )
         self.batch_stats: list[dict] = []
+        self.exporter = None
+        if self.replicate_to:
+            from etl_spark.lake.export import ChangeFeedExporter
+
+            self.exporter = ChangeFeedExporter(self.table, self.replicate_to)
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         stats = retry_with_backoff(
@@ -221,6 +234,15 @@ class CdcStream:
                 retry_with_backoff(v.refresh, attempts=self.retry_attempts)
                 for v in self.views
             ]
+        if (
+            self.exporter is not None
+            and self.replicate_every
+            and not stats.get("skipped")
+            and applied % self.replicate_every == 0
+        ):
+            stats["export"] = retry_with_backoff(
+                self.exporter.export_once, attempts=self.retry_attempts
+            )
         cadence_due = (
             self.compact_every
             and not stats.get("skipped")

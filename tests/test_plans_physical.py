@@ -129,6 +129,8 @@ def test_no_cartesian_product_in_query_plans(spark):
         "multimodal_meta", "merge_out_of_order",
         "derived_agg_incremental", "derived_minmax_rescan",
         "derived_row_view",
+        # two-table replay + export/apply chain at plan-construction time
+        "change_feed_replicate",
     }
     python_ok = {
         # Arrow-batched numpy stages, by design (never per-row Python)
@@ -136,8 +138,8 @@ def test_no_cartesian_product_in_query_plans(spark):
         "similarity_lsh_full", "similarity_ivf_full", "embedding_neardup",
         "embedding_neardup_blocked", "embedding_neardup_blocked_hi",
         "dedup_simhash", "dedup_minhash_lsh", "dedup_minhash_lsh_verified",
-        "incremental_dedup", "embedding_clusters",
-        "embedding_clusters_fixed",
+        "incremental_dedup", "incremental_dedup_verified",
+        "embedding_clusters", "embedding_clusters_fixed",
     }
     sf = "/root/testdata/sf0.001"
     for name, fn in QUERIES.items():
