@@ -244,6 +244,42 @@ def unigram_lm_score(
     )
 
 
+def ordered_assembly(
+    df: DataFrame,
+    key: list[str],
+    order_by: list[str],
+    line: Column,
+    *,
+    sep: str = "\n",
+    out_col: str = "assembled",
+) -> DataFrame:
+    """Assemble one deterministic document per key from its rows in
+    ``order_by`` order — the transcript-reassembly primitive (turns ->
+    conversation) and the direct check of the north-rule invariant
+    "per-turn text equality under STABLE turn ordering": a shuffled
+    ``collect_list`` alone is arrival-ordered and non-deterministic, so
+    the order columns ride inside the collected struct and ``array_sort``
+    restores the total order after the shuffle, making the output a pure
+    function of the data regardless of partitioning/parallelism.
+
+    One hash aggregation (map-side partial collect), no window. The
+    ``transform`` extraction is CodegenFallback (interpreted per element
+    — see CLAUDE.md) but does one field access per row, dwarfed by the
+    string concat that already ran codegen BEFORE the aggregation. Group
+    sizes are conversation-sized; for degenerate million-turn keys, cap
+    upstream.
+    """
+    skey = [F.col(c) for c in order_by]
+    packed = F.array_sort(
+        F.collect_list(F.struct(*skey, line.alias("__line")))
+    )
+    return df.groupBy(*key).agg(
+        F.array_join(
+            F.transform(packed, lambda x: x["__line"]), sep
+        ).alias(out_col)
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """64-bit document fingerprint of normalized content (rolling-hash
     analogue): xxhash64 over the whitespace-normalized, lowercased text."""

@@ -157,12 +157,22 @@ class ChangeFeedExporter:
                 dbz_op_col="_dbz_op",
                 table_name=self.table_name,
             )
+            # writer-unique temp: two exporters racing on the same window
+            # never share a staging dir; the loser's rename finds the
+            # segment already present (identical content — same snapshot
+            # diff) and discards its copy
             tmp = os.path.join(
-                self.out_dir, f".inprogress-{last:012d}-{cur:012d}"
+                self.out_dir,
+                f".inprogress-{last:012d}-{cur:012d}-{os.getpid()}",
             )
             shutil.rmtree(tmp, ignore_errors=True)
             js.write.mode("overwrite").text(tmp)
-            os.rename(tmp, seg)
+            try:
+                os.rename(tmp, seg)
+            except OSError:
+                if not os.path.exists(seg):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
         self._advance_cursor(cur)
         return {
             "skipped": False,
@@ -176,9 +186,15 @@ def pending_segments(
     export_dir: str, commit_log: CommitLog, source: str
 ) -> list[tuple[int, int, str]]:
     """Unapplied ``(from_version, to_version, path)`` windows in ascending
-    version order — driver-side listing of O(#segments) names, no I/O."""
+    ``(to_version, from_version)`` order — driver-side listing of
+    O(#segments) names, no I/O. The tie rule matters after a
+    ``reset_cursor(0)`` re-bootstrap: the full-load window ``(0, v)``
+    shares its ``to_version`` (= commit-log batch id) with the last
+    incremental window ``(v-1, v)``; applying the WIDER window first
+    makes the narrow one a committed no-op, so a fresh consumer gets the
+    complete state and an up-to-date one skips both."""
     out = []
-    for name in sorted(os.listdir(export_dir)):
+    for name in os.listdir(export_dir):
         if not name.startswith(_SEG_PREFIX):
             continue
         try:
@@ -188,7 +204,71 @@ def pending_segments(
             continue
         if not commit_log.is_committed(source, to_v):
             out.append((from_v, to_v, os.path.join(export_dir, name)))
-    return out
+    return sorted(out, key=lambda t: (t[1], t[0]))
+
+
+def applied_through(commit_log: CommitLog, source: str = "cdf-replica") -> int:
+    """Highest contiguously-applied ``to_version`` for one consumer — the
+    version every segment at or below which it has durably merged. Used
+    as the retention floor for ``prune_feed`` (take the MIN across all
+    consumers' commit logs before pruning a shared feed)."""
+    applied = [
+        int(n.split("-")[-1].split(".")[0])
+        for n in os.listdir(commit_log.path)
+        if n.startswith(f"commit-{source.replace('/', '_')}-")
+    ]
+    # windows are produced by one monotonic cursor and applied in
+    # ascending order, so the max commit IS the contiguous high point
+    return max(applied, default=0)
+
+
+def prune_feed(
+    export_dir: str,
+    applied_version: int,
+    *,
+    archive_dir: str | None = None,
+    keep_last: int = 1,
+    dry_run: bool = False,
+) -> dict:
+    """Retire feed segments every consumer has applied: a segment
+    ``seg-<from>-<to>`` is retirable when ``to <= applied_version`` (pass
+    the MIN of ``applied_through(...)`` over all consumers). ``keep_last``
+    newest retirable segments stay — a consumer bootstrapping mid-stream
+    can still see where the feed currently ends. Driver-side renames
+    only; the producer's cursor is untouched, so export continuity is
+    unaffected. A consumer that lost its state CANNOT replay pruned
+    windows — re-bootstrap it via ``ChangeFeedExporter.reset_cursor(0)``
+    (full-load window), the same recovery as snapshot-expiry underrun."""
+    segs = []
+    for name in sorted(os.listdir(export_dir)):
+        if not name.startswith(_SEG_PREFIX):
+            continue
+        try:
+            _from_s, to_s = name[len(_SEG_PREFIX):].split("-")
+            segs.append((int(to_s), name))
+        except ValueError:
+            continue
+    segs.sort()
+    retirable = [
+        (v, n) for v, n in segs[: max(0, len(segs) - keep_last)]
+        if v <= applied_version
+    ]
+    pruned = []
+    for _v, name in retirable:
+        src = os.path.join(export_dir, name)
+        if not dry_run:
+            if archive_dir:
+                os.makedirs(archive_dir, exist_ok=True)
+                os.replace(src, os.path.join(archive_dir, name))
+            else:
+                shutil.rmtree(src)
+        pruned.append(name)
+    return {
+        "pruned_segments": len(pruned),
+        "pruned_names": pruned,
+        "kept_segments": len(segs) - len(pruned),
+        "dry_run": dry_run,
+    }
 
 
 def replicate_available(

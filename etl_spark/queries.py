@@ -46,7 +46,7 @@ bit-exactly — so the bucketing/re-rank machinery is proven to add no
 error beyond the documented approximation. The change-feed export
 chain (`change_feed_replicate`: primary -> Debezium JSONL feed ->
 replica, two windows) is checked against the same full-log LWW oracle
-as the flagship. Current inventory: 74 entries — 64 oracle, 10
+as the flagship. Current inventory: 75 entries — 65 oracle, 10
 rows-only.
 """
 
@@ -63,6 +63,7 @@ from etl_spark.cdc.apply import dedup_last_writer_wins, replay
 from etl_spark.cdc.state import filter_by_watermarks
 from etl_spark.functions.text import (
     lang_id,
+    ordered_assembly,
     quality_score,
     slug,
     token_count,
@@ -2104,6 +2105,34 @@ def q_streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Transcript / quality extensions (context windows, repetition filters)
 # --------------------------------------------------------------------------
 
+def q_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript reassembly (turns -> one document per conversation)
+    expressed over the events stream: per user, every event rendered as
+    one line and concatenated in STABLE (ts, event_id) order. This is
+    the north-rule invariant ("per-turn text equality under stable turn
+    ordering") as a direct oracle check — the order columns ride inside
+    the collected struct and ``array_sort`` restores the total order
+    after the shuffle, so the assembled string is a pure function of the
+    data at any parallelism; DuckDB recomputes it sequentially with
+    ``string_agg(... ORDER BY)``."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat_ws(
+        "#", F.col("event_type"), F.col("event_id").cast("string")
+    )
+    return ordered_assembly(
+        ev, ["user_id"], ["ts", "event_id"], line, sep="|",
+        out_col="timeline",
+    ).select("user_id", "timeline")
+
+
+_ORACLE_ASSEMBLY = """
+SELECT user_id,
+       string_agg(event_type || '#' || CAST(event_id AS VARCHAR), '|'
+                  ORDER BY ts, event_id) AS timeline
+FROM events GROUP BY user_id
+"""
+
+
 def q_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pair extraction primitive: per event, the concatenated
     trailing context (previous 3 event_types per user in event-time
@@ -2416,6 +2445,7 @@ QUERIES = {
     "derived_minmax_rescan": q_derived_minmax_rescan,
     "derived_row_view": q_derived_row_view,
     "context_window": q_context_window,
+    "conversation_assembly": q_conversation_assembly,
     "repetition_signals": q_repetition_signals,
 }
 
@@ -2483,5 +2513,6 @@ ORACLE_SQL = {
     "derived_minmax_rescan": _ORACLE_DERIVED_MINMAX,
     "derived_row_view": _ORACLE_DERIVED_ROW,
     "context_window": _ORACLE_CONTEXT,
+    "conversation_assembly": _ORACLE_ASSEMBLY,
     "repetition_signals": _ORACLE_REPETITION,
 }

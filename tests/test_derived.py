@@ -598,3 +598,60 @@ def test_pre_image_change_feed(spark, tmp_path):
         (1, "delete", "g1", 1.0),
         (99, "insert", "g9", 1.0),
     ]
+
+
+def test_rescan_view_assembles_transcripts(spark, tmp_path):
+    """Conversation-assembly as a rescan-maintained view: per conv, turns
+    concatenated in stable turn order (the north-rule text-equality
+    invariant as a VIEW). Churn — edited turn, appended turn, deleted
+    turn, whole conversation deleted — refreshes only affected convs and
+    must equal a full recompute over the final source."""
+    schema = T.StructType(
+        [
+            T.StructField("conv", T.StringType()),
+            T.StructField("turn", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = LakeTable.create(
+        spark, str(tmp_path / "tsrc"), schema, key=["conv", "turn"],
+        n_buckets=4, bucket_by=["conv"],
+    )
+    rows = [
+        (f"c{c}", t, f"c{c} turn {t}") for c in range(6) for t in range(4)
+    ]
+    src.merge(
+        spark.createDataFrame(rows, schema).withColumn("op", F.lit("U")),
+        op_col="op",
+    )
+    ASSEMBLY = (
+        "array_join(transform(array_sort(collect_list(struct(turn, text))),"
+        " x -> x.text), '\n')"
+    )
+    view = IncrementalAggView(
+        spark, str(tmp_path / "tview"), src, group_by=["conv"],
+        aggs={"n_turns": ("count", "*"), "transcript": ("expr", ASSEMBLY)},
+    )
+    assert view.strategy == "rescan"
+    view.refresh()
+
+    ops = T.StructType(list(schema.fields) + [T.StructField("op", T.StringType())])
+    churn_rows = [
+        ("c0", 2, "c0 turn 2 EDITED", "U"),
+        ("c1", 4, "c1 turn 4 appended", "U"),
+        ("c2", 0, None, "D"),
+    ] + [("c3", t, None, "D") for t in range(4)]
+    src.merge(spark.createDataFrame(churn_rows, ops), op_col="op")
+    view.refresh()
+
+    got = view.read().orderBy("conv").toPandas().reset_index(drop=True)
+    exp = (
+        src.read().groupBy("conv")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+             F.expr(ASSEMBLY).alias("transcript"))
+        .orderBy("conv").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+    assert "c3" not in set(got["conv"])                    # conv fully gone
+    row = got[got["conv"] == "c0"]["transcript"].iloc[0]
+    assert "EDITED" in row and row.startswith("c0 turn 0")  # stable order

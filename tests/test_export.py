@@ -14,7 +14,9 @@ from pyspark.sql import types as T
 from etl_spark.lake import LakeTable
 from etl_spark.lake.export import (
     ChangeFeedExporter,
+    applied_through,
     pending_segments,
+    prune_feed,
     replicate,
     replicate_available,
 )
@@ -161,6 +163,74 @@ def test_corrupt_line_dead_letters_clean_rows_apply(spark, tmp_path):
         os.path.join(state, "rejects", f"batch={stats[0]['batch_id']}")
     )
     assert rejects.count() == 1
+
+
+def test_feed_retention_floor_and_rebootstrap(spark, tmp_path):
+    """Feed segments every consumer has applied retire (keep_last newest
+    stays); export/apply continue across the prune; a late consumer that
+    cannot replay pruned windows recovers via a reset_cursor(0) full
+    reload."""
+    from etl_spark.cdc.state import CommitLog
+
+    src, dst = make_pair(spark, tmp_path)
+    feed = str(tmp_path / "feed")
+    state = str(tmp_path / "state")
+    ex = ChangeFeedExporter(src, feed, table_name="t")
+    for tag in ("a", "b", "c"):
+        src.merge(spark.createDataFrame(rows(range(8), tag=tag), SCHEMA))
+        ex.export_once()
+    replicate_available(spark, feed, dst, state)
+    assert_same(src, dst)
+
+    log = CommitLog(os.path.join(state, "commits"))
+    floor = applied_through(log)
+    assert floor == src.current_version()
+    res = prune_feed(feed, floor, archive_dir=str(tmp_path / "cold"))
+    assert res["pruned_segments"] == 2 and res["kept_segments"] == 1
+
+    # the chain keeps working across the prune
+    src.merge(spark.createDataFrame(rows(range(4), tag="d", t0=60), SCHEMA))
+    ex.export_once()
+    replicate_available(spark, feed, dst, state)
+    assert_same(src, dst)
+
+    # a fresh consumer can't replay the pruned prefix -> re-bootstrap:
+    # cursor reset publishes a full-load window it CAN apply
+    dst2 = LakeTable.create(
+        spark, str(tmp_path / "dst2"), SCHEMA, key=["id"], n_buckets=4
+    )
+    ex.reset_cursor(0)
+    ex.export_once()
+    replicate_available(
+        spark, feed, dst2, str(tmp_path / "state2"), source="replica2"
+    )
+    assert_same(src, dst2)
+
+
+def test_two_exporters_share_cursor_without_double_encode(spark, tmp_path):
+    """Two exporter instances over one feed dir (crashed-and-restarted
+    publisher, or an HA pair): the second sees the first's cursor or its
+    already-renamed segment — one segment per window, never two."""
+    src, dst = make_pair(spark, tmp_path)
+    feed = str(tmp_path / "feed")
+    ex1 = ChangeFeedExporter(src, feed, table_name="t")
+    ex2 = ChangeFeedExporter(src, feed, table_name="t")
+
+    src.merge(spark.createDataFrame(rows(range(6)), SCHEMA))
+    r1 = ex1.export_once()
+    assert not r1["skipped"]
+    assert ex2.export_once()["skipped"]  # cursor already advanced
+
+    # simulate the race where ex2 lost the cursor but the segment exists
+    ex2.reset_cursor(0)
+    r2 = ex2.export_once()
+    assert r2["segment"] == r1["segment"]
+    segs = [n for n in os.listdir(feed) if n.startswith("seg-")]
+    assert len(segs) == 1
+    assert not [n for n in os.listdir(feed) if n.startswith(".inprogress")]
+
+    replicate_available(spark, feed, dst, str(tmp_path / "state"))
+    assert_same(src, dst)
 
 
 def test_schema_evolution_propagates_through_feed(spark, tmp_path):

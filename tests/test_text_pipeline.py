@@ -177,3 +177,37 @@ def test_context_window_first_rows_null(spark):
     assert got[("u1", 2)] == "a"
     assert got[("u1", 4)] == "b | c"       # trailing window of 2, in order
     assert got[("u2", 1)] is None          # partitions are independent
+
+
+class TestOrderedAssembly:
+    def test_stable_under_partitioning_and_matches_pandas(self, spark):
+        """The assembled document is a pure function of the data: any
+        repartitioning yields byte-identical output, equal to a
+        sequential pandas reference."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from etl_spark.functions.text import ordered_assembly
+
+        rows = [
+            (f"c{c}", t, f"line-{c}-{t}")
+            for c in range(10) for t in range(12)
+        ]
+        random.Random(7).shuffle(rows)
+        df = spark.createDataFrame(rows, ["conv", "turn", "text"])
+
+        def run(frame):
+            out = ordered_assembly(
+                frame, ["conv"], ["turn"], F.col("text"), sep="\n"
+            )
+            return {r["conv"]: r["assembled"] for r in out.collect()}
+
+        a = run(df.repartition(7, "turn"))   # order-hostile partitioning
+        b = run(df.coalesce(1))
+        assert a == b
+        exp = {
+            f"c{c}": "\n".join(f"line-{c}-{t}" for t in range(12))
+            for c in range(10)
+        }
+        assert a == exp
