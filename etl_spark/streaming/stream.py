@@ -127,6 +127,15 @@ class CdcStream:
     # compaction (tight parquet row-group stats for time-range reads of
     # the ingest table); None keeps arrival order
     compact_sort_by: list[str] | None = None
+    # Growth-aware bucket evolution: when live rows per bucket (manifest
+    # sums, zero I/O) exceed this, DOUBLE the bucket count until back
+    # under (LakeTable.rebucket, one atomic commit). Doubling makes the
+    # rewrites amortized O(1) per row — each row is rewritten at most
+    # ~2x across ALL doublings (the dynamic-array argument), so a table
+    # that grows 1000x under a create-time bucket count never lets the
+    # copy-on-write unit (one bucket) outgrow executor memory. Checked
+    # AFTER compaction so the count reflects folded state. 0 disables.
+    rebucket_when_bucket_rows: int = 0
     # Backlog-aware compaction for merge_mode="mor": fold the delta/
     # equality-delete backlog once its ROW COUNT (manifest footer sums,
     # zero I/O) reaches this threshold. Complements compact_every's
@@ -266,6 +275,18 @@ class CdcStream:
             self.table.compact(sort_by=self.compact_sort_by)
             if self.expire_keep_last:
                 self.table.expire_snapshots(keep_last=self.expire_keep_last)
+        if self.rebucket_when_bucket_rows and not stats.get("skipped"):
+            snap = self.table.snapshot()
+            total, n = snap.total_rows, snap.n_buckets
+            if total > self.rebucket_when_bucket_rows * n:
+                new_n = n * 2
+                while total > self.rebucket_when_bucket_rows * new_n:
+                    new_n *= 2
+                retry_with_backoff(
+                    lambda: self.table.rebucket(new_n),
+                    attempts=self.retry_attempts,
+                )
+                stats["rebucketed"] = {"from": n, "to": new_n, "rows": total}
 
     def _dedup_ingest(self, batch_df: DataFrame, batch_id: int) -> int:
         """Probe + extend the persisted near-dup index with this batch's

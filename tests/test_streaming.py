@@ -639,3 +639,42 @@ def test_stream_mor_without_compaction_converges(spark, tmp_path):
     early = {f["path"] for f in table.snapshot(first_v).files}
     final = {f["path"] for f in table.snapshot().files}
     assert early <= final
+
+
+def test_stream_rebuckets_as_table_grows(spark, tmp_path):
+    """Growth-aware bucket evolution: with a tiny rows-per-bucket target
+    the stream must DOUBLE the bucket count mid-replay (one atomic
+    rebucket commit), keep converging bit-exact, and leave point lookups
+    and resume intact under the evolved layout."""
+    pdf = generate_changelog(SPEC)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+    table = LakeTable.create(
+        spark, str(tmp_path / "transcripts"), TRANSCRIPTS_SCHEMA,
+        key=["conv_id", "turn_idx"], n_buckets=2, bucket_by=["conv_id"],
+    )
+    stream = CdcStream(
+        spark, wal, table, str(tmp_path / "state"),
+        max_files_per_trigger=3, rebucket_when_bucket_rows=40,
+    )
+    stats = stream.run_to_completion()
+    grown = [s["rebucketed"] for s in stats if "rebucketed" in s]
+    assert grown, "no rebucket happened despite growth past the target"
+    final = table.snapshot()
+    assert final.n_buckets > 2
+    assert final.total_rows <= 40 * final.n_buckets
+    assert_converged(table, pdf)
+
+    # point lookup goes through the EVOLVED bucket layout
+    exp = expected_final_state(pdf)
+    conv = exp["conv_id"].iloc[0]
+    got = table.read_for_keys([conv]).toPandas()
+    assert len(got) == int((exp["conv_id"] == conv).sum())
+
+    # resume after evolution: nothing reprocessed
+    s2 = CdcStream(spark, wal, table, str(tmp_path / "state"))
+    s2.run_to_completion()
+    assert sum(
+        s["rows_in"] for s in s2.batch_stats if not s.get("skipped")
+    ) == 0
+    assert_converged(table, pdf)
