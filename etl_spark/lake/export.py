@@ -42,12 +42,15 @@ order alone — consumers need no cross-window LWW column. The envelope
 commit wall-clock, so Debezium-speaking consumers that DO sort by
 (lsn) get the same total order.
 
-Retention coupling: ``table_changes(from, to)`` needs BOTH snapshots'
-manifests, so the export cadence must outpace snapshot expiry
-(``expire_snapshots``). A cursor pointing below the retention floor
-raises; recover by re-bootstrapping consumers from a fresh full export
-(``reset_cursor()`` to 0 — version 0 is the empty create snapshot, so
-the next window is a clean full-table initial load, all inserts).
+Retention coupling: an incremental window needs BOTH snapshots'
+manifests (``table_changes``), so the export cadence must outpace
+snapshot expiry (``expire_snapshots``). A cursor pointing below the
+retention floor raises with the recovery spelled out: ``reset_cursor(0)``
+— a cursor at 0 exports the CURRENT snapshot directly as an all-inserts
+full-load window (no diff, no dependence on retained history), valid at
+any retention state. Full loads are upsert-only: they re-bootstrap
+FRESH consumers exactly; a stale replica that may have missed deletes
+in the pruned gap should be truncated (or recreated) first.
 """
 
 from __future__ import annotations
@@ -133,12 +136,28 @@ class ChangeFeedExporter:
         if not os.path.exists(seg):
             snap = self.table.snapshot(cur)
             payload_cols = [f.name for f in snap.schema.fields]
-            chg = self.table.table_changes(last, cur)
-            dbz_op = (
-                F.when(F.col("_change_type") == "insert", F.lit("c"))
-                .when(F.col("_change_type") == "delete", F.lit("d"))
-                .otherwise(F.lit("u"))
-            )
+            if last == 0:
+                # full-load window: read the current snapshot directly as
+                # all-inserts — no diff against the (possibly expired)
+                # empty create snapshot, and no join. This is what makes
+                # reset_cursor(0) a valid recovery at ANY retention state.
+                chg = self.table.read(version=cur)
+                dbz_op = F.lit("c")
+            else:
+                try:
+                    chg = self.table.table_changes(last, cur)
+                except FileNotFoundError as e:
+                    raise RuntimeError(
+                        f"export cursor {last} is below the retention "
+                        f"floor (snapshot expired): {e}. Re-bootstrap "
+                        "consumers with reset_cursor(0) — the next window "
+                        "is a full-table initial load."
+                    ) from e
+                dbz_op = (
+                    F.when(F.col("_change_type") == "insert", F.lit("c"))
+                    .when(F.col("_change_type") == "delete", F.lit("d"))
+                    .otherwise(F.lit("u"))
+                )
             df = (
                 chg.withColumn("_dbz_op", dbz_op)
                 .withColumn("_lsn", F.lit(int(cur)).cast("long"))

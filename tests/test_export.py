@@ -254,3 +254,38 @@ def test_schema_evolution_propagates_through_feed(spark, tmp_path):
     assert_same(src, dst)
     langs = {r["id"]: r["lang"] for r in dst.read().collect()}
     assert langs[1] == "en" and langs[6] == "fr" and langs[0] is None
+
+
+def test_export_survives_snapshot_expiry_with_rebootstrap(spark, tmp_path):
+    """Snapshot expiry under a lagging export cursor: the next export
+    raises with the recovery spelled out; reset_cursor(0) publishes a
+    full-load window that needs NO retained history, and both a current
+    and a fresh consumer converge from it."""
+    import pytest
+
+    src, dst = make_pair(spark, tmp_path)
+    feed = str(tmp_path / "feed")
+    ex = ChangeFeedExporter(src, feed, table_name="t")
+    src.merge(spark.createDataFrame(rows(range(6)), SCHEMA))
+    ex.export_once()
+    replicate_available(spark, feed, dst, str(tmp_path / "state"))
+
+    src.merge(spark.createDataFrame(rows(range(3), tag="x", t0=50), SCHEMA))
+    src.merge(spark.createDataFrame(rows([6, 7], tag="y", t0=55), SCHEMA))
+    src.expire_snapshots(keep_last=1)  # cursor's snapshot is now gone
+
+    with pytest.raises(RuntimeError, match="reset_cursor"):
+        ex.export_once()
+
+    ex.reset_cursor(0)
+    assert not ex.export_once()["skipped"]  # full load, no history needed
+
+    # current consumer catches up through the full-load window
+    replicate_available(spark, feed, dst, str(tmp_path / "state"))
+    assert_same(src, dst)
+    # fresh consumer bootstraps from it alone
+    dst2 = LakeTable.create(
+        spark, str(tmp_path / "dst2"), SCHEMA, key=["id"], n_buckets=4
+    )
+    replicate_available(spark, feed, dst2, str(tmp_path / "state2"))
+    assert_same(src, dst2)
