@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk",
     "similarity_ivf",
+    "similarity_pq",
     "embedding_neardup",
     "embedding_neardup_blocked_hi",
     "text_stats",

@@ -467,6 +467,270 @@ def ivf_topk(
     )
 
 
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_centroids: int = 256,
+    sample_target: int = 50_000,
+    kmeans_iters: int = 10,
+    seed: int = 7,
+    n_rows: int | None = None,
+):
+    """Product-quantization codebooks as an (m, k, dim/m) float64 array.
+
+    The 10^10-vector MEMORY path: PQ stores each unit vector as ``m``
+    uint8 centroid ids (8-16 bytes) instead of dim floats (hundreds) —
+    the corpus-resident footprint drops ~50-100x, which is what makes an
+    exhaustive asymmetric-distance scan feasible where raw vectors no
+    longer fit the cluster. Training mirrors ``ivf_train_centroids``:
+    deterministic hash sample -> unit-normalize -> per-subspace L2 Lloyd
+    (init = splitmix64-shuffled sample rows, empty clusters re-seeded
+    from the worst-quantized point). k is clamped to the sample size —
+    at k >= distinct subvectors the quantizer is lossless on that data
+    (the oracle hook for the `_full` config)."""
+    import numpy as np
+
+    n = corpus.count() if n_rows is None else n_rows
+    mod = max(1, n // max(m * n_centroids, min(sample_target, n)))
+    sample = (
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+        .collect()
+    )
+    S = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in sample])
+    dim = S.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    norms = np.linalg.norm(S, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    S = S / norms
+    k = min(n_centroids, len(S))
+    dsub = dim // m
+    order = np.argsort([_splitmix64_np(seed + i) for i in range(len(S))])
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for s in range(m):
+        X = S[:, s * dsub:(s + 1) * dsub]
+        C = X[order[:k]].copy()
+        for _ in range(kmeans_iters):
+            # argmin ||x-c||^2 == argmax (x.c - ||c||^2/2)
+            scores = X @ C.T - 0.5 * (C * C).sum(axis=1)
+            assign = np.argmax(scores, axis=1)
+            worst = np.argmin(np.max(scores, axis=1))
+            for j in range(k):
+                members = X[assign == j]
+                C[j] = members.mean(axis=0) if len(members) else X[worst]
+        books[s] = C
+    return books
+
+
+def _pq_code_dtype(k: int):
+    """uint8 for the standard <=256-centroid subquantizer, uint16 beyond
+    (the lossless `_full` config trains one centroid per corpus row) —
+    the SAME rule must pick the dtype on encode and scan, so both derive
+    it from the codebook shape."""
+    import numpy as np
+
+    if k > 65536:
+        raise ValueError(f"n_centroids {k} exceeds uint16 code range")
+    return np.uint8 if k <= 256 else np.uint16
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """(id, code) with code = the m centroid ids (uint8; uint16 when the
+    codebook exceeds 256 entries) as a BINARY column
+    — the persistable compressed index (write it to a lake table /
+    parquet; ``pq_topk(codes=...)`` scans it instead of the raw
+    vectors). One numpy pass per Arrow batch, codebooks in the closure."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    B = codebooks
+    m, _k, dsub = B.shape
+    dtype = _pq_code_dtype(_k)
+    id_field = corpus.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField(code_col, T.BinaryType()),
+        ]
+    )
+    src = corpus.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("_vec")
+    )
+    half_c2 = 0.5 * (B * B).sum(axis=2)                      # (m, k)
+
+    def fn(batches):
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            V = np.stack(b["_vec"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            U = V / norms
+            codes = np.empty((len(U), m), dtype=dtype)
+            for s in range(m):
+                X = U[:, s * dsub:(s + 1) * dsub]
+                codes[:, s] = np.argmax(
+                    X @ B[s].T - half_c2[s], axis=1
+                ).astype(dtype)
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(),
+                    "pq": [c.tobytes() for c in codes],
+                }
+            ).rename(columns={"pq": code_col})
+
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(par).mapInPandas(fn, out_schema)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    m: int = 8,
+    n_centroids: int = 256,
+    codebooks=None,
+    codes: DataFrame | None = None,
+    sample_target: int = 50_000,
+    kmeans_iters: int = 10,
+    seed: int = 7,
+    n_rows: int | None = None,
+    refine: int = 0,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC) over PQ codes.
+
+    ``refine`` > k adds the standard exact re-rank stage (FAISS
+    IndexRefine): the ADC scan shortlists ``refine`` candidates per
+    query from the compressed codes alone, then ONLY those
+    queries x refine rows fetch their raw vectors (key join against the
+    corpus) for an exact cosine re-rank to k. Quantization error then
+    costs recall only when a true neighbor falls outside the shortlist
+    — the knob that trades a tiny exact-scoring join for recall without
+    ever scanning raw vectors.
+
+    Per query one (m, k) lookup table of subspace dot products is built
+    driver-side (queries are a SMALL set by contract, same as
+    ``brute_force_topk``'s broadcast) and shipped in the closure; the
+    scan then scores each corpus row with m uint8 gathers + adds —
+    never touching raw vectors. Each Arrow batch emits only its local
+    per-query top-k, so the final shuffle carries O(batches x queries
+    x k) rows regardless of corpus size. Output matches the family
+    contract: (query_id, id, cos_sim, rank) where cos_sim is the ADC
+    estimate (exact when the quantizer is lossless — the `_full`
+    oracle config)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    qid = query_id_col or id_col
+    B = (
+        codebooks
+        if codebooks is not None
+        else pq_train_codebooks(
+            corpus, id_col, vec_col, m, n_centroids,
+            sample_target=sample_target, kmeans_iters=kmeans_iters,
+            seed=seed, n_rows=n_rows,
+        )
+    )
+    m_eff, _k_eff, dsub = B.shape
+    enc = (
+        codes
+        if codes is not None
+        else pq_encode(corpus, B, id_col, vec_col)
+    )
+    qrows = (
+        queries.select(qid, F.col(vec_col).cast("array<double>").alias("_v"))
+        .collect()
+    )
+    Q = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    Q = Q / qn
+    qids = [r[qid] for r in qrows]
+    # (nq, m, k) subspace dot-product tables
+    luts = np.stack(
+        [Q[:, s * dsub:(s + 1) * dsub] @ B[s].T for s in range(m_eff)], axis=1
+    )
+    id_field = corpus.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_field.dataType),
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    # plain strings only in the closure — a DataFrame reference would drag
+    # the SparkContext into the pickled function (SPARK-5063)
+    enc_id_col, code_col = enc.columns[0], enc.columns[-1]
+    code_dtype = _pq_code_dtype(B.shape[1])
+    shortlist_n = max(k, refine)  # each batch must feed the refine stage
+
+    def fn(batches):
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            C = np.frombuffer(
+                b"".join(b[code_col].to_numpy()), dtype=code_dtype
+            ).reshape(len(b), m_eff)
+            ids = b[enc_id_col].to_numpy()
+            local_k = min(shortlist_n + 1, len(b))  # +1 absorbs a self-match
+            for qi, qv in enumerate(qids):
+                scores = luts[qi][0][C[:, 0]].copy()
+                for s in range(1, m_eff):
+                    scores += luts[qi][s][C[:, s]]
+                top = np.argpartition(-scores, local_k - 1)[:local_k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qv, local_k),
+                        id_col: ids[top],
+                        "cos_sim": scores[top],
+                    }
+                )
+
+    scored = enc.mapInPandas(fn, out_schema).filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    if refine > k:
+        shortlist = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= refine)
+            .select("query_id", id_col)
+        )
+        qv = (
+            _unit(queries, qid, vec_col, "_qv")
+            .withColumnRenamed(qid, "query_id")
+        )
+        cv = _unit(corpus, id_col, vec_col, "_cv")
+        scored = (
+            shortlist.join(cv, on=id_col)
+            .join(F.broadcast(qv), on="query_id")
+            .select("query_id", id_col, dot("_qv", "_cv").alias("cos_sim"))
+        )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -46,7 +46,7 @@ bit-exactly — so the bucketing/re-rank machinery is proven to add no
 error beyond the documented approximation. The change-feed export
 chain (`change_feed_replicate`: primary -> Debezium JSONL feed ->
 replica, two windows) is checked against the same full-log LWW oracle
-as the flagship. Current inventory: 75 entries — 65 oracle, 10
+as the flagship. Current inventory: 77 entries — 66 oracle, 11
 rows-only.
 """
 
@@ -99,6 +99,7 @@ from etl_spark.operators.similarity import (
     embedding_neardup_pairs,
     ivf_topk,
     lsh_topk,
+    pq_topk,
 )
 
 
@@ -1207,6 +1208,45 @@ def q_similarity_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(
         emb, q, k=10, n_lists=16, n_probe=16, n_rows=n_rows
+    ).select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k at a production (lossy) config —
+    8 subspaces x 32 centroids = 8-byte codes per 64-dim vector, the
+    10^10-vector memory path (rows-only; recall + losslessness covered
+    by tests/test_dedup_similarity.py)."""
+    from etl_spark.sources.files import parquet_row_count
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_rows = parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(
+        emb, q, k=10, m=8, n_centroids=32, n_rows=n_rows, refine=100
+    ).select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_similarity_pq_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ at the LOSSLESS config: trained on the full corpus with
+    n_centroids >= corpus size, every subvector quantizes to itself, so
+    the asymmetric-distance scan must equal the exact brute-force top-k
+    — same oracle as ``similarity_topk`` (the family's full-recall
+    evidence pattern; the lossy production config stays rows-only as
+    ``similarity_pq``)."""
+    from etl_spark.sources.files import parquet_row_count
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_rows = parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(
+        emb, q, k=10, m=8, n_centroids=max(512, n_rows),
+        sample_target=max(512, n_rows), kmeans_iters=1, n_rows=n_rows,
     ).select(
         "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("int").alias("rank"),
@@ -2413,6 +2453,8 @@ QUERIES = {
     "similarity_lsh_full": q_similarity_lsh_full,
     "similarity_ivf": q_similarity_ivf,
     "similarity_ivf_full": q_similarity_ivf_full,
+    "similarity_pq": q_similarity_pq,
+    "similarity_pq_full": q_similarity_pq_full,
     "embedding_clusters": q_embedding_clusters,
     "embedding_clusters_fixed": q_embedding_clusters_fixed,
     "embedding_neardup": q_embedding_neardup,
@@ -2488,6 +2530,7 @@ ORACLE_SQL = {
     "similarity_topk": _ORACLE_TOPK,
     "similarity_lsh_full": _ORACLE_TOPK,
     "similarity_ivf_full": _ORACLE_TOPK,
+    "similarity_pq_full": _ORACLE_TOPK,
     "embedding_neardup": _ORACLE_EMB_NEARDUP,
     "embedding_neardup_blocked": _ORACLE_EMB_NEARDUP,
     "embedding_neardup_blocked_hi": _ORACLE_EMB_NEARDUP_HI,

@@ -134,7 +134,8 @@ def test_no_cartesian_product_in_query_plans(spark):
     }
     python_ok = {
         # Arrow-batched numpy stages, by design (never per-row Python)
-        "similarity_lsh", "similarity_ivf",
+        "similarity_lsh", "similarity_ivf", "similarity_pq",
+        "similarity_pq_full",
         "similarity_lsh_full", "similarity_ivf_full", "embedding_neardup",
         "embedding_neardup_blocked", "embedding_neardup_blocked_hi",
         "dedup_simhash", "dedup_minhash_lsh", "dedup_minhash_lsh_verified",
