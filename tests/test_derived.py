@@ -655,3 +655,70 @@ def test_rescan_view_assembles_transcripts(spark, tmp_path):
     assert "c3" not in set(got["conv"])                    # conv fully gone
     row = got[got["conv"] == "c0"]["transcript"].iloc[0]
     assert "EDITED" in row and row.startswith("c0 turn 0")  # stable order
+
+
+def test_row_view_maintains_pq_index_incrementally(spark, tmp_path):
+    """Compressed ANN index as a derived view: pq_encode is a
+    key-preserving row transform, so an IncrementalRowView maintains the
+    PQ-codes table from the change feed — churned vectors re-encode,
+    deleted ones drop, untouched ones are never re-read — and the codes
+    always equal a full re-encode of the current source (codebooks are
+    frozen at index creation, part of the on-disk format)."""
+    import numpy as np
+
+    from etl_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(80)]
+    src = LakeTable.create(
+        spark, str(tmp_path / "vecs"), schema, key=["vec_id"], n_buckets=4
+    )
+    src.merge(
+        spark.createDataFrame(rows, schema).withColumn("op", F.lit("U")),
+        op_col="op",
+    )
+    B = pq_train_codebooks(src.read(), m=4, n_centroids=16, n_rows=80)
+    view = IncrementalRowView(
+        spark, str(tmp_path / "pqidx"), src,
+        transform=lambda df: pq_encode(df, B),
+    )
+    r1 = view.refresh()
+    assert r1["rows_upserted"] == 80
+
+    ops = T.StructType(list(schema.fields) + [T.StructField("op", T.StringType())])
+    churn = [
+        (0, [float(x) for x in rng.normal(size=16)], "U"),   # vector replaced
+        (80, [float(x) for x in rng.normal(size=16)], "U"),  # new vector
+        (5, None, "D"),                                      # vector deleted
+    ]
+    src.merge(spark.createDataFrame(churn, ops), op_col="op")
+    r2 = view.refresh()
+    assert r2["rows_upserted"] == 2 and r2["rows_deleted"] == 1  # churn only
+
+    got = {r["vec_id"]: bytes(r["pq_code"]) for r in view.table.read().collect()}
+    exp = {r["vec_id"]: bytes(r["pq_code"]) for r in pq_encode(src.read(), B).collect()}
+    assert got == exp
+
+    # the maintained codes serve queries identically to a fresh encode
+    q = src.read().filter(F.col("vec_id").isin(1, 2))
+    a = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in pq_topk(
+            src.read(), q, k=5, codebooks=B, codes=view.table.read()
+        ).collect()
+    }
+    b = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in pq_topk(src.read(), q, k=5, codebooks=B).collect()
+    }
+    assert a == b
