@@ -58,23 +58,9 @@ from etl_spark.lake.table import LakeTable
 
 _REFRESH_RE = re.compile(r"^(?:merge:|overwrite:)?refresh:(\d+)$")
 
-# commits that provably change NO logical row content: a refresh over a
-# range containing only these advances the watermark without reading a
-# byte of data (a compaction rewrites every bucket's files, so the
-# change feed's path-equality pruning alone cannot skip it)
-_MAINT_RE = re.compile(
-    r"^(compact|rebucket\(|add_column\(|drop_column\(|refresh:)"
-)
-
-
-def _maintenance_only(source: LakeTable, last: int, cur: int) -> bool:
-    try:
-        return all(
-            _MAINT_RE.match(source.snapshot(v).op) is not None
-            for v in range(last + 1, cur + 1)
-        )
-    except FileNotFoundError:
-        return False  # expired mid-range: let the diff/rebuild path decide
+# maintenance-only window detection is shared with the change-feed
+# exporter — one definition of "provably empty diff" (lake.table)
+from etl_spark.lake.table import maintenance_only as _maintenance_only  # noqa: E402
 
 # decimal accumulator for float sums: exact addition makes the
 # incremental (batch-at-a-time) total bit-identical to a one-shot

@@ -65,7 +65,7 @@ from pyspark.sql import functions as F
 
 from etl_spark.cdc.apply import apply_batch
 from etl_spark.cdc.state import CommitLog
-from etl_spark.lake.table import LakeTable
+from etl_spark.lake.table import LakeTable, maintenance_only
 from etl_spark.sources.debezium import parse_debezium, split_rejects, to_debezium_json
 
 _SEG_PREFIX = "seg-"
@@ -132,6 +132,19 @@ class ChangeFeedExporter:
         last = self.cursor()
         if cur is None or cur <= last:
             return {"skipped": True, "from_version": last, "to_version": last}
+        if last > 0 and maintenance_only(self.table, last, cur):
+            # compaction/rebucket/DDL rewrote files but no logical row:
+            # advance the cursor WITHOUT the diff — a compaction rewrites
+            # every bucket, so the bucket-pruned diff would otherwise
+            # degrade to an O(table) scan that emits zero envelopes.
+            # (A mixed window — data commits AND a compaction — still
+            # pays the full diff; export cadence per data commit avoids
+            # mixed windows by construction.)
+            self._advance_cursor(cur)
+            return {
+                "skipped": True, "maintenance_only": True,
+                "from_version": last, "to_version": cur,
+            }
         seg = self._seg_dir(last, cur)
         if not os.path.exists(seg):
             snap = self.table.snapshot(cur)

@@ -1912,3 +1912,31 @@ class LakeTable:
                 ):
                     os.remove(os.path.join(mdir, n))
         return removed
+
+
+# commits that provably change NO logical row content: a consumer
+# (derived-view refresh, change-feed export) whose window contains only
+# these may advance its watermark without reading a byte — a compaction
+# or rebucket rewrites every bucket's FILES, so the change feed's
+# path-equality pruning alone cannot skip it, but the row diff is
+# guaranteed empty.
+_MAINT_RE_STR = (
+    r"^(compact|rebucket\(|add_column\(|drop_column\(|refresh:)"
+)
+
+
+def maintenance_only(table: LakeTable, last: int, cur: int) -> bool:
+    """True when every commit in ``(last, cur]`` is a maintenance op
+    (compact / rebucket / DDL / view-refresh tag) — the window's row diff
+    is provably empty. False on an expired mid-range version: the caller
+    must then take its diff/rebuild/raise path."""
+    import re
+
+    pat = re.compile(_MAINT_RE_STR)
+    try:
+        return all(
+            pat.match(table.snapshot(v).op) is not None
+            for v in range(last + 1, cur + 1)
+        )
+    except FileNotFoundError:
+        return False

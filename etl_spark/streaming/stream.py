@@ -287,6 +287,15 @@ class CdcStream:
                     attempts=self.retry_attempts,
                 )
                 stats["rebucketed"] = {"from": n, "to": new_n, "rows": total}
+        if (
+            self.exporter is not None
+            and (cadence_due or backlog_due or "rebucketed" in stats)
+        ):
+            # advance the export cursor through the maintenance commits
+            # NOW (zero-cost maintenance-only skip) so the next data
+            # batch's window never mixes a compaction/rebucket with real
+            # changes — a mixed window cannot bucket-prune its diff
+            stats["export_after_maintenance"] = self.exporter.export_once()
 
     def _dedup_ingest(self, batch_df: DataFrame, batch_id: int) -> int:
         """Probe + extend the persisted near-dup index with this batch's

@@ -289,3 +289,29 @@ def test_export_survives_snapshot_expiry_with_rebootstrap(spark, tmp_path):
     )
     replicate_available(spark, feed, dst2, str(tmp_path / "state2"))
     assert_same(src, dst2)
+
+
+def test_maintenance_commits_advance_cursor_without_diff(spark, tmp_path):
+    """A compaction (every bucket's files rewritten, zero logical rows
+    changed) must advance the export cursor as a maintenance-only skip —
+    no segment, no O(table) diff — and the next data window still ships
+    only its own churn."""
+    src, dst = make_pair(spark, tmp_path)
+    feed = str(tmp_path / "feed")
+    state = str(tmp_path / "state")
+    ex = ChangeFeedExporter(src, feed, table_name="t")
+    src.merge(spark.createDataFrame(rows(range(12)), SCHEMA))
+    ex.export_once()
+
+    src.compact()
+    r = ex.export_once()
+    assert r["skipped"] and r.get("maintenance_only")
+    assert ex.cursor() == src.current_version()
+    assert len([n for n in os.listdir(feed) if n.startswith("seg-")]) == 1
+
+    src.merge(spark.createDataFrame(rows(range(3), tag="z", t0=50), SCHEMA))
+    r2 = ex.export_once()
+    assert not r2["skipped"]
+    stats = replicate_available(spark, feed, dst, state)
+    assert stats[-1]["rows_in"] == 3  # churn only, not the compacted table
+    assert_same(src, dst)

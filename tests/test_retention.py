@@ -181,3 +181,33 @@ def test_stream_publishes_change_feed(spark, tmp_path):
     )
     assert len(applied_stats) == len(segs)
     assert_converged(replica, pdf)
+
+
+def test_stream_publication_with_compaction_cadence(spark, tmp_path):
+    """replicate_to + compact_every together: maintenance commits advance
+    the export cursor immediately (zero-cost skip), so no data window
+    ever mixes with a compaction, and the replica still converges."""
+    from etl_spark.lake.export import replicate_available
+
+    pdf = generate_changelog(SPEC)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+    table = make_target(spark, tmp_path)
+    feed = str(tmp_path / "feed")
+    stream = CdcStream(
+        spark, wal, table, str(tmp_path / "state"),
+        max_files_per_trigger=3, replicate_to=feed, compact_every=2,
+    )
+    stats = stream.run_to_completion()
+    maint = [
+        s["export_after_maintenance"]
+        for s in stats if "export_after_maintenance" in s
+    ]
+    assert maint and all(m["skipped"] and m.get("maintenance_only") for m in maint)
+
+    replica = make_target(spark, tmp_path, name="replica")
+    replicate_available(
+        spark, feed, replica, str(tmp_path / "rep-state"),
+        payload_schema=table.schema,
+    )
+    assert_converged(replica, pdf)
