@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -236,6 +237,9 @@ class LakeTable:
         self.spark = spark
         self.path = os.path.abspath(path)
         self._meta = os.path.join(self.path, _META_DIR)
+        # set inside a `with table.wap(id):` block — diverts the next
+        # commit into a STAGED snapshot file instead of the live chain
+        self._wap_target: str | None = None
 
     # ---------------------------------------------------------------- create
     @classmethod
@@ -328,7 +332,12 @@ class LakeTable:
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
-        with open(self._snap_path(v)) as fh:
+        return self._snapshot_from_file(self._snap_path(v), buckets)
+
+    def _snapshot_from_file(
+        self, path: str, buckets: set[int] | None = None
+    ) -> Snapshot:
+        with open(path) as fh:
             d = json.load(fh)
         if "files" not in d:
             # manifest-list format: per-bucket immutable manifests,
@@ -411,13 +420,19 @@ class LakeTable:
             },
             indent=1,
         )
-        path = self._snap_path(snap.version)
+        path = self._wap_target or self._snap_path(snap.version)
         # O_EXCL create IS the atomic commit point: the first writer of
         # version N wins; a concurrent writer gets CommitConflict and must
-        # re-read the table and retry on top of the new snapshot.
+        # re-read the table and retry on top of the new snapshot. A WAP
+        # stage diverts the SAME payload to its staged file — one commit
+        # per stage, same exclusivity.
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError as e:
+            if self._wap_target:
+                raise CommitConflict(
+                    f"wap stage already holds a commit: {path}"
+                ) from e
             raise CommitConflict(
                 f"version {snap.version} already committed at {self.path}"
             ) from e
@@ -1221,6 +1236,106 @@ class LakeTable:
         base = self.snapshot()
         return self._commit(base, base.files, [], base.schema, note)
 
+    # -------------------------------------------------- write-audit-publish
+    def _wap_path(self, wap_id: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", wap_id):
+            raise ValueError(
+                f"wap id {wap_id!r} must match [A-Za-z0-9._-]+"
+            )
+        return os.path.join(self._meta, f"wap-{wap_id}.json")
+
+    def _staged_wap_files(self) -> list[str]:
+        if not os.path.isdir(self._meta):
+            return []
+        return [
+            os.path.join(self._meta, n)
+            for n in os.listdir(self._meta)
+            if n.startswith("wap-") and n.endswith(".json")
+        ]
+
+    def wap(self, wap_id: str):
+        """Write-audit-publish staging (Iceberg's WAP pattern): inside the
+        context, ONE write op (merge/append/overwrite/update/compact)
+        commits to a STAGED snapshot file invisible to every reader of the
+        live chain; ``staged(wap_id)`` opens a read view of the staged
+        state for audit queries, then ``publish(wap_id)`` links it into
+        the chain atomically (or ``abandon(wap_id)`` drops it — the data
+        files become orphans that ``vacuum()`` reclaims).
+
+        Scale shape: staging costs NOTHING beyond the write itself — the
+        data files land in their normal unique commit dir, and the staged
+        snapshot is one small JSON; audit reads are ordinary bucket/zone-
+        map-pruned snapshot reads; publish is a driver-side O(1) metadata
+        link under the same O_EXCL rule as any commit (a writer that
+        advanced the table first causes ``CommitConflict`` and the stage
+        must be recomputed on the new base — same retry contract as
+        ``merge_with_retry``).
+        """
+        from contextlib import contextmanager
+
+        target = self._wap_path(wap_id)
+
+        @contextmanager
+        def _ctx():
+            if os.path.exists(target):
+                raise ValueError(f"wap id {wap_id!r} already staged")
+            if self._wap_target is not None:
+                raise RuntimeError("nested wap() stages are not supported")
+            self._wap_target = target
+            try:
+                yield self
+            finally:
+                self._wap_target = None
+
+        return _ctx()
+
+    def staged(self, wap_id: str) -> "LakeTable":
+        """Read-only view of a staged WAP commit: read/scan/row_count/
+        read_for_keys resolve against the staged snapshot; historical
+        versions still resolve against the live chain (the staged commit
+        sits on top of its base, exactly as it will after publish)."""
+        path = self._wap_path(wap_id)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no staged wap commit {wap_id!r}")
+        return _StagedView(self.spark, self.path, wap_id)
+
+    def publish(self, wap_id: str) -> Snapshot:
+        """Atomically promote a staged WAP commit into the live chain.
+        The staged snapshot was computed against base version N-1; if the
+        table advanced past it meanwhile, the stage is stale and publish
+        raises ``CommitConflict`` (re-stage against the new base). The
+        publish timestamp is stamped fresh so ``version_as_of`` stays
+        monotonic with the live history."""
+        p = self._wap_path(wap_id)
+        with open(p) as fh:
+            d = json.load(fh)
+        cur = self.current_version()
+        if cur is not None and cur >= d["version"]:
+            raise CommitConflict(
+                f"staged wap {wap_id!r} is based on version {d['version'] - 1} "
+                f"but the table is at {cur} — re-stage on the new base"
+            )
+        d["ts"] = time.time()
+        d["op"] = f"{d['op']}:wap({wap_id})"
+        target = self._snap_path(d["version"])
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {d['version']} already committed at {self.path}"
+            ) from e
+        with os.fdopen(fd, "w") as fh:
+            fh.write(json.dumps(d, indent=1))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.remove(p)
+        return self.snapshot(d["version"])
+
+    def abandon(self, wap_id: str) -> None:
+        """Drop a staged WAP commit. Its data files become orphans
+        (reclaimed by ``vacuum()``); the live chain never saw them."""
+        os.remove(self._wap_path(wap_id))
+
     def merge_with_retry(
         self,
         source: DataFrame,
@@ -1817,6 +1932,9 @@ class LakeTable:
         for i in range(v + 1):
             if os.path.exists(self._snap_path(i)):
                 live |= {f["path"] for f in self.snapshot(i).files}
+        # staged WAP commits hold real references until published/abandoned
+        for p in self._staged_wap_files():
+            live |= {f["path"] for f in self._snapshot_from_file(p).files}
         cutoff = time.time() - older_than_s
         removed = 0
         data_root = os.path.join(self.path, _DATA_DIR)
@@ -1880,6 +1998,8 @@ class LakeTable:
         live: set[str] = set()
         for kv in keep_versions:
             live |= {f["path"] for f in self.snapshot(kv).files}
+        for p in self._staged_wap_files():
+            live |= {f["path"] for f in self._snapshot_from_file(p).files}
         removed = 0
         for i in range(0, v + 1):
             if i in keep_versions:
@@ -1905,6 +2025,9 @@ class LakeTable:
                     continue
                 with open(self._snap_path(kv)) as fh:
                     live_refs |= set(json.load(fh).get("manifest_refs", []))
+            for p in self._staged_wap_files():
+                with open(p) as fh:
+                    live_refs |= set(json.load(fh).get("manifest_refs", []))
             for n in os.listdir(mdir):
                 if (
                     n.endswith(".json")
@@ -1912,6 +2035,39 @@ class LakeTable:
                 ):
                     os.remove(os.path.join(mdir, n))
         return removed
+
+
+class _StagedView(LakeTable):
+    """Read-only view of a staged WAP commit (``LakeTable.staged``): the
+    staged snapshot is "current"; older versions resolve to the live
+    chain it was staged on."""
+
+    def __init__(self, spark: SparkSession, path: str, wap_id: str):
+        super().__init__(spark, path)
+        self._wap_id = wap_id
+
+    def _staged_version(self) -> int:
+        with open(self._wap_path(self._wap_id)) as fh:
+            return int(json.load(fh)["version"])
+
+    def current_version(self) -> int | None:
+        return self._staged_version()
+
+    def snapshot(
+        self, version: int | None = None,
+        buckets: set[int] | None = None,
+    ) -> Snapshot:
+        if version is None or version == self._staged_version():
+            return self._snapshot_from_file(
+                self._wap_path(self._wap_id), buckets
+            )
+        return super().snapshot(version, buckets)
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        raise RuntimeError(
+            "staged WAP views are read-only — write inside `with "
+            "table.wap(id):`, then publish"
+        )
 
 
 # commits that provably change NO logical row content: a consumer

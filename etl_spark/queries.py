@@ -484,6 +484,138 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish gate (``LakeTable.wap/staged/publish/abandon``,
+    Iceberg's WAP pattern): the flagship changelog replays in FOUR
+    (ts, lsn)-ordered batches, each one STAGED as an invisible snapshot,
+    audit-queried against the staged view, and only then published onto
+    the live chain; a poisoned batch injected mid-sequence fails its
+    audit and is abandoned, so the final table must equal the flagship
+    oracle exactly — the gate provably kept bad data out without
+    disturbing the good commits."""
+    from pyspark.sql.window import Window
+
+    chg = _events_changelog(spark, sf_dir).withColumn(
+        "__q",
+        F.ntile(4).over(Window.orderBy(F.col("ts"), F.col("lsn"))),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_wap_q_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, key=["user_id"], n_buckets=32
+    )
+
+    def audit_ok(view) -> bool:
+        # the pipeline's quality gate: no poison markers, no NULL keys
+        bad = view.read().filter(
+            F.col("user_id").isNull() | F.col("event_type").startswith("__")
+        )
+        return bad.limit(1).count() == 0
+
+    for q in range(1, 5):
+        if q == 3:
+            # out-of-band poison batch: staged, caught by audit, abandoned
+            poison = spark.createDataFrame(
+                [(999_999_001 + i, "__poison", 0.0, None, "U") for i in range(3)],
+                T.StructType(
+                    schema.fields + [T.StructField("op", T.StringType())]
+                ),
+            )
+            with table.wap("poison"):
+                table.merge(poison, op_col="op")
+            assert not audit_ok(table.staged("poison"))
+            table.abandon("poison")
+        wap_id = f"batch-{q}"
+        with table.wap(wap_id):
+            replay(spark, chg.filter(F.col("__q") == q).drop("__q"), table)
+        if audit_ok(table.staged(wap_id)):
+            table.publish(wap_id)
+        else:  # pragma: no cover - good batches always pass
+            table.abandon(wap_id)
+    return table.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+def q_replica_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy repair (``lake.sync``): a replica of the flagship
+    table is corrupted out-of-band in every class the fingerprints must
+    catch — deleted rows, tampered payloads (including a value→NULL
+    flip), alien extra rows — then ``repair_replica`` detects the
+    divergent buckets from O(n_buckets) fingerprint triples, diffs ONLY
+    those buckets, and MERGEs the replica back to convergence. The
+    repaired replica must match the flagship oracle bit-exactly."""
+    from etl_spark.lake.sync import repair_replica
+
+    chg = _events_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_sync_q_")
+    primary = LakeTable.create(
+        spark, os.path.join(tmp, "p"), schema, key=["user_id"], n_buckets=32
+    )
+    replay(spark, chg, primary)
+    replica = LakeTable.create(
+        spark, os.path.join(tmp, "r"), schema, key=["user_id"], n_buckets=32
+    )
+    replica.append(primary.read())
+
+    cur = primary.read()
+    sel = F.pmod(F.xxhash64("user_id"), F.lit(7))
+    opified = T.StructType(schema.fields + [T.StructField("op", T.StringType())])
+    corruption = (
+        cur.filter(sel == 0).select(  # silently lost rows
+            "user_id", "event_type", "value", "ts", F.lit("D").alias("op")
+        )
+        .unionByName(
+            cur.filter(sel == 1).select(  # tampered payloads
+                "user_id",
+                F.lit("tampered").alias("event_type"),
+                (F.col("value") * 2 + 1).alias("value"),
+                "ts",
+                F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            cur.filter(sel == 2).select(  # value -> NULL flips
+                "user_id", "event_type",
+                F.lit(None).cast("double").alias("value"),
+                "ts", F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(  # alien rows the primary never had
+            spark.createDataFrame(
+                [(900_000_000 + i, "alien", -1.0, None, "U") for i in range(5)],
+                opified,
+            )
+        )
+    )
+    replica.merge(corruption, op_col="op")
+    repair_replica(primary, replica)
+    return replica.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time sessionization (30-min gap) — the stateful-stream shape
     (§2.6 T10 extension) as a batch window op."""
@@ -2414,6 +2546,8 @@ FROM final WHERE value > 50.0
 QUERIES = {
     "cdc_apply_final_state": q_cdc_apply_final_state,
     "cdc_apply_mor": q_cdc_apply_mor,
+    "wap_publish": q_wap_publish,
+    "replica_repair": q_replica_repair,
     "change_feed_replicate": q_change_feed_replicate,
     "merge_out_of_order": q_merge_out_of_order,
     "merge_mor_out_of_order": q_merge_mor_out_of_order,
@@ -2494,6 +2628,8 @@ QUERIES = {
 ORACLE_SQL = {
     "cdc_apply_final_state": _ORACLE_CDC_FINAL,
     "cdc_apply_mor": _ORACLE_CDC_FINAL,
+    "wap_publish": _ORACLE_CDC_FINAL,
+    "replica_repair": _ORACLE_CDC_FINAL,
     "change_feed_replicate": _ORACLE_CDC_FINAL,
     "merge_out_of_order": _ORACLE_OOO_MERGE,
     "merge_mor_out_of_order": _ORACLE_OOO_MERGE,

@@ -1,0 +1,163 @@
+"""Anti-entropy sync: fingerprint divergence detection, bucket-pruned
+diff, idempotent repair (lake/sync.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.lake import LakeTable
+from etl_spark.lake.sync import bucket_fingerprints, diff_tables, repair_replica
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+ROWS = [
+    ("c%03d" % i, t, "user" if t % 2 == 0 else "assistant", f"msg {i}.{t}")
+    for i in range(40)
+    for t in range(3)
+]
+
+
+def make_pair(spark, tmp_path, n_buckets_replica=8):
+    p = LakeTable.create(
+        spark, str(tmp_path / "p"), SCHEMA, key=["conv_id", "turn_idx"],
+        n_buckets=8, bucket_by=["conv_id"],
+    )
+    p.append(spark.createDataFrame(ROWS, SCHEMA))
+    r = LakeTable.create(
+        spark, str(tmp_path / "r"), SCHEMA, key=["conv_id", "turn_idx"],
+        n_buckets=n_buckets_replica, bucket_by=["conv_id"],
+    )
+    r.append(p.read())
+    return p, r
+
+
+def state(t):
+    return {tuple(r) for r in t.read().collect()}
+
+
+def test_identical_tables_no_diff_no_commit(spark, tmp_path):
+    p, r = make_pair(spark, tmp_path)
+    v = r.current_version()
+    out = repair_replica(p, r)
+    assert out["divergent_buckets"] == [] and out["repaired"] == 0
+    assert r.current_version() == v  # no empty commit
+
+
+def test_detects_and_repairs_all_corruption_classes(spark, tmp_path):
+    p, r = make_pair(spark, tmp_path)
+    # delete some rows, mutate others (incl. a value -> NULL flip),
+    # insert alien extras
+    sch = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())])
+    corrupt = spark.createDataFrame(
+        [
+            ("c001", 0, None, None, "D"),
+            ("c002", 1, "assistant", "tampered", "U"),
+            ("c003", 2, "assistant", None, "U"),     # NULL flip
+            ("zz-alien", 0, "user", "not on primary", "U"),
+        ],
+        sch,
+    )
+    r.merge(corrupt, op_col="op")
+    assert state(r) != state(p)
+    diff, info = diff_tables(p, r)
+    got = {(x["conv_id"], x["turn_idx"], x["__op"]) for x in diff.collect()}
+    assert got == {
+        ("c001", 0, "U"),        # missing on replica -> re-upsert
+        ("c002", 1, "U"),        # mutated -> overwrite with primary's row
+        ("c003", 2, "U"),
+        ("zz-alien", 0, "D"),    # extra on replica -> delete
+    }
+    out = repair_replica(p, r)
+    assert out["repaired"] == 4
+    assert state(r) == state(p)
+    # idempotent: a second repair finds nothing and commits nothing
+    v = r.current_version()
+    again = repair_replica(p, r)
+    assert again["repaired"] == 0 and r.current_version() == v
+
+
+def test_diff_reads_only_divergent_buckets(spark, tmp_path):
+    p, r = make_pair(spark, tmp_path)
+    sch = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())])
+    r.merge(
+        spark.createDataFrame([("c007", 1, "x", "bad", "U")], sch), op_col="op"
+    )
+    diff, info = diff_tables(p, r)
+    assert len(info["divergent_buckets"]) == 1
+    (b,) = info["divergent_buckets"]
+    # the corrupted conversation hashes to exactly that bucket
+    snap = p.snapshot()
+    got_b = (
+        spark.createDataFrame([("c007",)], "conv_id string")
+        .select(p._bucket_expr(snap).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert got_b == b
+    # the pruned diff read plans only that bucket's files on the primary
+    from etl_spark.lake.sync import _read_buckets
+
+    files = _read_buckets(p, None, {b}).inputFiles()
+    assert files and all(f"__bucket={b}/" in f for f in files)
+
+
+def test_repairs_replica_with_different_bucket_layout(spark, tmp_path):
+    p, r = make_pair(spark, tmp_path, n_buckets_replica=3)
+    sch = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())])
+    r.merge(
+        spark.createDataFrame(
+            [("c010", 0, None, None, "D"), ("alien", 1, "a", "x", "U")], sch
+        ),
+        op_col="op",
+    )
+    out = repair_replica(p, r)
+    assert out["repaired"] == 2
+    assert state(r) == state(p)
+
+
+def test_null_shift_between_columns_is_detected(spark, tmp_path):
+    """xxhash64 skips NULL inputs; the per-column null flags make
+    ('x', NULL) vs (NULL, 'x') hash differently."""
+    p, r = make_pair(spark, tmp_path)
+    sch = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())])
+    # primary row is (role='user', text='msg 5.0'); shift a value across
+    # columns keeping the multiset of non-null values identical
+    p.merge(
+        spark.createDataFrame([("c005", 0, "same", None, "U")], sch), op_col="op"
+    )
+    r.merge(
+        spark.createDataFrame([("c005", 0, None, "same", "U")], sch), op_col="op"
+    )
+    diff, info = diff_tables(p, r)
+    assert {(x["conv_id"], x["turn_idx"]) for x in diff.collect()} == {("c005", 0)}
+    repair_replica(p, r)
+    assert state(r) == state(p)
+
+
+def test_schema_evolution_flows_through_repair(spark, tmp_path):
+    p, r = make_pair(spark, tmp_path)
+    wide = T.StructType(SCHEMA.fields + [T.StructField("tool", T.StringType())])
+    p.append(
+        spark.createDataFrame([("c900", 0, "assistant", "calls", "search")], wide)
+    )
+    out = repair_replica(p, r)
+    assert out["repaired"] >= 1
+    assert "tool" in [f.name for f in r.schema.fields]
+    assert state(r) == state(p)
+
+
+def test_fingerprints_are_per_bucket_triples(spark, tmp_path):
+    p, _ = make_pair(spark, tmp_path)
+    snap = p.snapshot()
+    cols = [f.name for f in snap.schema.fields]
+    fps = bucket_fingerprints(p.read(), p._bucket_expr(snap), cols).collect()
+    assert 0 < len(fps) <= snap.n_buckets
+    assert sum(r["n_rows"] for r in fps) == len(ROWS)
