@@ -1528,6 +1528,62 @@ FROM h
 """
 
 
+def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact column profile of the documents corpus
+    (``operators.profile.profile_exact``): per-column row/null/distinct
+    counts, DECIMAL-routed numeric min/max/sum, string length sums — one
+    aggregation job, rows emitted via one inline(array(structs)) pass."""
+    from etl_spark.operators.profile import profile_exact
+
+    return profile_exact(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_PROFILE = """
+SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(doc_id) AS n_nulls,
+       COUNT(DISTINCT doc_id) AS n_distinct,
+       CAST(MIN(doc_id) AS DECIMAL(38,6)) AS min_num,
+       CAST(MAX(doc_id) AS DECIMAL(38,6)) AS max_num,
+       CAST(SUM(CAST(doc_id AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sum_num,
+       CAST(NULL AS BIGINT) AS sum_len
+FROM documents
+UNION ALL
+SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+       CAST(NULL AS DECIMAL(38,6)), CAST(NULL AS DECIMAL(38,6)),
+       CAST(NULL AS DECIMAL(38,6)), CAST(SUM(LENGTH(text)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+       CAST(NULL AS DECIMAL(38,6)), CAST(NULL AS DECIMAL(38,6)),
+       CAST(NULL AS DECIMAL(38,6)), CAST(SUM(LENGTH(lang)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+       CAST(NULL AS DECIMAL(38,6)), CAST(NULL AS DECIMAL(38,6)),
+       CAST(NULL AS DECIMAL(38,6)), CAST(SUM(LENGTH(source)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+       COUNT(DISTINCT n_chars),
+       CAST(MIN(n_chars) AS DECIMAL(38,6)),
+       CAST(MAX(n_chars) AS DECIMAL(38,6)),
+       CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DECIMAL(38,6)),
+       CAST(NULL AS BIGINT)
+FROM documents
+"""
+
+
+def q_profile_docs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch profile (``profile_approx``): HLL++ distincts +
+    Greenwald-Khanna quantiles in ONE pass with no Expand — the 100-TB
+    census mode. Rows-only (sketch values are engine-specific);
+    tests/test_profile.py pins the error bounds against the exact
+    profile."""
+    from etl_spark.operators.profile import profile_approx
+
+    return profile_approx(_t(spark, sf_dir, "documents"))
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data PII redaction: emails / IPv4s / phone-like runs / long
     numbers scrubbed with chained regexp_replace (patterns restricted to
@@ -2595,6 +2651,8 @@ QUERIES = {
     "embedding_neardup_blocked": q_embedding_neardup_blocked,
     "embedding_neardup_blocked_hi": q_embedding_neardup_blocked_hi,
     "text_stats": q_text_stats,
+    "profile_docs": q_profile_docs,
+    "profile_docs_approx": q_profile_docs_approx,
     "redact_pii": q_redact_pii,
     "ngram_frequencies": q_ngram_frequencies,
     "decontaminate": q_decontaminate,
@@ -2671,6 +2729,7 @@ ORACLE_SQL = {
     "embedding_neardup_blocked": _ORACLE_EMB_NEARDUP,
     "embedding_neardup_blocked_hi": _ORACLE_EMB_NEARDUP_HI,
     "text_stats": _ORACLE_TEXT_STATS,
+    "profile_docs": _ORACLE_PROFILE,
     "redact_pii": _ORACLE_REDACT,
     "ngram_frequencies": _ORACLE_NGRAM_FREQ,
     "decontaminate": _ORACLE_DECONTAMINATE,
