@@ -32,12 +32,16 @@ an undetected divergent bucket need a deliberate collision, not luck.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import re
 from typing import Any
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from etl_spark.lake.table import LakeTable, align_to_schema
+from etl_spark.lake.table import LakeTable, align_to_schema, maintenance_only
 
 _OP_COL = "__op"
 
@@ -76,11 +80,198 @@ def _read_buckets(table: LakeTable, version: int | None, buckets: set[int]) -> D
     return table._read_files(snap, entries)
 
 
+def _schema_fp(schema: T.StructType) -> str:
+    blob = json.dumps(
+        sorted((f.name, f.dataType.simpleString()) for f in schema.fields)
+    )
+    return hashlib.sha1(blob.encode()).hexdigest()[:12]
+
+
+_FP_NOTE_RE = re.compile(r"refresh:(\d+)\.([0-9a-f]{12})(?:$|[^0-9a-f])")
+
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("xor_fp", T.LongType()),
+        T.StructField("sum_fp", T.DecimalType(38, 0)),
+    ]
+)
+
+
+class FingerprintView:
+    """Per-bucket fingerprint triples maintained INCREMENTALLY from the
+    source's pre-image change feed — anti-entropy detection with ZERO
+    source scans in steady state.
+
+    The triple (count, xor, sum) is a group under row insert/delete:
+    count and sum add/subtract, and XOR is its own inverse, so a change
+    row retracts or applies by XOR-ing its fingerprint exactly once —
+    an update's pre-image+post-image pair nets out to a swap. Each
+    refresh therefore reads only the bucket-pruned change window,
+    aggregates it to O(changed buckets) delta triples, and merges them
+    into the view (the same exactly-once ``refresh:<v>`` watermark
+    discipline as ``lake.derived``: the applied-through version commits
+    atomically WITH the data).
+
+    Fingerprints depend on the column set, so the refresh note also pins
+    the source schema hash; a schema evolution (new column => every
+    row's null-flagged hash changes) triggers one automatic rebuild
+    instead of silently diverging from a fresh scan. Compaction /
+    rebucket / DDL-only windows advance the watermark with a tag — the
+    row content is provably unchanged.
+
+    At 10^10 rows this turns divergence DETECTION from "scan both
+    tables" into "read two O(n_buckets) views": continuous anti-entropy
+    at change-feed cost. The repair path (diff of divergent buckets)
+    is unchanged.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, source: LakeTable):
+        self.spark = spark
+        self.source = source
+        if LakeTable.exists(spark, path):
+            self.table = LakeTable.load(spark, path)
+        else:
+            self.table = LakeTable.create(
+                spark, path, _FP_SCHEMA, key=["bucket"], n_buckets=1
+            )
+
+    # ------------------------------------------------------------ watermark
+    def last_applied(self) -> tuple[int, str] | None:
+        v = self.table.current_version()
+        if v is None:
+            return None
+        for i in range(v, -1, -1):
+            m = _FP_NOTE_RE.search(self.table.snapshot(i).op)
+            if m:
+                return int(m.group(1)), m.group(2)
+        return None
+
+    def _note(self, cur: int) -> str:
+        return f"refresh:{cur}.{_schema_fp(self.source.schema)}"
+
+    # -------------------------------------------------------------- refresh
+    def fingerprints(self) -> DataFrame:
+        return self.table.read()
+
+    def refresh(self) -> dict[str, Any]:
+        cur = self.source.current_version()
+        if cur is None:
+            raise FileNotFoundError("source table has no snapshots")
+        snap = self.source.snapshot(cur, buckets=set())
+        cols = [f.name for f in snap.schema.fields]
+        cur_hash = _schema_fp(snap.schema)
+        last = self.last_applied()
+        if last is not None and last[1] != cur_hash:
+            # column set changed -> every row hash changed -> rebuild
+            return self.rebuild(cur)
+        if last is not None and last[0] >= cur:
+            return {"refreshed_through": last[0], "buckets_updated": 0,
+                    "no_op": True}
+        if last is not None and maintenance_only(self.source, last[0], cur):
+            self.table.tag(self._note(cur))
+            return {"refreshed_through": cur, "buckets_updated": 0,
+                    "maintenance_only": True}
+        if last is None:
+            return self.rebuild(cur)
+        try:
+            changes = self.source.table_changes(last[0], cur, pre_images=True)
+        except FileNotFoundError:
+            # retention outran the view -> one bounded self-heal
+            return self.rebuild(cur)
+        bexpr = self.source._bucket_expr(snap)
+        w = (
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        )
+        fp = _row_fingerprint(cols)
+        delta = (
+            changes.select(
+                bexpr.alias("bucket"), fp.alias("__fp"), w.alias("__w")
+            )
+            .groupBy("bucket")
+            .agg(
+                F.sum(F.col("__w")).cast("long").alias("__dn"),
+                F.expr("bit_xor(__fp)").alias("__dx"),
+                F.sum(
+                    F.col("__fp").cast("decimal(38,0)") * F.col("__w")
+                ).cast("decimal(38,0)").alias("__ds"),
+            )
+        )
+        old = self.table.read()
+        combined = (
+            delta.join(old, on="bucket", how="left")
+            .select(
+                F.col("bucket"),
+                (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("__dn"))
+                .cast("long").alias("n_rows"),
+                F.coalesce(F.col("xor_fp"), F.lit(0))
+                .bitwiseXOR(F.col("__dx")).cast("long").alias("xor_fp"),
+                (
+                    F.coalesce(
+                        F.col("sum_fp"), F.lit(0).cast("decimal(38,0)")
+                    )
+                    + F.col("__ds")
+                ).cast("decimal(38,0)").alias("sum_fp"),
+            )
+            .withColumn(
+                _OP_COL, F.when(F.col("n_rows") == 0, "D").otherwise("U")
+            )
+        )
+        msnap, stats = self.table.merge(
+            combined, op_col=_OP_COL, op_note=self._note(cur)
+        )
+        if msnap is None:  # empty change window -> watermark-only commit
+            self.table.tag(self._note(cur))
+        return {
+            "refreshed_through": cur,
+            "buckets_updated": stats.get("source_rows", 0),
+        }
+
+    def rebuild(self, version: int | None = None) -> dict[str, Any]:
+        cur = (
+            self.source.current_version() if version is None else version
+        )
+        snap = self.source.snapshot(cur, buckets=set())
+        cols = [f.name for f in snap.schema.fields]
+        state = bucket_fingerprints(
+            self.source.read(cur), self.source._bucket_expr(snap), cols
+        ).select(
+            F.col("bucket").cast("int"),
+            F.col("n_rows").cast("long"),
+            F.col("xor_fp").cast("long"),
+            F.col("sum_fp").cast("decimal(38,0)"),
+        )
+        vsnap = self.table.overwrite(state, op_note=self._note(cur))
+        return {"refreshed_through": cur, "rebuilt": True,
+                "buckets_updated": vsnap.total_rows}
+
+
+def _view_fps(side: LakeTable, view: "FingerprintView", name: str) -> list:
+    """Validate a maintained FingerprintView is current for ``side`` and
+    return its triples — the zero-scan detection path."""
+    if view.source.path != side.path:
+        raise ValueError(f"{name} fingerprint view tracks a different table")
+    last = view.last_applied()
+    cur = side.current_version()
+    if last is None or last[0] < cur or last[1] != _schema_fp(side.schema):
+        raise ValueError(
+            f"{name} fingerprint view is stale (applied {last}, table at "
+            f"{cur}) — call refresh() first"
+        )
+    return view.fingerprints().collect()
+
+
 def diff_tables(
     primary: LakeTable,
     replica: LakeTable,
     primary_version: int | None = None,
     replica_version: int | None = None,
+    primary_fps: "FingerprintView | None" = None,
+    replica_fps: "FingerprintView | None" = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Row-level diff of ``replica`` against ``primary``.
 
@@ -96,6 +287,13 @@ def diff_tables(
     then applies to the primary always, and to the replica only when its
     layout matches (otherwise its divergent rows are row-filtered out of
     a full scan — the metadata told us *that* it diverged either way).
+
+    ``primary_fps`` / ``replica_fps``: feed-maintained
+    ``FingerprintView``s replace that side's detection SCAN with an
+    O(n_buckets) view read (must be refreshed through the side's current
+    version; both tables must share the bucket layout, since each view
+    fingerprints under its own source's layout). With both views, a
+    converged pair is verified with zero data reads.
     """
     psnap = primary.snapshot(primary_version, buckets=set())
     rsnap = replica.snapshot(replica_version, buckets=set())
@@ -107,12 +305,32 @@ def diff_tables(
     cols = [f.name for f in schema.fields]
     key = psnap.key
     bexpr = primary._bucket_expr(psnap)
+    layouts_equal = (rsnap.n_buckets, rsnap.bucket_by) == (
+        psnap.n_buckets,
+        psnap.bucket_by,
+    )
+    if (primary_fps is not None or replica_fps is not None) and not layouts_equal:
+        raise ValueError(
+            "fingerprint views require identical bucket layouts "
+            f"(primary {psnap.n_buckets}/{psnap.bucket_by}, "
+            f"replica {rsnap.n_buckets}/{rsnap.bucket_by})"
+        )
+    if primary_fps is not None and primary_version is not None:
+        raise ValueError("primary_fps implies the current version")
+    if replica_fps is not None and replica_version is not None:
+        raise ValueError("replica_fps implies the current version")
 
-    pf = bucket_fingerprints(
-        primary.read(primary_version), bexpr, cols
-    ).collect()
+    if primary_fps is not None:
+        pf = _view_fps(primary, primary_fps, "primary")
+    else:
+        pf = bucket_fingerprints(
+            primary.read(primary_version), bexpr, cols
+        ).collect()
     r_full = align_to_schema(replica.read(replica_version), schema)
-    rf = bucket_fingerprints(r_full, bexpr, cols).collect()
+    if replica_fps is not None:
+        rf = _view_fps(replica, replica_fps, "replica")
+    else:
+        rf = bucket_fingerprints(r_full, bexpr, cols).collect()
     pmap = {r["bucket"]: (r["n_rows"], r["xor_fp"], r["sum_fp"]) for r in pf}
     rmap = {r["bucket"]: (r["n_rows"], r["xor_fp"], r["sum_fp"]) for r in rf}
     divergent = {
@@ -133,11 +351,7 @@ def diff_tables(
         return spark.createDataFrame([], empty), info
 
     p_rows = _read_buckets(primary, primary_version, divergent)
-    same_layout = (rsnap.n_buckets, rsnap.bucket_by) == (
-        psnap.n_buckets,
-        psnap.bucket_by,
-    )
-    if same_layout:
+    if layouts_equal:
         r_rows = align_to_schema(
             _read_buckets(replica, replica_version, divergent), schema
         )
@@ -185,12 +399,18 @@ def repair_replica(
     primary: LakeTable,
     replica: LakeTable,
     primary_version: int | None = None,
+    primary_fps: "FingerprintView | None" = None,
+    replica_fps: "FingerprintView | None" = None,
 ) -> dict[str, Any]:
     """Converge ``replica`` to ``primary``'s state: diff, then one
     idempotent MERGE (upserts for missing/different rows, deletes for
     extras). Returns the diff info plus the merge stats; when nothing
-    diverged, no commit is made."""
-    diff, info = diff_tables(primary, replica, primary_version)
+    diverged, no commit is made. Pass maintained ``FingerprintView``s to
+    run detection from the views instead of table scans."""
+    diff, info = diff_tables(
+        primary, replica, primary_version,
+        primary_fps=primary_fps, replica_fps=replica_fps,
+    )
     if not info["divergent_buckets"]:
         return {**info, "repaired": 0}
     snap, stats = replica.merge(diff, op_col=_OP_COL)

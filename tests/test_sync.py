@@ -154,6 +154,100 @@ def test_schema_evolution_flows_through_repair(spark, tmp_path):
     assert state(r) == state(p)
 
 
+def _scan_triples(t):
+    snap = t.snapshot()
+    cols = [f.name for f in snap.schema.fields]
+    return {
+        r["bucket"]: (r["n_rows"], r["xor_fp"], r["sum_fp"])
+        for r in bucket_fingerprints(
+            t.read(), t._bucket_expr(snap), cols
+        ).collect()
+    }
+
+
+def _view_triples(v):
+    return {
+        r["bucket"]: (r["n_rows"], r["xor_fp"], r["sum_fp"])
+        for r in v.fingerprints().collect()
+    }
+
+
+def test_fingerprint_view_tracks_scan_through_churn(spark, tmp_path):
+    from etl_spark.lake.sync import FingerprintView
+
+    p, _ = make_pair(spark, tmp_path)
+    v = FingerprintView(spark, str(tmp_path / "fp"), p)
+    v.refresh()  # initial build
+    assert _view_triples(v) == _scan_triples(p)
+    sch = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())])
+    # churn batch 1: update + delete + insert
+    p.merge(
+        spark.createDataFrame(
+            [
+                ("c001", 0, "user", "EDITED", "U"),
+                ("c002", 1, None, None, "D"),
+                ("c777", 0, "user", "brand new", "U"),
+            ],
+            sch,
+        ),
+        op_col="op",
+    )
+    # churn batch 2: delete the whole conversation inserted above
+    p.merge(
+        spark.createDataFrame([("c777", 0, None, None, "D")], sch), op_col="op"
+    )
+    out = v.refresh()
+    assert out["refreshed_through"] == p.current_version()
+    assert _view_triples(v) == _scan_triples(p)
+    # refresh is idempotent at the watermark
+    assert v.refresh()["no_op"] is True
+
+
+def test_fingerprint_view_maintenance_and_schema_evolution(spark, tmp_path):
+    from etl_spark.lake.sync import FingerprintView
+
+    p, _ = make_pair(spark, tmp_path)
+    v = FingerprintView(spark, str(tmp_path / "fp"), p)
+    v.refresh()
+    # compaction changes files, not rows: watermark-only advance
+    p.compact()
+    out = v.refresh()
+    assert out.get("maintenance_only") is True
+    assert _view_triples(v) == _scan_triples(p)
+    # adding a column changes every null-flagged row hash -> auto rebuild
+    wide = T.StructType(SCHEMA.fields + [T.StructField("tool", T.StringType())])
+    p.append(spark.createDataFrame([("c500", 0, "a", "x", "search")], wide))
+    out = v.refresh()
+    assert out.get("rebuilt") is True
+    assert _view_triples(v) == _scan_triples(p)
+
+
+def test_zero_scan_detection_via_views(spark, tmp_path):
+    from etl_spark.lake.sync import FingerprintView
+
+    p, r = make_pair(spark, tmp_path)
+    pv = FingerprintView(spark, str(tmp_path / "pfp"), p)
+    rv = FingerprintView(spark, str(tmp_path / "rfp"), r)
+    pv.refresh()
+    rv.refresh()
+    diff, info = diff_tables(p, r, primary_fps=pv, replica_fps=rv)
+    assert info["divergent_buckets"] == []
+    # replica diverges; its view keeps up via its own change feed
+    sch = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())])
+    r.merge(
+        spark.createDataFrame([("c004", 2, "x", "drift", "U")], sch), op_col="op"
+    )
+    rv.refresh()
+    out = repair_replica(p, r, primary_fps=pv)  # replica scan-side this time
+    assert out["repaired"] == 1 and state(r) == state(p)
+    # a stale view refuses to vouch for the table
+    r.merge(
+        spark.createDataFrame([("c004", 2, "y", "again", "U")], sch), op_col="op"
+    )
+    with pytest.raises(ValueError, match="stale"):
+        diff_tables(p, r, primary_fps=pv, replica_fps=rv)
+
+
 def test_fingerprints_are_per_bucket_triples(spark, tmp_path):
     p, _ = make_pair(spark, tmp_path)
     snap = p.snapshot()
