@@ -15,9 +15,10 @@ Two modes with one output shape (one row per profiled column):
   both against the exact profile.
 
 Everything is built-in JVM aggregation — no UDFs, no collect beyond the
-O(n_cols) result. Numeric aggregates route through DECIMAL(38,6) so the
+O(n_cols) result. Numeric sums ACCUMULATE in DECIMAL(38,6) so the
 parallel Spark sum and any sequential oracle sum agree bit-exactly
-(float addition is not associative; decimal is).
+(float addition is not associative; decimal is), then surface as DOUBLE
+— one exact-to-float conversion at the very end.
 
 The reference has no profiling surface (closest is its console loader's
 schema dump, /root/reference/v2/loader/loader.go); this is a
@@ -38,8 +39,8 @@ _NUMERIC = (
 _DEC = "decimal(38,6)"
 
 
-def _null_dec() -> Column:
-    return F.lit(None).cast(_DEC)
+def _null_dbl() -> Column:
+    return F.lit(None).cast("double")
 
 
 def profile_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -57,10 +58,10 @@ def profile_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
         aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{i}"))
         if isinstance(dt, _NUMERIC):
-            aggs.append(F.min(F.col(c)).cast(_DEC).alias(f"__mn_{i}"))
-            aggs.append(F.max(F.col(c)).cast(_DEC).alias(f"__mx_{i}"))
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{i}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{i}"))
             aggs.append(
-                F.sum(F.col(c).cast(_DEC)).cast(_DEC).alias(f"__sm_{i}")
+                F.sum(F.col(c).cast(_DEC)).cast("double").alias(f"__sm_{i}")
             )
         elif isinstance(dt, T.StringType):
             aggs.append(
@@ -78,9 +79,9 @@ def profile_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                 F.col("__n").alias("n_rows"),
                 (F.col("__n") - F.col(f"__nn_{i}")).alias("n_nulls"),
                 F.col(f"__nd_{i}").alias("n_distinct"),
-                (F.col(f"__mn_{i}") if is_num else _null_dec()).alias("min_num"),
-                (F.col(f"__mx_{i}") if is_num else _null_dec()).alias("max_num"),
-                (F.col(f"__sm_{i}") if is_num else _null_dec()).alias("sum_num"),
+                (F.col(f"__mn_{i}") if is_num else _null_dbl()).alias("min_num"),
+                (F.col(f"__mx_{i}") if is_num else _null_dbl()).alias("max_num"),
+                (F.col(f"__sm_{i}") if is_num else _null_dbl()).alias("sum_num"),
                 (
                     F.col(f"__sl_{i}") if is_str
                     else F.lit(None).cast("long")
@@ -111,8 +112,8 @@ def profile_approx(
         aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
         aggs.append(F.approx_count_distinct(F.col(c), rsd).alias(f"__ad_{i}"))
         if isinstance(dt, _NUMERIC):
-            aggs.append(F.min(F.col(c)).cast(_DEC).alias(f"__mn_{i}"))
-            aggs.append(F.max(F.col(c)).cast(_DEC).alias(f"__mx_{i}"))
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{i}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{i}"))
             aggs.append(
                 F.percentile_approx(
                     F.col(c).cast("double"), qs, pa_accuracy
@@ -128,8 +129,8 @@ def profile_approx(
                 F.col("__n").alias("n_rows"),
                 (F.col("__n") - F.col(f"__nn_{i}")).alias("n_nulls"),
                 F.col(f"__ad_{i}").alias("approx_distinct"),
-                (F.col(f"__mn_{i}") if is_num else _null_dec()).alias("min_num"),
-                (F.col(f"__mx_{i}") if is_num else _null_dec()).alias("max_num"),
+                (F.col(f"__mn_{i}") if is_num else _null_dbl()).alias("min_num"),
+                (F.col(f"__mx_{i}") if is_num else _null_dbl()).alias("max_num"),
                 (
                     F.col(f"__pq_{i}") if is_num
                     else F.lit(None).cast("array<double>")

@@ -1542,32 +1542,32 @@ _ORACLE_PROFILE = """
 SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
        COUNT(*) - COUNT(doc_id) AS n_nulls,
        COUNT(DISTINCT doc_id) AS n_distinct,
-       CAST(MIN(doc_id) AS DECIMAL(38,6)) AS min_num,
-       CAST(MAX(doc_id) AS DECIMAL(38,6)) AS max_num,
-       CAST(SUM(CAST(doc_id AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sum_num,
+       CAST(MIN(doc_id) AS DOUBLE) AS min_num,
+       CAST(MAX(doc_id) AS DOUBLE) AS max_num,
+       CAST(SUM(CAST(doc_id AS DECIMAL(38,6))) AS DOUBLE) AS sum_num,
        CAST(NULL AS BIGINT) AS sum_len
 FROM documents
 UNION ALL
 SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
-       CAST(NULL AS DECIMAL(38,6)), CAST(NULL AS DECIMAL(38,6)),
-       CAST(NULL AS DECIMAL(38,6)), CAST(SUM(LENGTH(text)) AS BIGINT)
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(SUM(LENGTH(text)) AS BIGINT)
 FROM documents
 UNION ALL
 SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
-       CAST(NULL AS DECIMAL(38,6)), CAST(NULL AS DECIMAL(38,6)),
-       CAST(NULL AS DECIMAL(38,6)), CAST(SUM(LENGTH(lang)) AS BIGINT)
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(SUM(LENGTH(lang)) AS BIGINT)
 FROM documents
 UNION ALL
 SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
-       CAST(NULL AS DECIMAL(38,6)), CAST(NULL AS DECIMAL(38,6)),
-       CAST(NULL AS DECIMAL(38,6)), CAST(SUM(LENGTH(source)) AS BIGINT)
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(SUM(LENGTH(source)) AS BIGINT)
 FROM documents
 UNION ALL
 SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
        COUNT(DISTINCT n_chars),
-       CAST(MIN(n_chars) AS DECIMAL(38,6)),
-       CAST(MAX(n_chars) AS DECIMAL(38,6)),
-       CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DECIMAL(38,6)),
+       CAST(MIN(n_chars) AS DOUBLE),
+       CAST(MAX(n_chars) AS DOUBLE),
+       CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE),
        CAST(NULL AS BIGINT)
 FROM documents
 """

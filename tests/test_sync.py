@@ -248,6 +248,32 @@ def test_zero_scan_detection_via_views(spark, tmp_path):
         diff_tables(p, r, primary_fps=pv, replica_fps=rv)
 
 
+def test_fingerprint_view_rides_streaming_cadence(spark, tmp_path):
+    """FingerprintView satisfies the same duck-typed refresh() contract
+    as the derived views, so CdcStream keeps it current per micro-batch —
+    continuous anti-entropy readiness at change-feed cost."""
+    from etl_spark.cdc import ChangelogSpec, generate_changelog, write_changelog
+    from etl_spark.cdc.changelog import TRANSCRIPTS_SCHEMA
+    from etl_spark.lake.sync import FingerprintView
+    from etl_spark.streaming import CdcStream
+
+    spec = ChangelogSpec(n_conversations=40, churn=1.5, n_partitions=2)
+    write_changelog(generate_changelog(spec), str(tmp_path / "wal"), spec)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA,
+        key=["conv_id", "turn_idx"], n_buckets=8, bucket_by=["conv_id"],
+    )
+    v = FingerprintView(spark, str(tmp_path / "fp"), table)
+    stream = CdcStream(
+        spark, str(tmp_path / "wal"), table, str(tmp_path / "state"),
+        views=[v],
+    )
+    stats = stream.run_to_completion()
+    assert any("view_refreshes" in s for s in stats)
+    assert v.last_applied()[0] == table.current_version()
+    assert _view_triples(v) == _scan_triples(table)
+
+
 def test_fingerprints_are_per_bucket_triples(spark, tmp_path):
     p, _ = make_pair(spark, tmp_path)
     snap = p.snapshot()
