@@ -43,6 +43,7 @@ HEADLINE = [
     "embedding_neardup",
     "embedding_neardup_blocked_hi",
     "text_stats",
+    "profile_docs_approx",
     "ngram_frequencies",
     "decontaminate",
     "quota_sample",
@@ -279,6 +280,80 @@ def run_replication_tick(spark, wal_dir: str, n_ticks: int = 4) -> dict:
             // n_ticks,
             "table_bytes": _dir_bytes(primary.path),
             "replica_rows": replica.row_count(),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def run_anti_entropy(spark, wal_dir: str) -> dict:
+    """Anti-entropy in ITS regime: a big converged primary/replica pair
+    where detection cost must not scale with the table. Seeds both sides
+    from the WAL, maintains feed-driven FingerprintViews, corrupts
+    ~1/64th of conversations on the replica out-of-band, then measures
+    (a) the incremental fingerprint refresh tick, (b) ZERO-SCAN
+    divergence detection from the two views, (c) scan-based detection
+    (what the views replace), and (d) the bucket-pruned repair."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.apply import replay
+    from etl_spark.cdc.changelog import TRANSCRIPTS_SCHEMA
+    from etl_spark.lake import LakeTable
+    from etl_spark.lake.sync import FingerprintView, diff_tables, repair_replica
+    from etl_spark.streaming.stream import discover_wal_schema
+
+    wal = spark.read.schema(discover_wal_schema(spark, wal_dir)).parquet(
+        wal_dir
+    )
+    work = tempfile.mkdtemp(prefix="etl_spark_ae_")
+    try:
+        primary = LakeTable.create(
+            spark, os.path.join(work, "p"), TRANSCRIPTS_SCHEMA,
+            key=["conv_id", "turn_idx"], n_buckets=32, bucket_by=["conv_id"],
+        )
+        replay(spark, wal, primary)
+        replica = LakeTable.create(
+            spark, os.path.join(work, "r"), TRANSCRIPTS_SCHEMA,
+            key=["conv_id", "turn_idx"], n_buckets=32, bucket_by=["conv_id"],
+        )
+        replica.append(primary.read())
+        pv = FingerprintView(spark, os.path.join(work, "pfp"), primary)
+        rv = FingerprintView(spark, os.path.join(work, "rfp"), replica)
+        t0 = time.time()
+        pv.refresh()
+        fp_build_sec = time.time() - t0
+        rv.refresh()
+        # out-of-band corruption of ~1/64th of conversations
+        corrupt = (
+            primary.read()
+            .filter(F.pmod(F.xxhash64("conv_id", F.lit(5)), F.lit(64)) == 0)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" CORRUPT")))
+            .withColumn("op", F.lit("U"))
+        )
+        replica.merge(corrupt, op_col="op")
+        t0 = time.time()
+        rv.refresh()  # incremental triple maintenance for the churn
+        fp_refresh_sec = time.time() - t0
+        t0 = time.time()
+        _d, info_v = diff_tables(
+            primary, replica, primary_fps=pv, replica_fps=rv
+        )
+        detect_view_sec = time.time() - t0
+        t0 = time.time()
+        _d, info_s = diff_tables(primary, replica)
+        detect_scan_sec = time.time() - t0
+        assert info_v["divergent_buckets"] == info_s["divergent_buckets"]
+        t0 = time.time()
+        rep = repair_replica(primary, replica, primary_fps=pv)
+        repair_sec = time.time() - t0
+        return {
+            "table_rows": primary.row_count(),
+            "divergent_buckets": len(info_s["divergent_buckets"]),
+            "repaired_rows": rep["repaired"],
+            "fp_build_sec": round(fp_build_sec, 3),
+            "fp_refresh_sec": round(fp_refresh_sec, 3),
+            "detect_view_sec": round(detect_view_sec, 3),
+            "detect_scan_sec": round(detect_scan_sec, 3),
+            "repair_sec": round(repair_sec, 3),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -724,6 +799,9 @@ def main() -> None:
         queries["cdf_replicate_tick"] = repl["sec_per_tick"]
         skew = run_skew_replay(spark, work_dir)
         queries["skew_salted_replay"] = skew["replay_sec"]
+        ae = run_anti_entropy(spark, wal_dir)
+        queries["anti_entropy_detect_view"] = ae["detect_view_sec"]
+        queries["anti_entropy_repair"] = ae["repair_sec"]
         derived = run_derived_refresh(spark, sf_dir)
         queries["derived_view_refresh"] = derived["refresh_sec"]
         cdc = run_cdc_replay(
@@ -744,6 +822,7 @@ def main() -> None:
             "mor_vs_cow": mor,
             "replication": repl,
             "skew": skew,
+            "anti_entropy": ae,
             "derived": derived,
         }
         if scaling:
