@@ -533,6 +533,16 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         _materialize(fn(spark, sf_dir))
         out[name] = round(time.time() - t0, 3)
+    # the oracle-gated dedup_ngram_jaccard entry must run with the
+    # hot-shingle cap OFF (exact DuckDB comparison); the PRODUCTION
+    # config keeps the sqrt(N) doc-frequency cap — measure it too, it is
+    # the 100-TB path
+    from etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.time()
+    _materialize(ngram_jaccard_pairs(docs, threshold=0.5))
+    out["dedup_ngram_jaccard_capped"] = round(time.time() - t0, 3)
     return out
 
 

@@ -597,6 +597,72 @@ class LakeTable:
             return self._read_files(snap, snap.data_files).count()
         return snap.total_rows
 
+    def health(self) -> dict[str, Any]:
+        """Operational health report from METADATA ONLY — zero Spark
+        jobs: snapshot-chain length, live file/row/byte counts,
+        merge-on-read delta backlog, tombstone count, pending WAP
+        stages, orphan-file candidates (vacuum dry-run), and bucket fill
+        skew from manifest row sums. These are the numbers an operator
+        (or an automated maintenance cadence) alarms on at 100 TB —
+        none of them require touching data."""
+        snap = self.snapshot()
+        data = snap.data_files
+        per_bucket: dict[int, int] = {}
+        live_paths: set[str] = set()
+        total_bytes = 0
+        for e in snap.files:
+            live_paths.add(e["path"])
+            full = os.path.join(self.path, e["path"])
+            if os.path.exists(full):
+                total_bytes += os.path.getsize(full)
+        for e in data:
+            per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + e.get(
+                "rows", 0
+            )
+        n_snapshots = sum(
+            1
+            for n in os.listdir(self._meta)
+            if n.startswith("snap-") and n.endswith(".json")
+        )
+        # orphan candidates: parquet under data/ referenced by NO snapshot
+        # (what vacuum would inspect) — counted against ALL live snapshots
+        # and staged WAP commits, exactly as vacuum does
+        all_live: set[str] = set()
+        v = self.current_version() or 0
+        for i in range(v + 1):
+            if os.path.exists(self._snap_path(i)):
+                all_live |= {f["path"] for f in self.snapshot(i).files}
+        for p in self._staged_wap_files():
+            all_live |= {f["path"] for f in self._snapshot_from_file(p).files}
+        orphans = 0
+        for root, _dirs, names in os.walk(os.path.join(self.path, _DATA_DIR)):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, n), self.path)
+                if rel not in all_live:
+                    orphans += 1
+        fills = sorted(per_bucket.values())
+        mean_fill = (sum(fills) / len(fills)) if fills else 0.0
+        return {
+            "version": snap.version,
+            "n_snapshots": n_snapshots,
+            "n_data_files": len(data),
+            "physical_rows": snap.total_rows,
+            "live_bytes": total_bytes,
+            "buckets_filled": len(per_bucket),
+            "n_buckets": snap.n_buckets,
+            "bucket_skew": round(max(fills) / mean_fill, 3) if fills else 0.0,
+            "mor_delta_rows": sum(
+                f.get("rows", 0) for f in snap.delete_source_files
+            ),
+            "tombstone_files": len(snap.tomb_files),
+            "staged_wap": sorted(
+                os.path.basename(p)[4:-5] for p in self._staged_wap_files()
+            ),
+            "orphan_files": orphans,
+        }
+
     def read_for_keys(self, values: list, version: int | None = None) -> DataFrame:
         """Point-lookup scan: read ONLY the buckets that can contain the
         given bucket-key values, manifest-pruned on the driver. ``values``

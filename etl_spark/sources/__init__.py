@@ -3,8 +3,10 @@ from etl_spark.sources.files import (
     parquet_row_count,
     read_csv_source,
     read_json_source,
+    read_orc_source,
     write_csv_sink,
     write_json_sink,
+    write_orc_sink,
 )
 from etl_spark.sources.http import fetch_urls, http_json_source
 
@@ -12,8 +14,10 @@ __all__ = [
     "read_csv_source",
     "console_sink",
     "read_json_source",
+    "read_orc_source",
     "write_csv_sink",
     "write_json_sink",
+    "write_orc_sink",
     "http_json_source",
     "fetch_urls",
     "parquet_row_count",

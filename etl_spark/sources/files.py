@@ -119,6 +119,44 @@ def write_json_sink(
     df.write.mode(mode).json(path)
 
 
+def read_orc_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    streaming: bool = False,
+    lowercase_columns: bool = True,
+    **options,
+) -> DataFrame:
+    """ORC scan (batch or streaming directory tail) — same columnar
+    pushdown/pruning properties as parquet (ORC is Spark-native; no
+    extra jars). Extends the reference's CSV/JSON file-source family
+    (/root/reference/v2/source/file.go:26-38) with the warehouse format
+    Hive-side producers emit."""
+    reader = spark.readStream if streaming else spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.orc(path)
+    if lowercase_columns:
+        df = df.toDF(*[c.lower() for c in df.columns])
+    return df
+
+
+def write_orc_sink(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    single_file: bool = False,
+) -> None:
+    """ORC sink (columnar, splittable, predicate-pushdown-readable —
+    unlike the reference's JSON-array loader this stays mergeable and
+    scan-efficient at any size)."""
+    if single_file:
+        df = df.coalesce(1)
+    df.write.mode(mode).orc(path)
+
+
 def console_sink(
     df: DataFrame, n: int = 20, truncate: bool = True, verbose: bool = False
 ) -> int:
