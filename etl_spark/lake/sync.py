@@ -80,9 +80,18 @@ def _read_buckets(table: LakeTable, version: int | None, buckets: set[int]) -> D
     return table._read_files(snap, entries)
 
 
-def _schema_fp(schema: T.StructType) -> str:
+def _state_fp(schema: T.StructType, n_buckets: int, bucket_by: list[str]) -> str:
+    """Hash of everything the stored triples depend on: the COLUMN SET
+    (null-flagged row hashes change when a column appears) and the
+    BUCKET LAYOUT (triples are keyed by bucket — a rebucket re-keys
+    every row even though no row content changed). A refresh whose
+    pinned hash no longer matches must rebuild, never fast-forward."""
     blob = json.dumps(
-        sorted((f.name, f.dataType.simpleString()) for f in schema.fields)
+        [
+            sorted((f.name, f.dataType.simpleString()) for f in schema.fields),
+            n_buckets,
+            list(bucket_by),
+        ]
     )
     return hashlib.sha1(blob.encode()).hexdigest()[:12]
 
@@ -149,7 +158,11 @@ class FingerprintView:
         return None
 
     def _note(self, cur: int) -> str:
-        return f"refresh:{cur}.{_schema_fp(self.source.schema)}"
+        snap = self.source.snapshot(cur, buckets=set())
+        return (
+            f"refresh:{cur}."
+            f"{_state_fp(snap.schema, snap.n_buckets, snap.bucket_by)}"
+        )
 
     # -------------------------------------------------------------- refresh
     def fingerprints(self) -> DataFrame:
@@ -161,10 +174,13 @@ class FingerprintView:
             raise FileNotFoundError("source table has no snapshots")
         snap = self.source.snapshot(cur, buckets=set())
         cols = [f.name for f in snap.schema.fields]
-        cur_hash = _schema_fp(snap.schema)
+        cur_hash = _state_fp(snap.schema, snap.n_buckets, snap.bucket_by)
         last = self.last_applied()
         if last is not None and last[1] != cur_hash:
-            # column set changed -> every row hash changed -> rebuild
+            # column set changed (every row hash changed) OR bucket
+            # layout changed (every triple re-keyed) -> rebuild; checked
+            # BEFORE the maintenance shortcut, since rebucket is
+            # row-content-maintenance but re-keys the triples
             return self.rebuild(cur)
         if last is not None and last[0] >= cur:
             return {"refreshed_through": last[0], "buckets_updated": 0,
@@ -257,7 +273,10 @@ def _view_fps(side: LakeTable, view: "FingerprintView", name: str) -> list:
         raise ValueError(f"{name} fingerprint view tracks a different table")
     last = view.last_applied()
     cur = side.current_version()
-    if last is None or last[0] < cur or last[1] != _schema_fp(side.schema):
+    snap = side.snapshot(cur, buckets=set())
+    if last is None or last[0] < cur or last[1] != _state_fp(
+        snap.schema, snap.n_buckets, snap.bucket_by
+    ):
         raise ValueError(
             f"{name} fingerprint view is stale (applied {last}, table at "
             f"{cur}) — call refresh() first"

@@ -222,3 +222,24 @@ def test_quota_two_phase_broadcasts_cutoffs(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = quota_sample(docs, ["lang"], k=5, hash_on="text", n_prefilter_buckets=64)
     assert "BroadcastHashJoin" in _executed_plan(out)
+
+
+def test_fingerprint_agg_is_partial_no_python(spark):
+    """The anti-entropy fingerprint summary must partial-aggregate
+    map-side (one HashAggregate below the Exchange, one above — the
+    shuffle carries per-bucket triples, never rows) and stay pure
+    codegen: no Python, no Expand, exactly one Exchange."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.lake.sync import bucket_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bexpr = F.pmod(F.xxhash64("doc_id"), F.lit(32)).cast("int")
+    plan = _executed_plan(
+        bucket_fingerprints(docs, bexpr, ["doc_id", "text", "lang"])
+    )
+    assert plan.count("Exchange") == 1
+    # partial + final aggregate pair around the single exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Expand" not in plan

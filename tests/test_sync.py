@@ -248,6 +248,23 @@ def test_zero_scan_detection_via_views(spark, tmp_path):
         diff_tables(p, r, primary_fps=pv, replica_fps=rv)
 
 
+def test_fingerprint_view_rebuilds_after_rebucket(spark, tmp_path):
+    """rebucket() is row-content maintenance, but it RE-KEYS every
+    triple: the view must rebuild under the new layout, never
+    fast-forward its watermark with stale bucket keys."""
+    from etl_spark.lake.sync import FingerprintView
+
+    p, _ = make_pair(spark, tmp_path)
+    v = FingerprintView(spark, str(tmp_path / "fp"), p)
+    v.refresh()
+    p.rebucket(16)
+    out = v.refresh()
+    assert out.get("rebuilt") is True
+    assert _view_triples(v) == _scan_triples(p)
+    # and the triples really are keyed under the NEW 16-bucket layout
+    assert max(_view_triples(v)) >= 8 or len(_view_triples(v)) > 8
+
+
 def test_fingerprint_view_rides_streaming_cadence(spark, tmp_path):
     """FingerprintView satisfies the same duck-typed refresh() contract
     as the derived views, so CdcStream keeps it current per micro-batch —
