@@ -700,6 +700,54 @@ class LakeTable:
             pred = this if pred is None else (pred | this)
         return out.filter(pred) if pred is not None else out
 
+    def bucket_histogram(
+        self, df: DataFrame, version: int | None = None
+    ) -> dict[int, int]:
+        """Per-bucket row counts of ``df`` under THIS table's bucket layout
+        (one small aggregation action — at most ``n_buckets`` rows reach the
+        driver). The result doubles as ``merge(per_bucket=...)``, so a
+        caller that needs the histogram anyway pays zero extra jobs for the
+        merge's own sizing pass."""
+        head = self.snapshot(version, buckets=set())
+        if head.n_buckets <= 0:
+            raise ValueError("bucket_histogram requires a bucketed table")
+        return {
+            r["__b"]: r["n"]
+            for r in df.groupBy(self._bucket_expr(head).alias("__b"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    def read_for_key_frame(
+        self,
+        keys: DataFrame,
+        buckets: set[int] | None = None,
+        version: int | None = None,
+        broadcast: bool = True,
+        distinct: bool = True,
+    ) -> DataFrame:
+        """Distributed companion of ``read_for_keys``: stored rows whose
+        key appears in the ``keys`` FRAME (any frame carrying the table's
+        key columns). Manifest-pruned to ``buckets`` when the caller
+        already knows the affected set (``bucket_histogram``); the key
+        restriction is a left-semi join, broadcast while the key frame is
+        batch-sized so the bucket scan stays map-side and shuffle-free —
+        the read-before-write shape for patch/partial-update resolution."""
+        head = self.snapshot(version, buckets=set())
+        if head.n_buckets <= 0:
+            raise ValueError("read_for_key_frame requires a bucketed table")
+        if buckets is None:
+            buckets = set(self.bucket_histogram(keys, version))
+        snap = self.snapshot(version, buckets=buckets)
+        entries = [f for f in snap.data_files if f["bucket"] in buckets]
+        out = self._read_files(snap, entries)
+        k = keys.select(*snap.key)
+        if distinct:  # skip for key-unique frames (e.g. a fold output):
+            k = k.dropDuplicates(snap.key)  # saves one batch-sized shuffle
+        if broadcast:
+            k = F.broadcast(k)
+        return out.join(k, on=list(snap.key), how="left_semi")
+
     # ------------------------------------------------------------- zone maps
     def files_matching(
         self,

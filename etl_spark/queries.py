@@ -338,6 +338,103 @@ def q_cdc_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update (patch) CDC apply (cdc.patch): the events changelog
+    becomes a TOAST/minimal-row-image-style stream — inserts are full
+    images, updates carry ONLY the columns named in ``touched`` (the
+    others must keep their stored value), deletes clear the row. Applied
+    in four (ts, lsn)-ordered batches via ``apply_patches``: one
+    map-side-combinable column-wise LWW fold per batch, stored values for
+    untouched columns resolved from a bucket-pruned broadcast-semi-joined
+    read (the table side never shuffles), then the ordinary MERGE. The
+    oracle replays the identical patch semantics over the full log with
+    DuckDB struct-max aggregates — untouched-keeps-stored, explicit
+    set-to-NULL, and delete-then-patch recreation must all agree."""
+    from pyspark.sql.window import Window
+
+    from etl_spark.cdc.patch import apply_patches
+
+    events = _t(spark, sf_dir, "events")
+    eid3 = F.pmod(F.col("event_id"), F.lit(3))
+    chg = events.select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.pmod(F.col("event_id"), F.lit(5)) == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "event_type",
+        "value",
+        F.when(eid3 == 0, F.array(F.lit("value")))
+        .when(eid3 == 1, F.array(F.lit("event_type")))
+        .otherwise(F.array(F.lit("value"), F.lit("event_type")))
+        .alias("touched"),
+    ).withColumn(
+        "__q", F.ntile(4).over(Window.orderBy(F.col("ts"), F.col("lsn")))
+    )
+    chg.persist()
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_patch_q_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, key=["user_id"], n_buckets=32
+    )
+    try:
+        for q in range(1, 5):
+            apply_patches(
+                table,
+                chg.filter(F.col("__q") == q).drop("__q"),
+                key=["user_id"],
+                order_by=["ts", "lsn"],
+            )
+    finally:
+        chg.unpersist()
+    return table.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+_ORACLE_CDC_PATCH = """
+WITH chg AS (
+  SELECT user_id, ts, event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_id % 5 = 0 THEN 'I'
+              ELSE 'U' END AS op,
+         event_type, value,
+         CASE WHEN event_id % 3 = 0 THEN ['value']
+              WHEN event_id % 3 = 1 THEN ['event_type']
+              ELSE ['value', 'event_type'] END AS touched
+  FROM events),
+folded AS (
+  SELECT user_id,
+    max(CASE WHEN op <> 'U' OR list_contains(touched, 'event_type')
+        THEN struct_pack(ts := ts, lsn := lsn,
+             p := struct_pack(v := CASE WHEN op = 'D' THEN NULL
+                                        ELSE event_type END)) END) AS et,
+    max(CASE WHEN op <> 'U' OR list_contains(touched, 'value')
+        THEN struct_pack(ts := ts, lsn := lsn,
+             p := struct_pack(v := CASE WHEN op = 'D' THEN NULL
+                                        ELSE value END)) END) AS val,
+    max(struct_pack(ts := ts, lsn := lsn, o := op)) AS last
+  FROM chg GROUP BY user_id)
+SELECT user_id,
+       et.p.v  AS last_event_type,
+       val.p.v AS last_value,
+       last.ts AS last_ts
+FROM folded WHERE last.o <> 'D'
+"""
+
+
 def q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium-envelope adapter (sources.debezium): the events changelog
     is serialized into standard Debezium JSON envelopes (before/after
@@ -2602,6 +2699,7 @@ FROM final WHERE value > 50.0
 QUERIES = {
     "cdc_apply_final_state": q_cdc_apply_final_state,
     "cdc_apply_mor": q_cdc_apply_mor,
+    "cdc_apply_patch": q_cdc_apply_patch,
     "wap_publish": q_wap_publish,
     "replica_repair": q_replica_repair,
     "change_feed_replicate": q_change_feed_replicate,
@@ -2686,6 +2784,7 @@ QUERIES = {
 ORACLE_SQL = {
     "cdc_apply_final_state": _ORACLE_CDC_FINAL,
     "cdc_apply_mor": _ORACLE_CDC_FINAL,
+    "cdc_apply_patch": _ORACLE_CDC_PATCH,
     "wap_publish": _ORACLE_CDC_FINAL,
     "replica_repair": _ORACLE_CDC_FINAL,
     "change_feed_replicate": _ORACLE_CDC_FINAL,

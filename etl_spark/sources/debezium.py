@@ -102,6 +102,51 @@ def parse_debezium(
     return df.select(*cols)
 
 
+# Debezium's placeholder for unchanged TOAST-ed columns (Postgres): the
+# post-image carries this sentinel instead of re-shipping a large value
+# the WAL didn't log. Consuming such a stream with full-row MERGE would
+# overwrite real data with the sentinel — it must become a PATCH.
+DEBEZIUM_UNAVAILABLE = "__debezium_unavailable_value"
+
+
+def toast_to_patches(
+    df: DataFrame,
+    payload_cols: list[str],
+    sentinel: str = DEBEZIUM_UNAVAILABLE,
+    op_col: str = "op",
+    touched_col: str = "touched",
+) -> DataFrame:
+    """Normalize sentinel-bearing change rows (``parse_debezium`` output)
+    into patch events for ``cdc.patch.apply_patches``: adds ``touched``
+    (array<string> of payload columns whose value is NOT the sentinel —
+    i.e. genuinely shipped by the producer) and NULLs the sentinel out of
+    the data columns. Only string columns can carry the sentinel; other
+    types are always touched. Delete rows pass through (patch fold
+    ignores ``touched`` for deletes). Pure column expressions — one
+    projection, no Python."""
+    sent = {
+        c: F.col(c).eqNullSafe(F.lit(sentinel))
+        for c in payload_cols
+        if isinstance(df.schema[c].dataType, T.StringType)
+    }
+    touched = F.array_compact(
+        F.array(
+            *[
+                F.when(~sent[c], F.lit(c)) if c in sent else F.lit(c)
+                for c in payload_cols
+            ]
+        )
+    )
+    out = [
+        F.when(sent[c], F.lit(None).cast("string")).otherwise(F.col(c)).alias(c)
+        if c in sent
+        else F.col(c)
+        for c in payload_cols
+    ]
+    rest = [c for c in df.columns if c not in payload_cols]
+    return df.select(*out, *rest, touched.alias(touched_col))
+
+
 def split_rejects(parsed: DataFrame, corrupt_col: str = "_corrupt"):
     """(clean_rows_without_corrupt_col, reject_rows) — the dead-letter
     split for the parse stage; wire rejects to the same per-batch

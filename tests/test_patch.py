@@ -1,0 +1,310 @@
+"""Partial-update (patch) CDC: fold semantics, end-to-end apply, batch
+associativity vs a full-log pandas oracle, Debezium TOAST adaptation,
+schema evolution via patches, and the no-target-shuffle plan contract."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.cdc.patch import apply_patches, fold_patches, resolve_patches
+from etl_spark.lake import LakeTable
+from etl_spark.sources.debezium import (
+    DEBEZIUM_UNAVAILABLE,
+    parse_debezium,
+    toast_to_patches,
+)
+
+TS0 = dt.datetime(2020, 1, 1)
+
+
+def ts(s: int) -> dt.datetime:
+    return TS0 + dt.timedelta(seconds=s)
+
+
+EV_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("lsn", T.LongType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("touched", T.ArrayType(T.StringType())),
+])
+
+TBL_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def make_table(spark, tmp_path, n_buckets=4):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), TBL_SCHEMA, key=["user_id"],
+        n_buckets=n_buckets,
+    )
+
+
+def test_fold_patches_column_wise_lww(spark):
+    df = spark.createDataFrame([
+        (1, ts(1), 1, "I", "a", 1.0, None),
+        (1, ts(2), 2, "U", "b", 99.0, ["event_type"]),   # 99.0 NOT touched
+        (1, ts(3), 3, "U", None, None, ["value"]),        # explicit NULL value
+        (2, ts(1), 4, "U", "x", 5.0, ["event_type"]),     # patch, no insert
+        (3, ts(1), 5, "I", "q", 7.0, None),
+        (3, ts(2), 6, "D", None, None, None),
+    ], EV_SCHEMA)
+    out = {
+        r["user_id"]: r
+        for r in fold_patches(df, key=["user_id"], order_by=["ts", "lsn"])
+        .collect()
+    }
+    # key 1: event_type set at lsn 2, value explicitly NULLed at lsn 3
+    assert out[1]["op"] == "U"
+    assert out[1]["event_type"]["v"] == "b"
+    assert out[1]["value"] is not None and out[1]["value"]["v"] is None
+    assert out[1]["ts"] == ts(3) and out[1]["lsn"] == 3
+    # key 2: value never touched in the batch -> NULL WRAPPER (keep stored)
+    assert out[2]["event_type"]["v"] == "x"
+    assert out[2]["value"] is None
+    # key 3: last event is a delete
+    assert out[3]["op"] == "D"
+
+
+def test_delete_then_patch_never_leaks_predelete_values(spark, tmp_path):
+    table = make_table(spark, tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, ts(1), 1, "I", "keep?", 42.0, None)], EV_SCHEMA
+    )
+    apply_patches(table, b1, key=["user_id"], order_by=["ts", "lsn"])
+    # delete then recreate-by-patch IN ONE BATCH: the pre-delete
+    # event_type/value must not resurface for columns the patch left out
+    b2 = spark.createDataFrame([
+        (1, ts(2), 2, "D", None, None, None),
+        (1, ts(3), 3, "U", None, 7.0, ["value"]),
+    ], EV_SCHEMA)
+    apply_patches(table, b2, key=["user_id"], order_by=["ts", "lsn"])
+    row = table.read().collect()[0]
+    assert row["value"] == 7.0
+    assert row["event_type"] is None  # NOT "keep?"
+
+
+def test_apply_patches_end_to_end(spark, tmp_path):
+    table = make_table(spark, tmp_path)
+    b1 = spark.createDataFrame([
+        (1, ts(1), 10, "I", "a", 1.5, None),
+        (2, ts(1), 11, "I", "x", 9.0, None),
+        (3, ts(1), 12, "I", "q", 4.0, None),
+    ], EV_SCHEMA)
+    stats1 = apply_patches(table, b1, key=["user_id"], order_by=["ts", "lsn"])
+    assert stats1["rows_applied"] == 3
+    b2 = spark.createDataFrame([
+        (1, ts(2), 20, "U", "b", None, ["event_type"]),
+        (1, ts(3), 21, "U", None, None, ["value"]),
+        (2, ts(2), 22, "D", None, None, None),
+        (2, ts(3), 23, "U", None, 7.0, ["value"]),
+        (3, ts(2), 24, "D", None, None, None),
+        (4, ts(2), 25, "U", "new", None, ["event_type"]),
+    ], EV_SCHEMA)
+    apply_patches(table, b2, key=["user_id"], order_by=["ts", "lsn"])
+    got = {r["user_id"]: r for r in table.read().collect()}
+    assert set(got) == {1, 2, 4}
+    assert (got[1]["event_type"], got[1]["value"]) == ("b", None)
+    assert (got[2]["event_type"], got[2]["value"]) == (None, 7.0)
+    assert (got[4]["event_type"], got[4]["value"]) == ("new", None)
+    # order columns in the table schema carry the last event's order;
+    # ones not in the schema (lsn) must NOT have been evolved in
+    assert got[1]["ts"] == ts(3)
+    assert "lsn" not in table.schema.fieldNames()
+
+
+def _pandas_patch_oracle(pdf: pd.DataFrame) -> dict:
+    """Sequential per-event replay of the patch semantics in plain
+    Python — the trusted reference for the associativity test."""
+    state: dict = {}
+    for r in pdf.sort_values(["ts", "lsn"]).itertuples():
+        k = r.user_id
+        if r.op == "D":
+            state.pop(k, None)
+            state[("tomb", k)] = True  # deletion leaves no trace; marker unused
+            continue
+        row = state.get(k, {"event_type": None, "value": None})
+        if r.op == "I":
+            row = {"event_type": r.event_type, "value": r.value}
+        else:
+            if "event_type" in r.touched:
+                row = dict(row, event_type=r.event_type)
+            if "value" in r.touched:
+                row = dict(row, value=r.value)
+        state[k] = row
+    return {k: v for k, v in state.items() if not isinstance(k, tuple)}
+
+
+def test_batched_apply_equals_full_log_oracle(spark, tmp_path):
+    """3 ts-ordered batches through apply_patches == sequential replay of
+    the full log (fold associativity + resolution correctness), on a
+    deterministic pseudo-random 240-event log over 24 keys."""
+    rows = []
+    for i in range(240):
+        k = (i * 7919) % 24
+        h = (i * 104729) % 100
+        op = "D" if h < 10 else ("I" if h < 30 else "U")
+        touched = [["value"], ["event_type"], ["value", "event_type"]][h % 3]
+        et = f"t{h % 5}" if (op == "I" or "event_type" in touched) else None
+        val = float(h) if (op == "I" or "value" in touched) else None
+        if op == "D":
+            et, val, touched = None, None, None
+        rows.append((k, ts(i), i, op, et, val, touched if op == "U" else None))
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    table = make_table(spark, tmp_path, n_buckets=8)
+    for b in range(3):
+        batch = df.filter(
+            (F.col("lsn") >= b * 80) & (F.col("lsn") < (b + 1) * 80)
+        )
+        apply_patches(table, batch, key=["user_id"], order_by=["ts", "lsn"])
+    got = {
+        r["user_id"]: (r["event_type"], r["value"])
+        for r in table.read().collect()
+    }
+    exp = {
+        k: (v["event_type"], v["value"])
+        for k, v in _pandas_patch_oracle(df.toPandas()).items()
+    }
+    assert got == exp
+
+
+def test_toast_sentinel_roundtrip(spark, tmp_path):
+    """Debezium stream where an update ships the TOAST sentinel for an
+    unchanged big column: full-row MERGE would destroy the stored text;
+    toast_to_patches + apply_patches preserves it."""
+    payload_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    def env(lsn, op, after):
+        return json.dumps({"payload": {
+            "before": None, "after": after,
+            "source": {"lsn": lsn, "ts_ms": 1577836800000 + lsn * 1000,
+                       "table": "t"},
+            "op": op, "ts_ms": 1577836800000 + lsn * 1000,
+        }})
+
+    envelopes = [
+        env(1, "c", {"user_id": 1, "event_type": "big-toasted-text",
+                     "value": 1.0}),
+        env(2, "u", {"user_id": 1, "event_type": DEBEZIUM_UNAVAILABLE,
+                     "value": 2.5}),
+    ]
+    raw = spark.createDataFrame([(e,) for e in envelopes], ["value_json"])
+    parsed = parse_debezium(
+        raw.withColumnRenamed("value_json", "value_raw"),
+        payload_schema, value_col="value_raw",
+    )
+    assert parsed.filter(F.col("_corrupt").isNotNull()).count() == 0
+    chg = toast_to_patches(
+        parsed.drop("_corrupt"), ["event_type", "value"]
+    ).withColumn("ts", F.col("ts"))
+    # the sentinel row is a patch touching only `value`
+    t2 = {r["lsn"]: r["touched"] for r in chg.collect()}
+    assert t2[2] == ["value"]
+    table = make_table(spark, tmp_path)
+    # Debezium has no insert-op distinction post-normalization (c/r/u -> U
+    # full images with all columns touched) — patch apply handles that:
+    # row 1 touches everything, row 2 only `value`
+    apply_patches(table, chg, key=["user_id"], order_by=["ts", "lsn"])
+    row = table.read().collect()[0]
+    assert row["event_type"] == "big-toasted-text"  # survived the sentinel
+    assert row["value"] == 2.5
+
+
+def test_patch_schema_evolution_new_column(spark, tmp_path):
+    """A patch stream can introduce a NEW payload column: the merge
+    evolves the table schema; rows the batch didn't touch read NULL."""
+    table = make_table(spark, tmp_path)
+    b1 = spark.createDataFrame([
+        (1, ts(1), 1, "I", "a", 1.0, None),
+        (2, ts(1), 2, "I", "b", 2.0, None),
+    ], EV_SCHEMA)
+    apply_patches(table, b1, key=["user_id"], order_by=["ts", "lsn"])
+    ev2 = T.StructType(
+        EV_SCHEMA.fields + [T.StructField("tool", T.StringType())]
+    )
+    b2 = spark.createDataFrame(
+        [(1, ts(2), 3, "U", None, None, ["tool"], "search")], ev2
+    )
+    apply_patches(table, b2, key=["user_id"], order_by=["ts", "lsn"])
+    got = {r["user_id"]: r for r in table.read().collect()}
+    assert got[1]["tool"] == "search"
+    assert got[1]["event_type"] == "a"  # untouched by the patch
+    assert got[2]["tool"] is None
+
+
+def test_patch_mor_mode_matches_cow(spark, tmp_path):
+    """mode='mor' patches (resolved rows land as delta files, no bucket
+    rewrite) converge to the same state as copy-on-write."""
+    logs = [
+        [(1, ts(1), 1, "I", "a", 1.0, None), (2, ts(1), 2, "I", "b", 2.0, None)],
+        [(1, ts(2), 3, "U", "a2", None, ["event_type"]),
+         (2, ts(2), 4, "D", None, None, None)],
+        [(2, ts(3), 5, "U", None, 9.0, ["value"])],
+    ]
+    finals = []
+    for mode in ("cow", "mor"):
+        tdir = tmp_path / mode
+        tdir.mkdir()
+        table = make_table(spark, tdir)
+        for batch in logs:
+            apply_patches(
+                table, spark.createDataFrame(batch, EV_SCHEMA),
+                key=["user_id"], order_by=["ts", "lsn"], mode=mode,
+            )
+        finals.append(sorted(
+            (r["user_id"], r["event_type"], r["value"])
+            for r in table.read().collect()
+        ))
+    assert finals[0] == finals[1] == [(1, "a2", 1.0), (2, None, 9.0)]
+
+
+def test_patch_resolution_plan_is_broadcast_only(spark, tmp_path):
+    """The resolution read must never shuffle the table side: exactly one
+    Exchange (the fold's groupBy), every join broadcast, no sort-merge."""
+    table = make_table(spark, tmp_path, n_buckets=8)
+    seed = spark.createDataFrame(
+        [(i, ts(1), i, "I", f"e{i}", float(i), None) for i in range(50)],
+        EV_SCHEMA,
+    )
+    apply_patches(table, seed, key=["user_id"], order_by=["ts", "lsn"])
+    batch = spark.createDataFrame(
+        [(i, ts(2), 100 + i, "U", None, float(i) * 2, ["value"])
+         for i in range(0, 50, 5)],
+        EV_SCHEMA,
+    )
+    folded = fold_patches(batch, key=["user_id"], order_by=["ts", "lsn"])
+    folded.persist().count()  # apply_patches persists the fold likewise
+    try:
+        # contract 1: the stored-row read never shuffles the table side —
+        # the key restriction is a broadcast semi join, zero shuffle
+        # exchanges anywhere in that subtree
+        stored = table.read_for_key_frame(folded, distinct=False)
+        splan = stored._jdf.queryExecution().executedPlan().toString()
+        # text below the cache boundary is the fold's ALREADY-MATERIALIZED
+        # plan (its own groupBy shuffle) — only the live plan above it counts
+        live = splan.split("InMemoryRelation", 1)[0]
+        assert "Exchange hashpartitioning" not in live, splan
+        assert "BroadcastHashJoin" in live and "LeftSemi" in live, splan
+        # contract 2: the full resolution is broadcast-only — no
+        # sort-merge join, both joins (semi + left resolution) broadcast
+        resolved = resolve_patches(table, folded)
+        plan = resolved._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+    finally:
+        folded.unpersist()
