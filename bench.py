@@ -28,6 +28,7 @@ import time
 
 HEADLINE = [
     "cdc_apply_final_state",
+    "cdc_apply_patch",
     "lww_dedup",
     "sessionize",
     "agg_pricing_summary",

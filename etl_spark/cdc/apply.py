@@ -90,6 +90,24 @@ def default_validators(op_col: str = "op") -> list[tuple[str, Column]]:
     ]
 
 
+def default_patch_validators(
+    op_col: str = "op", touched_col: str = "touched"
+) -> list[tuple[str, Column]]:
+    """Validators for PATCH streams: payload columns are legitimately
+    NULL on update rows (untouched-keeps-stored), so the full-row
+    payload_present check would dead-letter every patch — instead an
+    update must name at least one touched column."""
+    return [
+        ("key_not_null", F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()),
+        ("op_known", F.col(op_col).isin("I", "U", "D")),
+        (
+            "touched_present",
+            (F.col(op_col) != "U")
+            | (F.coalesce(F.size(F.col(touched_col)), F.lit(0)) > 0),
+        ),
+    ]
+
+
 def apply_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -109,6 +127,7 @@ def apply_batch(
     transform_stage: str = "pre",
     merge_lww_by: Sequence[str] | None = None,
     merge_mode: str = "cow",
+    patch_touched_col: str | None = None,
 ) -> dict:
     """Apply one changelog micro-batch to the lake table, exactly once.
 
@@ -116,6 +135,16 @@ def apply_batch(
     per micro-batch instead of rewriting every touched bucket — see
     ``LakeTable.merge``); pair it with a compaction cadence so the read-
     side delta backlog stays bounded.
+
+    ``patch_touched_col`` switches the batch to PARTIAL-UPDATE semantics
+    (cdc.patch): update events set only the columns named in that
+    array<string> column, others keep their stored value. The LWW dedup
+    becomes the column-wise fold, untouched columns resolve from a
+    bucket-pruned broadcast read, and the default validators swap for
+    patch-aware ones; accounting, commit log, watermarks and metrics are
+    unchanged (same two-action budget: fused stats pass + merge write).
+    ``salted_dedup`` is ignored in patch mode — the fold's map-side
+    combine already collapses hot keys before the shuffle.
 
     Pipeline: commit-log skip -> watermark filter -> transform ->
     validator split (dead-letter) -> LWW dedup -> MERGE -> advance
@@ -173,7 +202,12 @@ def apply_batch(
     try:
         stats: dict = {"batch_id": batch_id, "source": source, "skipped": False}
 
-        vals = list(validators) if validators is not None else default_validators(op_col)
+        if validators is not None:
+            vals = list(validators)
+        elif patch_touched_col is not None:
+            vals = default_patch_validators(op_col, patch_touched_col)
+        else:
+            vals = default_validators(op_col)
         if vals:
             valid_pred = vals[0][1]
             for _, p in vals[1:]:
@@ -256,23 +290,51 @@ def apply_batch(
                 commit_log.commit(source, batch_id, stats)
             return stats
 
-        deduped = dedup_last_writer_wins(
-            valid, key=table.key, salted=salted_dedup
-        )
-        if post_transform:
-            deduped = transform(deduped)
         # guard order columns must survive into the merge (and hence the
         # table schema) — the guard compares the STORED order of the
         # current row/tombstone against the incoming event's
         keep = set(merge_lww_by or ())
-        merge_src = deduped.drop(
-            *[c for c in META_COLS if c in deduped.columns and c not in keep]
-        )
-        snap, merge_stats = table.merge(
-            merge_src, op_col=op_col, per_bucket=per_bucket,
-            lww_by=list(merge_lww_by) if merge_lww_by else None,
-            mode=merge_mode,
-        )
+        fold_cache = None
+        if patch_touched_col is not None:
+            from etl_spark.cdc.patch import fold_patches, resolve_patches
+
+            order_cols = [c for c in DEFAULT_ORDER if c in valid.columns]
+            # non-order meta would otherwise be folded as payload wrappers
+            fold_src = valid.drop(
+                *[c for c in ("_seq", "batch_id") if c in valid.columns]
+            )
+            fold_cache = fold_patches(
+                fold_src, key=table.key, order_by=order_cols,
+                op_col=op_col, touched_col=patch_touched_col,
+            ).persist()
+            deduped = resolve_patches(
+                table, fold_cache, op_col=op_col,
+                buckets=set(per_bucket), broadcast=rows_in <= 200_000,
+            )
+            if post_transform:
+                deduped = transform(deduped)
+            merge_src = deduped.drop(*[
+                c for c in order_cols
+                if c not in keep and c not in tsnap.schema.fieldNames()
+            ])
+        else:
+            deduped = dedup_last_writer_wins(
+                valid, key=table.key, salted=salted_dedup
+            )
+            if post_transform:
+                deduped = transform(deduped)
+            merge_src = deduped.drop(
+                *[c for c in META_COLS if c in deduped.columns and c not in keep]
+            )
+        try:
+            snap, merge_stats = table.merge(
+                merge_src, op_col=op_col, per_bucket=per_bucket,
+                lww_by=list(merge_lww_by) if merge_lww_by else None,
+                mode=merge_mode,
+            )
+        finally:
+            if fold_cache is not None:
+                fold_cache.unpersist()
         stats.update(merge_stats)
         # Post-dedup count observed on the merge-write job — NOT the
         # pre-dedup per_bucket sum (in-batch duplicates don't count as

@@ -107,6 +107,11 @@ class CdcStream:
     # below then also bounds the read-side delta backlog (compaction
     # folds equality-deletes/shadowed copies back into plain buckets).
     merge_mode: str = "cow"
+    # Partial-update WAL (cdc.patch): update events set only the columns
+    # named in this array<string> column; others keep their stored value.
+    # Switches apply_batch to the column-wise fold + bucket-pruned
+    # resolution (and patch-aware default validators). None = full rows.
+    patch_touched_col: str | None = None
     # Multi-destination fan-out: the same batch is applied to each extra
     # table after the primary (reference re-runs the whole ETL per
     # destination, /root/reference/etl.go:463-477; here the batch is
@@ -206,6 +211,7 @@ class CdcStream:
                 salted_dedup=self.salted_dedup,
                 merge_lww_by=self.merge_lww_by,
                 merge_mode=self.merge_mode,
+                patch_touched_col=self.patch_touched_col,
             ),
             attempts=self.retry_attempts,
         )
@@ -223,6 +229,7 @@ class CdcStream:
                     salted_dedup=self.salted_dedup,
                     merge_lww_by=self.merge_lww_by,
                     merge_mode=self.merge_mode,
+                    patch_touched_col=self.patch_touched_col,
                 ),
                 attempts=self.retry_attempts,
             )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import os
 
 import pandas as pd
 import pytest
@@ -271,6 +272,116 @@ def test_patch_mor_mode_matches_cow(spark, tmp_path):
             for r in table.read().collect()
         ))
     assert finals[0] == finals[1] == [(1, "a2", 1.0), (2, None, 9.0)]
+
+
+def _patch_wal_rows():
+    """Deterministic 160-event patch log over 30 transcript keys.
+    Conversations are routed to a WAL partition by hash (per-key
+    in-order delivery, the binlog contract); lsn/ts globally ascending."""
+    rows = []
+    for i in range(160):
+        conv = f"c{(i * 13) % 10}"
+        turn = (i * 7) % 3
+        h = (i * 104729) % 100
+        op = "D" if h < 8 else ("I" if h < 30 else "U")
+        touched = [["role"], ["text"], ["tool"], ["role", "text"]][h % 4]
+        role = f"r{h % 3}" if (op == "I" or "role" in touched) else None
+        text = f"t{h}" if (op == "I" or "text" in touched) else None
+        tool = f"tool{h % 2}" if (op == "I" or "tool" in touched) else None
+        if op == "D":
+            role = text = tool = None
+        rows.append(dict(
+            op=op, lsn=i, ts=ts(i + 1), conv_id=conv, turn_idx=turn,
+            role=role, text=text, tool=tool,
+            touched=touched if op == "U" else None,
+            part=int(conv[1:]) % 2,
+        ))
+    return rows
+
+
+def _sequential_patch_oracle(rows):
+    state = {}
+    for r in sorted(rows, key=lambda r: (r["ts"], r["lsn"])):
+        k = (r["conv_id"], r["turn_idx"])
+        if r["op"] == "D":
+            state.pop(k, None)
+        elif r["op"] == "I":
+            state[k] = {"role": r["role"], "text": r["text"], "tool": r["tool"]}
+        else:
+            cur = state.get(k, {"role": None, "text": None, "tool": None})
+            state[k] = {
+                c: (r[c] if c in r["touched"] else cur[c])
+                for c in ("role", "text", "tool")
+            }
+    return state
+
+
+def test_stream_patch_wal_converges_exactly_once(spark, tmp_path):
+    """A partial-update WAL tailed by CdcStream(patch_touched_col=...):
+    cross-micro-batch patches resolve against stored state, the final
+    table equals a sequential per-event replay, and a restarted stream
+    over the same state applies nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = _patch_wal_rows()
+    wal = tmp_path / "wal"
+    pa_schema = pa.schema([
+        ("op", pa.string()), ("lsn", pa.int64()), ("ts", pa.timestamp("us")),
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("role", pa.string()), ("text", pa.string()), ("tool", pa.string()),
+        ("touched", pa.list_(pa.string())),
+    ])
+    mtime = 1_600_000_000
+    for part in (0, 1):
+        pdir = wal / f"source_partition={part}"
+        pdir.mkdir(parents=True)
+        mine = [r for r in rows if r["part"] == part]
+        half = len(mine) // 2
+        for i, seg in enumerate((mine[:half], mine[half:])):
+            cols = {
+                k: [r[k] for r in seg]
+                for k in ("op", "lsn", "ts", "conv_id", "turn_idx",
+                          "role", "text", "tool", "touched")
+            }
+            path = pdir / f"seg-{i:05d}.parquet"
+            pq.write_table(pa.table(cols, schema=pa_schema), str(path))
+            # FileStreamSource orders by mtime: segment i of BOTH
+            # partitions lands before segment i+1 of either
+            os.utime(path, (mtime + i * 100, mtime + i * 100))
+
+    from etl_spark.cdc.changelog import TRANSCRIPTS_SCHEMA
+    from etl_spark.streaming import CdcStream
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA,
+        key=["conv_id", "turn_idx"], n_buckets=8, bucket_by=["conv_id"],
+    )
+    state = str(tmp_path / "state")
+    stream = CdcStream(
+        spark, str(wal), table, state, max_files_per_trigger=1,
+        patch_touched_col="touched",
+    )
+    stats = stream.run_to_completion()
+    assert len([s for s in stats if not s.get("skipped")]) >= 2
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+        for r in table.read().collect()
+    }
+    exp = {
+        k: (v["role"], v["text"], v["tool"])
+        for k, v in _sequential_patch_oracle(rows).items()
+    }
+    assert got == exp
+    # exactly-once: a restarted stream over the same state applies nothing
+    v_before = table.current_version()
+    stats2 = CdcStream(
+        spark, str(wal), table, state, max_files_per_trigger=1,
+        patch_touched_col="touched",
+    ).run_to_completion()
+    assert all(s.get("skipped") or s.get("rows_applied", 0) == 0
+               for s in stats2)
+    assert table.current_version() == v_before
 
 
 def test_patch_resolution_plan_is_broadcast_only(spark, tmp_path):
