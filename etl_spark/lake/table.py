@@ -476,15 +476,19 @@ class LakeTable:
         return best
 
     def read(
-        self, version: int | None = None, as_of_ts: float | None = None
+        self, version: int | None = None, as_of_ts: float | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """DataFrame over the snapshot's file set (time travel via
-        ``version`` or ``as_of_ts`` unix seconds). Files written before a
-        schema evolution are read with their exact historical schema and
+        ``version``, ``as_of_ts`` unix seconds, or a named ``ref``
+        created with ``create_ref``). Files written before a schema
+        evolution are read with their exact historical schema and
         cast-aligned — no rewrites, ever."""
+        if sum(x is not None for x in (version, as_of_ts, ref)) > 1:
+            raise ValueError("pass at most one of version / as_of_ts / ref")
+        if ref is not None:
+            version = self.version_of_ref(ref)
         if as_of_ts is not None:
-            if version is not None:
-                raise ValueError("pass version or as_of_ts, not both")
             version = self.version_as_of(as_of_ts)
         snap = self.snapshot(version)
         return self._read_files(snap, snap.data_files)
@@ -2102,13 +2106,71 @@ class LakeTable:
         self._write_snapshot(snap)
         return snap
 
+    # ----------------------------------------------------------- named refs
+    def _refs_dir(self) -> str:
+        return os.path.join(self._meta, "refs")
+
+    def create_ref(self, name: str, version: int | None = None) -> int:
+        """Pin ``name`` to a snapshot version (Iceberg tag semantics):
+        the pinned version survives ``expire_snapshots`` — its snapshot
+        file, manifests and data files are retained until the ref is
+        dropped — and reads resolve it by name (``read(ref=...)``).
+        One atomic O_EXCL file per ref: creating an existing name fails
+        (drop first), two racing creators serialize on the filesystem.
+        O(1) metadata, no data copied."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"ref name {name!r} must match [A-Za-z0-9._-]+")
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError("table has no snapshots to tag")
+        v = cur if version is None else version
+        if not os.path.exists(self._snap_path(v)):
+            raise FileNotFoundError(f"version {v} does not exist (expired?)")
+        os.makedirs(self._refs_dir(), exist_ok=True)
+        path = os.path.join(self._refs_dir(), f"{name}.json")
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"name": name, "version": v, "ts": time.time()}, fh)
+        return v
+
+    def drop_ref(self, name: str) -> None:
+        path = os.path.join(self._refs_dir(), f"{name}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no ref named {name!r}")
+        os.remove(path)
+
+    def refs(self) -> dict[str, int]:
+        """name -> pinned version for every live ref."""
+        d = self._refs_dir()
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for n in sorted(os.listdir(d)):
+            if n.endswith(".json"):
+                with open(os.path.join(d, n)) as fh:
+                    r = json.load(fh)
+                out[r["name"]] = int(r["version"])
+        return out
+
+    def version_of_ref(self, name: str) -> int:
+        v = self.refs().get(name)
+        if v is None:
+            raise FileNotFoundError(f"no ref named {name!r}")
+        return v
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Delete snapshot manifests and data files unreferenced by the
-        ``keep_last`` newest snapshots. Returns #data files removed."""
+        ``keep_last`` newest snapshots. Versions pinned by a named ref
+        (``create_ref``) are always retained — files AND manifests —
+        until the ref is dropped. Returns #data files removed."""
         v = self.current_version()
         if v is None:
             return 0
         keep_versions = set(range(max(0, v - keep_last + 1), v + 1))
+        keep_versions |= {
+            rv for rv in self.refs().values()
+            if os.path.exists(self._snap_path(rv))
+        }
         live: set[str] = set()
         for kv in keep_versions:
             live |= {f["path"] for f in self.snapshot(kv).files}

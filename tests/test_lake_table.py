@@ -1064,3 +1064,40 @@ def test_drop_column_reintroduction_guard(spark, tmp_path):
     t.compact()
     t.add_column("text", "string")
     assert t.read().filter("text IS NULL").count() == 1
+
+
+def test_named_refs_pin_and_protect_snapshots(spark, tmp_path):
+    """create_ref pins a version: read(ref=) resolves it by name, expiry
+    retains the pinned snapshot (files + manifests) until drop_ref."""
+    t = make(spark, tmp_path)
+    t.append(spark.createDataFrame([("c1", 0, "v1")], SCHEMA))
+    tagged = t.current_version()
+    assert t.create_ref("release-1") == tagged
+    t.overwrite(spark.createDataFrame([("c2", 2, "v2")], SCHEMA))
+    t.overwrite(spark.createDataFrame([("c3", 3, "v3")], SCHEMA))
+    assert rows(t.read(ref="release-1")) == {("c1", 0, "v1")}
+    assert t.refs() == {"release-1": tagged}
+    # expiry keeps ONLY the newest + the pinned version
+    t.expire_snapshots(keep_last=1)
+    assert rows(t.read(ref="release-1")) == {("c1", 0, "v1")}
+    assert rows(t.read()) == {("c3", 3, "v3")}
+    # the unpinned middle version is gone
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(tagged + 1)
+    # double-create fails; unknown drop fails; bad name fails
+    with pytest.raises(FileExistsError):
+        t.create_ref("release-1")
+    with pytest.raises(FileNotFoundError):
+        t.drop_ref("nope")
+    with pytest.raises(ValueError, match="must match"):
+        t.create_ref("bad name!")
+    with pytest.raises(ValueError, match="at most one"):
+        t.read(version=0, ref="release-1")
+    # dropping the ref releases the pin: next expiry reclaims it
+    t.drop_ref("release-1")
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        t.read(ref="release-1")
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(tagged)
+    assert rows(t.read()) == {("c3", 3, "v3")}
