@@ -331,6 +331,10 @@ def apply_batch(
                 merge_src, op_col=op_col, per_bucket=per_bucket,
                 lww_by=list(merge_lww_by) if merge_lww_by else None,
                 mode=merge_mode,
+                # cached key-unique fold: the merge's anti-join keys come
+                # from it directly instead of re-executing the resolution
+                # subtree (one fewer bucket scan per patch batch)
+                source_keys=fold_cache,
             )
         finally:
             if fold_cache is not None:

@@ -245,6 +245,10 @@ def apply_patches(
             mode=mode,
             op_note=op_note,
             broadcast_threshold=broadcast_threshold,
+            # the folded frame is cached and key-unique: handing its keys
+            # to the merge skips re-executing the resolution subtree (and
+            # its bucket scan) for the survivors anti-join
+            source_keys=folded,
         )
         return stats
     finally:

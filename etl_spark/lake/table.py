@@ -1003,6 +1003,7 @@ class LakeTable:
         lww_by: list[str] | None = None,
         op_note: str | None = None,
         mode: str = "cow",
+        source_keys: DataFrame | None = None,
     ) -> tuple[Snapshot | None, dict[str, int]]:
         """MERGE INTO keyed on the table key — copy-on-write by default,
         merge-on-read with ``mode="mor"``.
@@ -1182,7 +1183,16 @@ class LakeTable:
                 # broadcast hash relation serializes on the driver and
                 # collapses under concurrency.
                 small = src_rows <= broadcast_threshold
-                src_keys = src.select(*base.key).dropDuplicates(base.key)
+                # source_keys: caller-supplied EXACT key set of the source
+                # (e.g. a cached fold) — skips re-executing the source
+                # subtree for the anti-join keys, which matters when the
+                # source embeds a table read (patch resolution: one fewer
+                # bucket scan per batch)
+                src_keys = (
+                    source_keys.select(*base.key)
+                    if source_keys is not None
+                    else src.select(*base.key).dropDuplicates(base.key)
+                )
                 if small:
                     src_keys = F.broadcast(src_keys)
                 if lww_by is None:
