@@ -98,7 +98,12 @@ def fold_patches(
         touched = F.coalesce(
             F.array_contains(F.col(touched_col), F.lit(c)), F.lit(False)
         )
-        present = (op != F.lit(update_op)) | touched
+        # inserts/deletes touch every column; updates only the listed
+        # ones; UNKNOWN ops touch nothing (they should have been
+        # dead-lettered upstream — never let them clobber columns)
+        present = F.when(op == F.lit(update_op), touched).otherwise(
+            op.isin(insert_op, delete_op)
+        )
         val = (
             F.when(op == F.lit(delete_op), F.lit(None).cast(dt))
             .otherwise(F.col(c))

@@ -126,6 +126,32 @@ def test_apply_patches_end_to_end(spark, tmp_path):
     assert "lsn" not in table.schema.fieldNames()
 
 
+def test_fold_patches_wide_payload_and_unknown_op(spark):
+    """40 payload columns fold in one aggregation (plan must not blow
+    up), and an UNKNOWN op never clobbers columns (it should have been
+    dead-lettered; the fold treats it as touching nothing)."""
+    n = 40
+    fields = [T.StructField("k", T.LongType()), T.StructField("ts", T.TimestampType()),
+              T.StructField("lsn", T.LongType()), T.StructField("op", T.StringType()),
+              T.StructField("touched", T.ArrayType(T.StringType()))]
+    fields += [T.StructField(f"c{i}", T.LongType()) for i in range(n)]
+    sch = T.StructType(fields)
+    base = tuple(i for i in range(n))
+    rows = [
+        (1, ts(1), 1, "I", None) + base,
+        (1, ts(2), 2, "U", ["c3"]) + tuple(999 if i == 3 else None for i in range(n)),
+        (1, ts(3), 3, "X", None) + tuple(-1 for _ in range(n)),  # unknown op
+    ]
+    out = fold_patches(
+        spark.createDataFrame(rows, sch), key=["k"], order_by=["ts", "lsn"]
+    ).collect()[0]
+    assert out["c3"]["v"] == 999
+    assert all(out[f"c{i}"]["v"] == i for i in range(n) if i != 3)
+    # the unknown op became the LAST event but touched nothing and is
+    # not a delete -> op stays upsert, values unpolluted
+    assert out["op"] == "U" and out["lsn"] == 3
+
+
 def _pandas_patch_oracle(pdf: pd.DataFrame) -> dict:
     """Sequential per-event replay of the patch semantics in plain
     Python — the trusted reference for the associativity test."""
