@@ -29,6 +29,7 @@ import time
 HEADLINE = [
     "cdc_apply_final_state",
     "cdc_apply_patch",
+    "cdc_apply_patch_mor",
     "lww_dedup",
     "sessionize",
     "agg_pricing_summary",

@@ -7,7 +7,12 @@ from etl_spark.cdc.changelog import (
     write_changelog,
 )
 from etl_spark.cdc.apply import apply_batch, dedup_last_writer_wins, replay
-from etl_spark.cdc.patch import apply_patches, fold_patches, resolve_patches
+from etl_spark.cdc.patch import (
+    apply_patches,
+    fold_patches,
+    folded_to_patch_rows,
+    resolve_patches,
+)
 from etl_spark.cdc.scd2 import apply_scd2, create_scd2_table, scd2_schema
 
 __all__ = [
@@ -21,6 +26,7 @@ __all__ = [
     "apply_patches",
     "dedup_last_writer_wins",
     "fold_patches",
+    "folded_to_patch_rows",
     "replay",
     "resolve_patches",
     "apply_scd2",

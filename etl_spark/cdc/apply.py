@@ -146,6 +146,13 @@ def apply_batch(
     ``salted_dedup`` is ignored in patch mode — the fold's map-side
     combine already collapses hot keys before the shuffle.
 
+    ``merge_mode="mor_patch"`` (requires ``patch_touched_col``) defers
+    resolution entirely: the fold commits as ``kind="patch"`` delta files
+    with NO stored-row read per batch (``LakeTable.commit_patches``);
+    the read gate folds them and compaction materializes. Crash-replay
+    converges: a re-committed identical fold lands at a higher seq with
+    the same values, and compaction collapses the redundancy.
+
     Pipeline: commit-log skip -> watermark filter -> transform ->
     validator split (dead-letter) -> LWW dedup -> MERGE -> advance
     watermarks -> commit-log record -> metrics row.
@@ -295,8 +302,13 @@ def apply_batch(
         # current row/tombstone against the incoming event's
         keep = set(merge_lww_by or ())
         fold_cache = None
+        patch_delta = False
         if patch_touched_col is not None:
-            from etl_spark.cdc.patch import fold_patches, resolve_patches
+            from etl_spark.cdc.patch import (
+                fold_patches,
+                folded_to_patch_rows,
+                resolve_patches,
+            )
 
             order_cols = [c for c in DEFAULT_ORDER if c in valid.columns]
             # non-order meta would otherwise be folded as payload wrappers
@@ -307,16 +319,34 @@ def apply_batch(
                 fold_src, key=table.key, order_by=order_cols,
                 op_col=op_col, touched_col=patch_touched_col,
             ).persist()
-            deduped = resolve_patches(
-                table, fold_cache, op_col=op_col,
-                buckets=set(per_bucket), broadcast=rows_in <= 200_000,
-            )
-            if post_transform:
-                deduped = transform(deduped)
-            merge_src = deduped.drop(*[
-                c for c in order_cols
-                if c not in keep and c not in tsnap.schema.fieldNames()
-            ])
+            if merge_mode == "mor_patch":
+                # deferred resolution: the fold commits AS patch deltas —
+                # no stored-row read per batch, the read gate folds
+                if post_transform:
+                    raise ValueError(
+                        "transform_stage='post' is not supported with "
+                        "merge_mode='mor_patch' (rows are partial)"
+                    )
+                patch_delta = True
+                merge_src = folded_to_patch_rows(
+                    fold_cache, key=table.key, op_col=op_col,
+                    touched_col=patch_touched_col,
+                    extra_set_cols=[
+                        c for c in order_cols
+                        if c in tsnap.schema.fieldNames()
+                    ],
+                )
+            else:
+                deduped = resolve_patches(
+                    table, fold_cache, op_col=op_col,
+                    buckets=set(per_bucket), broadcast=rows_in <= 200_000,
+                )
+                if post_transform:
+                    deduped = transform(deduped)
+                merge_src = deduped.drop(*[
+                    c for c in order_cols
+                    if c not in keep and c not in tsnap.schema.fieldNames()
+                ])
         else:
             deduped = dedup_last_writer_wins(
                 valid, key=table.key, salted=salted_dedup
@@ -327,15 +357,21 @@ def apply_batch(
                 *[c for c in META_COLS if c in deduped.columns and c not in keep]
             )
         try:
-            snap, merge_stats = table.merge(
-                merge_src, op_col=op_col, per_bucket=per_bucket,
-                lww_by=list(merge_lww_by) if merge_lww_by else None,
-                mode=merge_mode,
-                # cached key-unique fold: the merge's anti-join keys come
-                # from it directly instead of re-executing the resolution
-                # subtree (one fewer bucket scan per patch batch)
-                source_keys=fold_cache,
-            )
+            if patch_delta:
+                snap, merge_stats = table.commit_patches(
+                    merge_src, touched_col=patch_touched_col,
+                    op_col=op_col, per_bucket=per_bucket,
+                )
+            else:
+                snap, merge_stats = table.merge(
+                    merge_src, op_col=op_col, per_bucket=per_bucket,
+                    lww_by=list(merge_lww_by) if merge_lww_by else None,
+                    mode=merge_mode,
+                    # cached key-unique fold: the merge's anti-join keys
+                    # come from it directly instead of re-executing the
+                    # resolution subtree (one fewer bucket scan per batch)
+                    source_keys=fold_cache,
+                )
         finally:
             if fold_cache is not None:
                 fold_cache.unpersist()

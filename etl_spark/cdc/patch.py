@@ -135,6 +135,36 @@ def patch_payload_columns(folded: DataFrame) -> list[str]:
     ]
 
 
+def folded_to_patch_rows(
+    folded: DataFrame,
+    key: Sequence[str],
+    op_col: str = "op",
+    touched_col: str = "touched",
+    extra_set_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Unwrap a ``fold_patches`` result into the plain-row shape
+    ``LakeTable.commit_patches`` stores: payload values unwrapped, plus a
+    ``touched`` array naming the columns this patch sets (wrapper
+    non-NULL), so explicit set-to-NULL survives the round trip.
+    ``extra_set_cols`` (e.g. the event-time column when the table stores
+    it) are carried as always-touched plain values."""
+    payload = patch_payload_columns(folded)
+    extra = [c for c in extra_set_cols if c in folded.columns]
+    touched = F.array_compact(
+        F.array(
+            *[F.when(F.col(c).isNotNull(), F.lit(c)) for c in payload],
+            *[F.lit(c) for c in extra],
+        )
+    )
+    return folded.select(
+        *key,
+        *extra,
+        F.col(op_col),
+        *[F.col(c)[_WRAP].alias(c) for c in payload],
+        touched.alias(touched_col),
+    )
+
+
 def resolve_patches(
     table: LakeTable,
     folded: DataFrame,
@@ -209,7 +239,13 @@ def apply_patches(
     ``per_bucket`` sizing, so the merge itself adds no counting job) and
     the write. The folded frame is persisted across those two jobs and
     always unpersisted. ``mode``/``lww_by`` pass through to the merge
-    (mor patches work: the resolved rows are full images)."""
+    (mor patches work: the resolved rows are full images).
+
+    ``mode="mor_patch"`` skips resolution entirely and commits the fold
+    as patch-delta files (``LakeTable.commit_patches``): NO stored-row
+    read per batch — column resolution defers to the read gate and to
+    compaction. The highest-frequency shape; ``lww_by`` is not
+    supported with it."""
     folded = fold_patches(
         events,
         key=key,
@@ -225,6 +261,20 @@ def apply_patches(
         total = sum(per_bucket.values())
         if total == 0:
             return {"source_rows": 0, "rewritten_buckets": 0}
+        if mode == "mor_patch":
+            if lww_by is not None:
+                raise ValueError("mode='mor_patch' does not support lww_by")
+            tbl_cols = set(table.snapshot(buckets=set()).schema.fieldNames())
+            rows = folded_to_patch_rows(
+                folded, key=list(key), op_col=op_col,
+                touched_col=touched_col,
+                extra_set_cols=[c for c in order_by if c in tbl_cols],
+            )
+            _snap, stats = table.commit_patches(
+                rows, touched_col=touched_col, op_col=op_col,
+                delete_op=delete_op, per_bucket=per_bucket, op_note=op_note,
+            )
+            return stats
         small = total <= broadcast_threshold
         resolved = resolve_patches(
             table,

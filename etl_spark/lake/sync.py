@@ -77,7 +77,9 @@ def bucket_fingerprints(
 def _read_buckets(table: LakeTable, version: int | None, buckets: set[int]) -> DataFrame:
     snap = table.snapshot(version, buckets=buckets)
     entries = [e for e in snap.data_files if e["bucket"] in buckets]
-    return table._read_files(snap, entries)
+    # explicit scope: a bucket whose only content is patch deltas has no
+    # data entries, but its folded rows must still be fingerprinted
+    return table._read_files(snap, entries, buckets=buckets)
 
 
 def _state_fp(schema: T.StructType, n_buckets: int, bucket_by: list[str]) -> str:

@@ -56,6 +56,7 @@ _META_DIR = "_meta"
 _DATA_DIR = "data"
 _SEQ_COL = "__seq"
 _DELSEQ_COL = "__del_seq"
+_TOUCHED_COL = "__touched"
 # Merge-on-read: the shadow-key set read per scan is bounded by the delta
 # volume since the last compaction; below this many delta rows the
 # max-seq-per-key side is broadcast so the base scan never shuffles.
@@ -210,9 +211,20 @@ class Snapshot:
     @property
     def data_files(self) -> list[dict[str, Any]]:
         """Query-visible data entries — excludes delete tombstones (guard
-        metadata for out-of-order MERGE) and equality-delete files
-        (merge-on-read delete markers)."""
-        return [f for f in self.files if f.get("kind") not in ("tomb", "eqdel")]
+        metadata for out-of-order MERGE), equality-delete files
+        (merge-on-read delete markers) and patch deltas (partial rows the
+        read gate folds; never valid as stand-alone rows)."""
+        return [
+            f for f in self.files
+            if f.get("kind") not in ("tomb", "eqdel", "patch")
+        ]
+
+    @property
+    def patch_files(self) -> list[dict[str, Any]]:
+        """Partial-update merge-on-read deltas (``commit_patches``): each
+        row sets only the columns named in its ``__touched`` list; the
+        read gate folds them column-wise onto lower-seq rows."""
+        return [f for f in self.files if f.get("kind") == "patch"]
 
     @property
     def tomb_files(self) -> list[dict[str, Any]]:
@@ -491,28 +503,44 @@ class LakeTable:
         if as_of_ts is not None:
             version = self.version_as_of(as_of_ts)
         snap = self.snapshot(version)
-        return self._read_files(snap, snap.data_files)
+        return self._read_files(
+            snap, snap.data_files,
+            buckets={f["bucket"] for f in snap.files},
+        )
 
     def _read_files(
         self, snap: Snapshot, entries: list[dict[str, Any]],
         target_schema: T.StructType | None = None,
         raw: bool = False,
+        buckets: set[int] | None = None,
     ) -> DataFrame:
         """DataFrame over ``entries``. When the snapshot carries
         merge-on-read entries in the touched buckets, shadowed rows are
         filtered out here — every read path (read/scan/read_for_keys/
         table_changes/compact/update) flows through this one gate, so MOR
-        state is invisible to callers. ``raw=True`` skips the shadow
-        filter (delete-source scans and the LWW guard, whose max-order is
-        identical over raw rows under guarded discipline)."""
+        state is invisible to callers. Patch deltas (``commit_patches``)
+        in scope are folded column-wise onto the surviving rows here too.
+        ``raw=True`` skips both (delete-source scans and the LWW guard,
+        whose max-order is identical over raw rows under guarded
+        discipline). ``buckets`` widens the scope beyond the entry list's
+        own buckets — callers that key-scope a read (read_for_keys,
+        merge, table_changes) pass their bucket set so patch-CREATED keys
+        in buckets with no base data still surface; full-table readers
+        pass every bucket any file occupies."""
         target = target_schema or snap.schema
-        if not entries:
-            return self.spark.createDataFrame([], target)
         if raw:
+            if not entries:
+                return self.spark.createDataFrame([], target)
             return self._read_plain(snap, entries, target)
-        buckets = {e["bucket"] for e in entries}
-        dels = [f for f in snap.delete_source_files if f["bucket"] in buckets]
-        if not dels:
+        scope = (
+            buckets if buckets is not None else {e["bucket"] for e in entries}
+        )
+        patches = [f for f in snap.patch_files if f["bucket"] in scope]
+        if not entries and not patches:
+            return self.spark.createDataFrame([], target)
+        bset = scope | {e["bucket"] for e in entries}
+        dels = [f for f in snap.delete_source_files if f["bucket"] in bset]
+        if not dels and not patches:
             return self._read_plain(snap, entries, target)
         # Merge-on-read: a row survives unless some delete source carries
         # its key at a strictly higher seq. Delete sources are taken from
@@ -525,24 +553,99 @@ class LakeTable:
         read_schema = (
             T.StructType(list(target.fields) + extra) if extra else target
         )
-        data = self._read_with_seq(snap, entries, read_schema)
-        kschema = T.StructType([snap.schema[c] for c in snap.key])
-        dmax = (
-            self._read_with_seq(snap, dels, kschema)
-            .groupBy(*snap.key)
-            .agg(F.max(_SEQ_COL).alias(_DELSEQ_COL))
-        )
-        # Footer row counts bound the shadow-key set exactly; small delta
-        # volume (the steady state between compactions) broadcasts, so
-        # the base scan stays shuffle-free.
-        if sum(f.get("rows", 0) for f in dels) <= _MOR_BROADCAST_ROWS:
-            dmax = F.broadcast(dmax)
-        out = (
-            data.join(dmax, on=list(snap.key), how="left")
-            .filter(
+        if entries:
+            data = self._read_with_seq(snap, entries, read_schema)
+        else:
+            data = self.spark.createDataFrame([], read_schema).withColumn(
+                _SEQ_COL, F.lit(0).cast("long")
+            )
+        pat = None
+        if patches:
+            read_schema_p = T.StructType(
+                list(read_schema.fields)
+                + [T.StructField(_TOUCHED_COL, T.ArrayType(T.StringType()))]
+            )
+            pat = self._read_with_seq(snap, patches, read_schema_p)
+        if dels:
+            kschema = T.StructType([snap.schema[c] for c in snap.key])
+            dmax = (
+                self._read_with_seq(snap, dels, kschema)
+                .groupBy(*snap.key)
+                .agg(F.max(_SEQ_COL).alias(_DELSEQ_COL))
+            )
+            # Footer row counts bound the shadow-key set exactly; small
+            # delta volume (the steady state between compactions)
+            # broadcasts, so the base scan stays shuffle-free.
+            if sum(f.get("rows", 0) for f in dels) <= _MOR_BROADCAST_ROWS:
+                dmax = F.broadcast(dmax)
+            live = (
                 F.col(_DELSEQ_COL).isNull()
                 | (F.col(_SEQ_COL) >= F.col(_DELSEQ_COL))
             )
+            data = (
+                data.join(dmax, on=list(snap.key), how="left")
+                .filter(live).drop(_DELSEQ_COL)
+            )
+            if pat is not None:
+                # a delete/full-delta above a patch kills the patch too
+                pat = (
+                    pat.join(dmax, on=list(snap.key), how="left")
+                    .filter(live).drop(_DELSEQ_COL)
+                )
+        if pat is None:
+            return data.select(*[f.name for f in target.fields])
+        return self._fold_patch_rows(snap, data, pat, patches, read_schema,
+                                     target)
+
+    def _fold_patch_rows(
+        self, snap: Snapshot, data: DataFrame, pat: DataFrame,
+        patches: list[dict[str, Any]], read_schema: T.StructType,
+        target: T.StructType,
+    ) -> DataFrame:
+        """Column-wise read-time fold of patch deltas (the Paimon
+        partial-update merge-engine shape): per key and column, the value
+        comes from the HIGHEST-seq surviving row that touches the column
+        (full rows touch every column; patch rows only their ``__touched``
+        list; a key created purely by patches reads NULL for untouched
+        columns). Plan shape: rows whose key has no patch pass through a
+        broadcast anti-join untouched (map-side while the patch backlog —
+        footer-summed — is small); only the patch-key subset shuffles,
+        and it is O(patch keys), not O(bucket)."""
+        key = list(snap.key)
+        small = (
+            sum(f.get("rows", 0) for f in patches) <= _MOR_BROADCAST_ROWS
+        )
+        pkeys = pat.select(*key).dropDuplicates(key)
+        pkb = F.broadcast(pkeys) if small else pkeys
+        untouched = data.join(pkb, on=key, how="left_anti")
+        hit = data.join(pkb, on=key, how="left_semi").withColumn(
+            _TOUCHED_COL, F.lit(None).cast(T.ArrayType(T.StringType()))
+        )
+        allrows = hit.unionByName(pat)
+        payload = [f.name for f in read_schema.fields if f.name not in key]
+        touched = F.col(_TOUCHED_COL)
+        aggs = []
+        for c in payload:
+            sets_c = touched.isNull() | F.coalesce(
+                F.array_contains(touched, F.lit(c)), F.lit(False)
+            )
+            aggs.append(
+                F.max(
+                    F.when(
+                        sets_c,
+                        F.struct(
+                            F.col(_SEQ_COL).alias("s"),
+                            F.struct(F.col(c).alias("v")).alias("p"),
+                        ),
+                    )
+                ).alias(f"__f_{c}")
+            )
+        folded = allrows.groupBy(*key).agg(*aggs).select(
+            *key,
+            *[F.col(f"__f_{c}.p.v").alias(c) for c in payload],
+        )
+        out = untouched.select(*[f.name for f in read_schema.fields]).unionByName(
+            folded.select(*[f.name for f in read_schema.fields])
         )
         return out.select(*[f.name for f in target.fields])
 
@@ -597,8 +700,11 @@ class LakeTable:
         physical sum over-counts shadowed copies, so one shadow-applied
         count job gives the exact number."""
         snap = self.snapshot()
-        if snap.delete_source_files:
-            return self._read_files(snap, snap.data_files).count()
+        if snap.delete_source_files or snap.patch_files:
+            return self._read_files(
+                snap, snap.data_files,
+                buckets={f["bucket"] for f in snap.files},
+            ).count()
         return snap.total_rows
 
     def health(self) -> dict[str, Any]:
@@ -660,6 +766,9 @@ class LakeTable:
             "mor_delta_rows": sum(
                 f.get("rows", 0) for f in snap.delete_source_files
             ),
+            "patch_delta_rows": sum(
+                f.get("rows", 0) for f in snap.patch_files
+            ),
             "tombstone_files": len(snap.tomb_files),
             "staged_wap": sorted(
                 os.path.basename(p)[4:-5] for p in self._staged_wap_files()
@@ -695,7 +804,7 @@ class LakeTable:
         }
         snap = self.snapshot(version, buckets=buckets)
         entries = [f for f in snap.data_files if f["bucket"] in buckets]
-        out = self._read_files(snap, entries)
+        out = self._read_files(snap, entries, buckets=buckets)
         pred = None
         for t in tuples:
             this = F.lit(True)
@@ -744,7 +853,7 @@ class LakeTable:
             buckets = set(self.bucket_histogram(keys, version))
         snap = self.snapshot(version, buckets=buckets)
         entries = [f for f in snap.data_files if f["bucket"] in buckets]
-        out = self._read_files(snap, entries)
+        out = self._read_files(snap, entries, buckets=buckets)
         k = keys.select(*snap.key)
         if distinct:  # skip for key-unique frames (e.g. a fold output):
             k = k.dropDuplicates(snap.key)  # saves one batch-sized shuffle
@@ -798,17 +907,34 @@ class LakeTable:
         ingest-ordered table reads the few files covering the range, not
         the table). The exact predicate is ALWAYS re-applied to the
         surviving files, so results are identical to
-        ``read().filter(...)`` regardless of stats coverage."""
+        ``read().filter(...)`` regardless of stats coverage.
+
+        With a PATCH backlog zone-map pruning is disabled (full read,
+        exact predicate still applied): a patch can change a column to a
+        value the base file's min/max excludes, so file stats no longer
+        bound live row values — ``compact()`` folds the backlog and
+        restores pruning."""
         snap = self.snapshot(version)
+        if snap.patch_files:
+            return self.read(version).filter(
+                self._filters_expr(filters)
+            )
         entries, _total = self.files_matching(filters, version)
         out = self._read_files(snap, entries)
+        return out.filter(self._filters_expr(filters))
+
+    @staticmethod
+    def _filters_expr(filters: list[tuple[str, str, Any]]) -> Column:
         _OPF = {
             "<": Column.__lt__, "<=": Column.__le__,
             ">": Column.__gt__, ">=": Column.__ge__, "=": Column.__eq__,
         }
+        pred = F.lit(True)
         for col, op, v in filters:
-            out = out.filter(_OPF[op](F.col(col), F.lit(v)))
-        return out
+            if op not in _OPF:
+                raise ValueError(f"unsupported op {op!r}")
+            pred = pred & _OPF[op](F.col(col), F.lit(v))
+        return pred
 
     # ----------------------------------------------------------------- write
     def _bucket_expr(self, snap: Snapshot):
@@ -929,7 +1055,12 @@ class LakeTable:
         schema: T.StructType,
         op: str,
         n_buckets: int | None = None,
+        file_schema: T.StructType | None = None,
     ) -> Snapshot:
+        """``file_schema`` (default: ``schema``) is what the new files
+        were PHYSICALLY written with — patch-delta commits carry the
+        ``__touched`` side column on disk while the table schema stays
+        clean."""
         version = base.version + 1
         sid = str(version)
         new_files = [{**f, "sid": sid} for f in new_files]
@@ -937,7 +1068,7 @@ class LakeTable:
         referenced = {f["sid"] for f in files}
         schemas = {s: j for s, j in base.schemas.items() if s in referenced}
         if new_files:
-            schemas[sid] = schema.jsonValue()
+            schemas[sid] = (file_schema or schema).jsonValue()
         snap = Snapshot(
             version=version,
             schema=schema,
@@ -1114,6 +1245,18 @@ class LakeTable:
             if src_rows == 0:
                 return None, {"source_rows": 0, "rewritten_buckets": 0}
             affected = set(per_bucket)
+            if lww_by and base.patch_files:
+                raise ValueError(
+                    "merge(lww_by=...) does not compose with a patch-delta "
+                    "backlog (patch files carry no order columns for the "
+                    "guard) — compact() the backlog first"
+                )
+            # a cow pass consumes the patch backlog of its buckets: the
+            # gate folds them into target_aff and keep_files drops them
+            patch_aff = (
+                [f for f in base.patch_files if f["bucket"] in affected]
+                if mode == "cow" else []
+            )
 
             # Tombstone entries are never rewritten by a merge — they are
             # carried in every commit and only compact() retires them. A
@@ -1158,7 +1301,7 @@ class LakeTable:
             src_all = align_to_schema(src.withColumn(_ORIGIN_COL, origin), schema_o)
             src_all = src_all.withColumn(_BUCKET_COL, self._bucket_expr(base))
 
-            if not read_entries and not guard_tombs:
+            if not read_entries and not guard_tombs and not patch_aff:
                 # Bootstrap / untouched-bucket fast path: nothing to anti-join
                 # against — the batch IS the new bucket content.
                 result = src_all
@@ -1172,7 +1315,8 @@ class LakeTable:
                 target_aff = None
                 if mode == "cow":
                     target_aff = self._read_files(
-                        base, read_entries, target_schema=schema
+                        base, read_entries, target_schema=schema,
+                        buckets=affected,
                     ).withColumn(_BUCKET_COL, self._bucket_expr(base))
 
                 # Survivors: target rows in affected buckets whose key is NOT
@@ -1464,6 +1608,122 @@ class LakeTable:
         (reclaimed by ``vacuum()``); the live chain never saw them."""
         os.remove(self._wap_path(wap_id))
 
+    def commit_patches(
+        self,
+        patches: DataFrame,
+        touched_col: str = "touched",
+        op_col: str = "op",
+        delete_op: str = "D",
+        per_bucket: dict[int, int] | None = None,
+        op_note: str | None = None,
+    ) -> tuple[Snapshot | None, dict[str, int]]:
+        """Partial-update MERGE-ON-READ (the Paimon partial-update /
+        Hudi MergeOnRead shape): commit a patch batch as O(batch)
+        ``kind="patch"`` delta files with NO read of the stored rows at
+        all — column resolution is DEFERRED to the read gate
+        (``_fold_patch_rows``), and any copy-on-write pass (``compact``,
+        a cow ``merge``/``update`` over the bucket) folds the backlog
+        into plain rows. This is the highest-frequency ingest shape for
+        patch streams at 10^10 events: write cost per batch is the batch
+        itself, independent of bucket size AND without the
+        read-before-write that eager resolution (``resolve_patches``)
+        pays; the price is a per-read fold over the patch-key subset
+        until compaction.
+
+        ``patches`` rows: table key + payload columns (plain values) +
+        ``touched_col`` (array<string>: which payload columns this patch
+        sets — NULL means ALL, i.e. a full-row upsert) + ``op_col``
+        (upsert vs ``delete_op``; deletes become equality-delete files).
+        At most one row per key (fold first: ``cdc.patch.fold_patches`` +
+        ``folded_to_patch_rows``). New columns evolve the table schema.
+
+        Not composable with guarded merges: raises if the table carries
+        LWW tombstones (patch files hold no order columns, so the guard
+        could not compare them), and ``merge(lww_by=...)`` refuses while
+        a patch backlog exists."""
+        base = self.snapshot()
+        if base.n_buckets <= 0:
+            raise ValueError("commit_patches requires a bucketed table")
+        if base.tomb_files:
+            raise ValueError(
+                "commit_patches does not compose with guarded merges "
+                "(lww_by tombstones present) — compact(drop_tombstones="
+                "True) first or use eager resolution (apply_patches)"
+            )
+        payload_schema = T.StructType([
+            f for f in patches.schema.fields
+            if f.name not in (op_col, touched_col)
+        ])
+        schema = evolve_schema(base.schema, payload_schema)
+        self._guard_reintroduced(base, schema)
+        file_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(_TOUCHED_COL, T.ArrayType(T.StringType()))]
+        )
+        src = patches.withColumnRenamed(touched_col, _TOUCHED_COL)
+        src = src.withColumn(_BUCKET_COL, self._bucket_expr(base))
+        caller_counts = per_bucket is not None
+        if not caller_counts:
+            src.persist()
+        try:
+            if not caller_counts:
+                per_bucket = {
+                    r[_BUCKET_COL]: r["n"]
+                    for r in src.groupBy(_BUCKET_COL)
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+            src_rows = sum(per_bucket.values())
+            if src_rows == 0:
+                return None, {"source_rows": 0, "rows_applied": 0,
+                              "mode": "patch"}
+            origin = F.when(
+                F.col(op_col) == F.lit(delete_op), F.lit("d")
+            ).otherwise(F.lit("u"))
+            schema_o = T.StructType(
+                list(file_schema.fields)
+                + [T.StructField(_ORIGIN_COL, T.StringType())]
+            )
+            aligned = align_to_schema(
+                src.withColumn(_ORIGIN_COL, origin), schema_o
+            ).withColumn(_BUCKET_COL, self._bucket_expr(base))
+            written = self._write_data_files(
+                base.version + 1, aligned, base.n_buckets,
+                origin_partition=True, stats_cols=base.stats_cols,
+                bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
+            )
+            rows_upserted = sum(
+                f["rows"] for f in written if f.get("origin") == "u"
+            )
+            rows_deleted = sum(
+                f["rows"] for f in written if f.get("origin") == "d"
+            )
+            new_files = []
+            for f in written:
+                if f.pop("origin", None) == "d":
+                    f["kind"] = "eqdel"
+                else:
+                    f["kind"] = "patch"
+                new_files.append(f)
+            snap = self._commit(
+                base, list(base.files), new_files, schema,
+                "merge:patch" if op_note is None else f"merge:patch:{op_note}",
+                file_schema=file_schema,
+            )
+            stats = {
+                "source_rows": src_rows,
+                "rows_applied": rows_upserted + rows_deleted,
+                "rows_upserted": rows_upserted,
+                "rows_deleted": rows_deleted,
+                "mode": "patch",
+                "rewritten_buckets": 0,
+                "patch_files": len(new_files),
+            }
+            return snap, stats
+        finally:
+            if not caller_counts:
+                src.unpersist()
+
     def merge_with_retry(
         self,
         source: DataFrame,
@@ -1530,6 +1790,8 @@ class LakeTable:
         snap_from = self.snapshot(from_version)
         from_entries = snap_from.data_files
         to_entries = snap_to.data_files
+        from_scope = {f["bucket"] for f in snap_from.files}
+        to_scope = {f["bucket"] for f in snap_to.files}
         if (
             snap_from.n_buckets == snap_to.n_buckets
             and snap_from.bucket_by == snap_to.bucket_by
@@ -1556,13 +1818,16 @@ class LakeTable:
             to_entries = [
                 f for f in to_entries if f["bucket"] in changed_buckets
             ]
+            from_scope = from_scope & changed_buckets
+            to_scope = to_scope & changed_buckets
         # align the old snapshot to the NEW schema (schema evolution:
         # columns added since `from_version` read as null on the old side,
         # so an update that only sets a new column still surfaces)
         old = align_to_schema(
-            self._read_files(snap_from, from_entries), snap_to.schema
+            self._read_files(snap_from, from_entries, buckets=from_scope),
+            snap_to.schema,
         )
-        new = self._read_files(snap_to, to_entries)
+        new = self._read_files(snap_to, to_entries, buckets=to_scope)
         key = snap_to.key
         payload = [f.name for f in snap_to.schema.fields if f.name not in key]
         shared = payload
@@ -1671,7 +1936,9 @@ class LakeTable:
                 # keeps its guard role, drops its delete-source role
                 keep_files.append({k: v for k, v in f.items() if k != "delta"})
         read_entries = [f for f in base.data_files if f["bucket"] in affected]
-        tgt = self._read_files(base, read_entries).withColumn(
+        tgt = self._read_files(
+            base, read_entries, buckets=affected
+        ).withColumn(
             _BUCKET_COL, self._bucket_expr(base)
         )
         cols = []
@@ -1855,9 +2122,11 @@ class LakeTable:
         # merge-on-read entries can carry the subject's bytes (delta
         # copies, equality-delete keys) even when no LIVE row matches —
         # fold every bucket that has any, so no pre-purge file survives
-        mor_buckets = {f["bucket"] for f in base.delete_source_files} | {
-            f["bucket"] for f in base.files if f.get("delta")
-        }
+        mor_buckets = (
+            {f["bucket"] for f in base.delete_source_files}
+            | {f["bucket"] for f in base.files if f.get("delta")}
+            | {f["bucket"] for f in base.patch_files}
+        )
         rewrite = affected | mor_buckets
         if not rewrite and not base.tomb_files:
             # nothing matches and no tombstones/deltas could carry the

@@ -404,6 +404,73 @@ def q_cdc_apply_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply_patch_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-resolution patch apply (``LakeTable.commit_patches`` —
+    the Paimon partial-update merge-on-read shape): the SAME patch
+    changelog as ``cdc_apply_patch``, but each batch commits O(batch)
+    patch-delta files with NO stored-row read; column resolution happens
+    in the read gate (``_fold_patch_rows``). Batches 1-2 are compacted
+    mid-stream (materialize-then-continue), batches 3-4 are left as a
+    live backlog — so the oracle validates BOTH the compaction fold and
+    the read-time fold against the same full-log DuckDB column-wise
+    struct-max oracle, bit-exactly."""
+    from pyspark.sql.window import Window
+
+    from etl_spark.cdc.patch import apply_patches
+
+    events = _t(spark, sf_dir, "events")
+    eid3 = F.pmod(F.col("event_id"), F.lit(3))
+    chg = events.select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.pmod(F.col("event_id"), F.lit(5)) == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "event_type",
+        "value",
+        F.when(eid3 == 0, F.array(F.lit("value")))
+        .when(eid3 == 1, F.array(F.lit("event_type")))
+        .otherwise(F.array(F.lit("value"), F.lit("event_type")))
+        .alias("touched"),
+    ).withColumn(
+        "__q", F.ntile(4).over(Window.orderBy(F.col("ts"), F.col("lsn")))
+    )
+    chg.persist()
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_patchmor_q_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, key=["user_id"], n_buckets=32
+    )
+    try:
+        for q in range(1, 5):
+            apply_patches(
+                table,
+                chg.filter(F.col("__q") == q).drop("__q"),
+                key=["user_id"],
+                order_by=["ts", "lsn"],
+                mode="mor_patch",
+            )
+            if q == 2:
+                table.compact()
+    finally:
+        chg.unpersist()
+    return table.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
 _ORACLE_CDC_PATCH = """
 WITH chg AS (
   SELECT user_id, ts, event_id AS lsn,
@@ -2700,6 +2767,7 @@ QUERIES = {
     "cdc_apply_final_state": q_cdc_apply_final_state,
     "cdc_apply_mor": q_cdc_apply_mor,
     "cdc_apply_patch": q_cdc_apply_patch,
+    "cdc_apply_patch_mor": q_cdc_apply_patch_mor,
     "wap_publish": q_wap_publish,
     "replica_repair": q_replica_repair,
     "change_feed_replicate": q_change_feed_replicate,
@@ -2785,6 +2853,7 @@ ORACLE_SQL = {
     "cdc_apply_final_state": _ORACLE_CDC_FINAL,
     "cdc_apply_mor": _ORACLE_CDC_FINAL,
     "cdc_apply_patch": _ORACLE_CDC_PATCH,
+    "cdc_apply_patch_mor": _ORACLE_CDC_PATCH,
     "wap_publish": _ORACLE_CDC_FINAL,
     "replica_repair": _ORACLE_CDC_FINAL,
     "change_feed_replicate": _ORACLE_CDC_FINAL,

@@ -272,10 +272,12 @@ class CdcStream:
         # compacts exactly when the broadcast guard is about to tip.
         backlog_due = False
         if self.compact_when_delta_rows and not stats.get("skipped"):
+            snap = self.table.snapshot()
+            # patch deltas count toward the backlog too: they carry the
+            # same read-amplification (per-read fold) until compacted
             backlog = sum(
-                f.get("rows", 0)
-                for f in self.table.snapshot().delete_source_files
-            )
+                f.get("rows", 0) for f in snap.delete_source_files
+            ) + sum(f.get("rows", 0) for f in snap.patch_files)
             stats["delta_backlog_rows"] = backlog
             backlog_due = backlog >= self.compact_when_delta_rows
         if cadence_due or backlog_due:

@@ -551,7 +551,7 @@ def test_read_as_of_timestamp(spark, tmp_path):
     assert t.version_as_of(mid) < t.current_version()
     with pytest.raises(ValueError, match="no snapshot"):
         t.version_as_of(0.0)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         t.read(version=0, as_of_ts=mid)
 
 

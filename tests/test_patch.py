@@ -342,11 +342,7 @@ def _sequential_patch_oracle(rows):
     return state
 
 
-def test_stream_patch_wal_converges_exactly_once(spark, tmp_path):
-    """A partial-update WAL tailed by CdcStream(patch_touched_col=...):
-    cross-micro-batch patches resolve against stored state, the final
-    table equals a sequential per-event replay, and a restarted stream
-    over the same state applies nothing."""
+def _write_patch_wal(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -375,6 +371,15 @@ def test_stream_patch_wal_converges_exactly_once(spark, tmp_path):
             # FileStreamSource orders by mtime: segment i of BOTH
             # partitions lands before segment i+1 of either
             os.utime(path, (mtime + i * 100, mtime + i * 100))
+    return rows, wal
+
+
+def test_stream_patch_wal_converges_exactly_once(spark, tmp_path):
+    """A partial-update WAL tailed by CdcStream(patch_touched_col=...):
+    cross-micro-batch patches resolve against stored state, the final
+    table equals a sequential per-event replay, and a restarted stream
+    over the same state applies nothing."""
+    rows, wal = _write_patch_wal(tmp_path)
 
     from etl_spark.cdc.changelog import TRANSCRIPTS_SCHEMA
     from etl_spark.streaming import CdcStream
@@ -408,6 +413,42 @@ def test_stream_patch_wal_converges_exactly_once(spark, tmp_path):
     assert all(s.get("skipped") or s.get("rows_applied", 0) == 0
                for s in stats2)
     assert table.current_version() == v_before
+
+
+def test_stream_patch_wal_mor_patch_deferred(spark, tmp_path):
+    """Same patch WAL, merge_mode='mor_patch': every micro-batch commits
+    O(batch) patch-delta files (no stored-row read), the backlog trigger
+    compacts mid-stream, and the converged state still equals the
+    sequential per-event oracle."""
+    rows, wal = _write_patch_wal(tmp_path)
+
+    from etl_spark.cdc.changelog import TRANSCRIPTS_SCHEMA
+    from etl_spark.streaming import CdcStream
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA,
+        key=["conv_id", "turn_idx"], n_buckets=8, bucket_by=["conv_id"],
+    )
+    stream = CdcStream(
+        spark, str(wal), table, str(tmp_path / "state"),
+        max_files_per_trigger=1, patch_touched_col="touched",
+        merge_mode="mor_patch", compact_when_delta_rows=60,
+    )
+    stats = stream.run_to_completion()
+    applied = [s for s in stats if not s.get("skipped")]
+    assert len(applied) >= 2
+    assert all(s.get("mode") == "patch" for s in applied)  # truly deferred
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+        for r in table.read().collect()
+    }
+    exp = {
+        k: (v["role"], v["text"], v["tool"])
+        for k, v in _sequential_patch_oracle(rows).items()
+    }
+    assert got == exp
+    # the backlog trigger really fired at least once mid-stream
+    assert any(s.get("delta_backlog_rows", 0) >= 60 for s in applied)
 
 
 def test_patch_resolution_plan_is_broadcast_only(spark, tmp_path):
