@@ -91,13 +91,18 @@ def default_validators(op_col: str = "op") -> list[tuple[str, Column]]:
 
 
 def default_patch_validators(
-    op_col: str = "op", touched_col: str = "touched"
+    op_col: str = "op",
+    touched_col: str = "touched",
+    payload_cols: Sequence[str] | None = None,
 ) -> list[tuple[str, Column]]:
     """Validators for PATCH streams: payload columns are legitimately
     NULL on update rows (untouched-keeps-stored), so the full-row
     payload_present check would dead-letter every patch — instead an
-    update must name at least one touched column."""
-    return [
+    update must name at least one touched column, and (when
+    ``payload_cols`` is known) every touched name must BE a payload
+    column — a typo'd name would otherwise make the fold silently
+    discard the update instead of dead-lettering it."""
+    vals = [
         ("key_not_null", F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()),
         ("op_known", F.col(op_col).isin("I", "U", "D")),
         (
@@ -106,6 +111,15 @@ def default_patch_validators(
             | (F.coalesce(F.size(F.col(touched_col)), F.lit(0)) > 0),
         ),
     ]
+    if payload_cols:
+        known = F.array(*[F.lit(c) for c in payload_cols])
+        vals.append((
+            "touched_known",
+            (F.col(op_col) != "U")
+            | F.col(touched_col).isNull()
+            | (F.size(F.array_except(F.col(touched_col), known)) == 0),
+        ))
+    return vals
 
 
 def apply_batch(
@@ -165,6 +179,19 @@ def apply_batch(
     idempotent.
     """
     t0 = time.time()
+    if merge_mode == "mor_patch":
+        if patch_touched_col is None:
+            raise ValueError(
+                "merge_mode='mor_patch' requires patch_touched_col"
+            )
+        if merge_lww_by:
+            raise ValueError(
+                "merge_mode='mor_patch' does not support merge_lww_by: "
+                "patch deltas carry no order columns, so the read-time "
+                "fold resolves by commit seq only — out-of-order batches "
+                "would silently overwrite newer state. Use the eager "
+                "patch path (merge_mode='cow') with merge_lww_by instead."
+            )
     if commit_log is not None and commit_log.is_committed(source, batch_id):
         return {"skipped": True, "batch_id": batch_id, "rows_applied": 0}
 
@@ -212,7 +239,14 @@ def apply_batch(
         if validators is not None:
             vals = list(validators)
         elif patch_touched_col is not None:
-            vals = default_patch_validators(op_col, patch_touched_col)
+            payload_cols = [
+                c for c in df.columns
+                if c not in table.key and c not in DEFAULT_ORDER
+                and c not in META_COLS and c not in (op_col, patch_touched_col)
+            ]
+            vals = default_patch_validators(
+                op_col, patch_touched_col, payload_cols
+            )
         else:
             vals = default_validators(op_col)
         if vals:

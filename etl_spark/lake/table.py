@@ -909,17 +909,23 @@ class LakeTable:
         surviving files, so results are identical to
         ``read().filter(...)`` regardless of stats coverage.
 
-        With a PATCH backlog zone-map pruning is disabled (full read,
-        exact predicate still applied): a patch can change a column to a
-        value the base file's min/max excludes, so file stats no longer
-        bound live row values — ``compact()`` folds the backlog and
-        restores pruning."""
+        Zone-map pruning is disabled PER BUCKET under a patch backlog: a
+        patch can change a column to a value the base file's min/max
+        excludes, so stats no longer bound live values in buckets that
+        carry patch deltas — those buckets are read in full (keys hash
+        to one bucket, so patch-free buckets keep exact pruning).
+        ``compact()`` folds the backlog and restores full pruning."""
         snap = self.snapshot(version)
-        if snap.patch_files:
-            return self.read(version).filter(
-                self._filters_expr(filters)
-            )
         entries, _total = self.files_matching(filters, version)
+        if snap.patch_files:
+            pb = {f["bucket"] for f in snap.patch_files}
+            entries = [e for e in entries if e["bucket"] not in pb] + [
+                e for e in snap.data_files if e["bucket"] in pb
+            ]
+            out = self._read_files(
+                snap, entries, buckets={e["bucket"] for e in entries} | pb
+            )
+            return out.filter(self._filters_expr(filters))
         out = self._read_files(snap, entries)
         return out.filter(self._filters_expr(filters))
 

@@ -338,18 +338,16 @@ def q_cdc_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cdc_apply_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partial-update (patch) CDC apply (cdc.patch): the events changelog
-    becomes a TOAST/minimal-row-image-style stream — inserts are full
-    images, updates carry ONLY the columns named in ``touched`` (the
-    others must keep their stored value), deletes clear the row. Applied
-    in four (ts, lsn)-ordered batches via ``apply_patches``: one
-    map-side-combinable column-wise LWW fold per batch, stored values for
-    untouched columns resolved from a bucket-pruned broadcast-semi-joined
-    read (the table side never shuffles), then the ordinary MERGE. The
-    oracle replays the identical patch semantics over the full log with
-    DuckDB struct-max aggregates — untouched-keeps-stored, explicit
-    set-to-NULL, and delete-then-patch recreation must all agree."""
+def _run_patch_apply(
+    spark: SparkSession, sf_dir: str, mode: str, compact_after: int | None
+) -> DataFrame:
+    """Shared body of the two patch queries: derive the TOAST-style patch
+    changelog from `events` (inserts full, updates touch a deterministic
+    column subset, errors delete), apply it in four (ts, lsn)-ordered
+    batches via ``apply_patches(mode=...)``, optionally compacting after
+    batch ``compact_after``, and read the converged state. ONE derivation
+    shared by both entries so the oracle contract can never drift between
+    the eager and deferred paths."""
     from pyspark.sql.window import Window
 
     from etl_spark.cdc.patch import apply_patches
@@ -393,7 +391,10 @@ def q_cdc_apply_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 chg.filter(F.col("__q") == q).drop("__q"),
                 key=["user_id"],
                 order_by=["ts", "lsn"],
+                mode=mode,
             )
+            if compact_after is not None and q == compact_after:
+                table.compact()
     finally:
         chg.unpersist()
     return table.read().select(
@@ -402,6 +403,21 @@ def q_cdc_apply_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.col("ts").alias("last_ts"),
     )
+
+
+def q_cdc_apply_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update (patch) CDC apply (cdc.patch): the events changelog
+    becomes a TOAST/minimal-row-image-style stream — inserts are full
+    images, updates carry ONLY the columns named in ``touched`` (the
+    others must keep their stored value), deletes clear the row. Applied
+    in four (ts, lsn)-ordered batches via ``apply_patches``: one
+    map-side-combinable column-wise LWW fold per batch, stored values for
+    untouched columns resolved from a bucket-pruned broadcast-semi-joined
+    read (the table side never shuffles), then the ordinary MERGE. The
+    oracle replays the identical patch semantics over the full log with
+    DuckDB struct-max aggregates — untouched-keeps-stored, explicit
+    set-to-NULL, and delete-then-patch recreation must all agree."""
+    return _run_patch_apply(spark, sf_dir, mode="cow", compact_after=None)
 
 
 def q_cdc_apply_patch_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,61 +430,7 @@ def q_cdc_apply_patch_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     live backlog — so the oracle validates BOTH the compaction fold and
     the read-time fold against the same full-log DuckDB column-wise
     struct-max oracle, bit-exactly."""
-    from pyspark.sql.window import Window
-
-    from etl_spark.cdc.patch import apply_patches
-
-    events = _t(spark, sf_dir, "events")
-    eid3 = F.pmod(F.col("event_id"), F.lit(3))
-    chg = events.select(
-        "user_id",
-        F.col("ts"),
-        F.col("event_id").alias("lsn"),
-        F.when(F.col("event_type") == "error", F.lit("D"))
-        .when(F.pmod(F.col("event_id"), F.lit(5)) == 0, F.lit("I"))
-        .otherwise(F.lit("U"))
-        .alias("op"),
-        "event_type",
-        "value",
-        F.when(eid3 == 0, F.array(F.lit("value")))
-        .when(eid3 == 1, F.array(F.lit("event_type")))
-        .otherwise(F.array(F.lit("value"), F.lit("event_type")))
-        .alias("touched"),
-    ).withColumn(
-        "__q", F.ntile(4).over(Window.orderBy(F.col("ts"), F.col("lsn")))
-    )
-    chg.persist()
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("ts", T.TimestampType()),
-        ]
-    )
-    tmp = tempfile.mkdtemp(prefix="etl_spark_patchmor_q_")
-    table = LakeTable.create(
-        spark, os.path.join(tmp, "t"), schema, key=["user_id"], n_buckets=32
-    )
-    try:
-        for q in range(1, 5):
-            apply_patches(
-                table,
-                chg.filter(F.col("__q") == q).drop("__q"),
-                key=["user_id"],
-                order_by=["ts", "lsn"],
-                mode="mor_patch",
-            )
-            if q == 2:
-                table.compact()
-    finally:
-        chg.unpersist()
-    return table.read().select(
-        "user_id",
-        F.col("event_type").alias("last_event_type"),
-        F.col("value").alias("last_value"),
-        F.col("ts").alias("last_ts"),
-    )
+    return _run_patch_apply(spark, sf_dir, mode="mor_patch", compact_after=2)
 
 
 _ORACLE_CDC_PATCH = """

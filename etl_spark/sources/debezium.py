@@ -120,15 +120,19 @@ def toast_to_patches(
     into patch events for ``cdc.patch.apply_patches``: adds ``touched``
     (array<string> of payload columns whose value is NOT the sentinel —
     i.e. genuinely shipped by the producer) and NULLs the sentinel out of
-    the data columns. Only string columns can carry the sentinel; other
-    types are always touched. Delete rows pass through (patch fold
-    ignores ``touched`` for deletes). Pure column expressions — one
-    projection, no Python."""
-    sent = {
-        c: F.col(c).eqNullSafe(F.lit(sentinel))
-        for c in payload_cols
-        if isinstance(df.schema[c].dataType, T.StringType)
-    }
+    the data columns. String columns compare against the sentinel text;
+    BINARY columns against its UTF-8 bytes (Debezium ships the
+    placeholder for TOASTed ``bytea`` as bytes of the same configured
+    string); other types are always touched. Delete rows pass through
+    (patch fold ignores ``touched`` for deletes). Pure column
+    expressions — one projection, no Python."""
+    sent = {}
+    for c in payload_cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.StringType):
+            sent[c] = F.col(c).eqNullSafe(F.lit(sentinel))
+        elif isinstance(dt, T.BinaryType):
+            sent[c] = F.col(c).eqNullSafe(F.lit(sentinel.encode("utf-8")))
     touched = F.array_compact(
         F.array(
             *[
@@ -138,7 +142,8 @@ def toast_to_patches(
         )
     )
     out = [
-        F.when(sent[c], F.lit(None).cast("string")).otherwise(F.col(c)).alias(c)
+        F.when(sent[c], F.lit(None).cast(df.schema[c].dataType))
+        .otherwise(F.col(c)).alias(c)
         if c in sent
         else F.col(c)
         for c in payload_cols

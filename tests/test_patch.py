@@ -451,6 +451,50 @@ def test_stream_patch_wal_mor_patch_deferred(spark, tmp_path):
     assert any(s.get("delta_backlog_rows", 0) >= 60 for s in applied)
 
 
+def test_unknown_touched_name_dead_letters_and_mor_patch_guards(spark, tmp_path):
+    """A typo'd touched name must dead-letter (the fold would otherwise
+    silently discard the update); mor_patch rejects lww_by and a missing
+    patch column up front."""
+    from etl_spark.cdc.apply import apply_batch
+    from etl_spark.cdc.changelog import TRANSCRIPTS_SCHEMA
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA,
+        key=["conv_id", "turn_idx"], n_buckets=4, bucket_by=["conv_id"],
+    )
+    ev = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("touched", T.ArrayType(T.StringType())),
+    ])
+    batch = spark.createDataFrame([
+        ("c1", 0, ts(1), 1, "I", "user", "hello", None, None),
+        ("c1", 0, ts(2), 2, "U", "oops", None, None, ["roIe"]),  # typo
+        ("c1", 1, ts(2), 3, "U", "ok", None, None, ["role"]),
+    ], ev)
+    stats = apply_batch(
+        spark, batch, table, patch_touched_col="touched",
+        dead_letter_dir=str(tmp_path / "dl"),
+    )
+    assert stats["rows_failed"] == 1 and stats["rows_in"] == 2
+    got = {(r["conv_id"], r["turn_idx"]): r["role"]
+           for r in table.read().collect()}
+    assert got == {("c1", 0): "user", ("c1", 1): "ok"}  # typo'd row dropped
+    with pytest.raises(ValueError, match="requires patch_touched_col"):
+        apply_batch(spark, batch, table, merge_mode="mor_patch")
+    with pytest.raises(ValueError, match="does not support merge_lww_by"):
+        apply_batch(
+            spark, batch, table, patch_touched_col="touched",
+            merge_mode="mor_patch", merge_lww_by=["ts", "lsn"],
+        )
+
+
 def test_patch_resolution_plan_is_broadcast_only(spark, tmp_path):
     """The resolution read must never shuffle the table side: exactly one
     Exchange (the fold's groupBy), every join broadcast, no sort-merge."""
