@@ -1981,6 +1981,54 @@ class LakeTable:
             "rows_after": snap.total_rows,
         }
 
+    def delete_where(self, where: Any) -> tuple[Snapshot | None, dict[str, int]]:
+        """Row-level DELETE WHERE as a bucket-pruned copy-on-write
+        rewrite — the retention/TTL workhorse (``delete_where("ts <
+        '2020-01-01'")``). Unlike ``purge`` this is an ordinary snapshot
+        commit: prior versions stay time-travelable and the bytes remain
+        until ``expire_snapshots``; use ``purge`` when the bytes must
+        physically disappear (RTBF). Only buckets containing matches are
+        rewritten; survivors are the non-matching rows; deleted counts
+        come from footer arithmetic on the rewritten buckets — no extra
+        job."""
+        base = self.snapshot()
+        cond = F.expr(where) if isinstance(where, str) else where
+        df = self.read().withColumn(_BUCKET_COL, self._bucket_expr(base))
+        match_counts = (
+            df.filter(cond).groupBy(_BUCKET_COL)
+            .agg(F.count("*").alias("n")).collect()
+        )
+        affected = {r[_BUCKET_COL] for r in match_counts}
+        rows_deleted = sum(r["n"] for r in match_counts)
+        if not affected:
+            return None, {"rows_deleted": 0, "rewritten_buckets": 0}
+        keep_files = []
+        for f in base.files:
+            if f["bucket"] not in affected:
+                keep_files.append(f)
+            elif f.get("kind") == "tomb":
+                # rewritten bucket = mor backlog consumed; guard role kept
+                keep_files.append({k: v for k, v in f.items() if k != "delta"})
+        # file-level pruning for the rewrite: only the affected buckets'
+        # entries become input splits (df above was just the match probe)
+        read_entries = [f for f in base.data_files if f["bucket"] in affected]
+        survivors = self._read_files(
+            base, read_entries, buckets=affected
+        ).filter(~cond | cond.isNull()).withColumn(
+            _BUCKET_COL, self._bucket_expr(base)
+        )
+        written = self._write_data_files(
+            base.version + 1, survivors, base.n_buckets,
+            stats_cols=base.stats_cols,
+            bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
+        )
+        snap = self._commit(base, keep_files, written, base.schema, "delete")
+        return snap, {
+            "rows_deleted": rows_deleted,
+            "rewritten_buckets": len(affected),
+            "rows_after": snap.total_rows,
+        }
+
     # -------------------------------------------------------------- sequence
     def resync_sequence(self, col: str | None = None) -> int:
         """Lake analogue of the reference's Postgres sequence resync

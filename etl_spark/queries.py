@@ -1177,6 +1177,30 @@ def q_update_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE WHERE (retention/TTL shape): customer loads into
+    a bucketed lake table, ``delete_where`` rewrites only the buckets
+    containing matches (negative balances), prior snapshots stay
+    time-travelable. Oracle: plain NOT-matching SELECT."""
+    customer = _t(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="etl_spark_del_q_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "cust"), customer.schema,
+        key=["c_custkey"], n_buckets=8,
+    )
+    table.append(customer)
+    table.delete_where("c_acctbal < 0")
+    return table.read().select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+_ORACLE_DELETE_WHERE = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE NOT (c_acctbal < 0)
+"""
+
+
 _ORACLE_UPDATE = """
 SELECT c_custkey, c_name, c_nationkey,
        CASE WHEN c_acctbal < 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
@@ -2758,6 +2782,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "entity_relation": q_entity_relation,
     "update_query": q_update_query,
+    "delete_where": q_delete_where,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -2844,6 +2869,7 @@ ORACLE_SQL = {
     "top_orders": _ORACLE_TOP,
     "entity_relation": _ORACLE_ENTITY,
     "update_query": _ORACLE_UPDATE,
+    "delete_where": _ORACLE_DELETE_WHERE,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": _ORACLE_JACCARD,
     "dedup_minhash_lsh_verified": _ORACLE_JACCARD,

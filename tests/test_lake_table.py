@@ -1101,3 +1101,21 @@ def test_named_refs_pin_and_protect_snapshots(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         t.snapshot(tagged)
     assert rows(t.read()) == {("c3", 3, "v3")}
+
+
+def test_delete_where_is_snapshot_preserving(spark, tmp_path):
+    """DELETE WHERE rewrites only matching buckets, keeps history
+    time-travelable (unlike purge), and composes with a patch backlog."""
+    t = make(spark, tmp_path, n_buckets=4)
+    t.append(spark.createDataFrame(
+        [(f"c{i}", i, f"v{i}") for i in range(8)], SCHEMA))
+    v0 = t.current_version()
+    snap, stats = t.delete_where("turn_idx >= 5")
+    assert stats["rows_deleted"] == 3
+    assert {r.turn_idx for r in t.read().collect()} == set(range(5))
+    # history preserved
+    assert len(rows(t.read(version=v0))) == 8
+    # no-match fast path: nothing rewritten, no commit
+    snap2, stats2 = t.delete_where("turn_idx > 99")
+    assert snap2 is None and stats2["rewritten_buckets"] == 0
+    assert t.current_version() == snap.version

@@ -127,6 +127,40 @@ def test_scan_is_exact_under_patch_backlog(spark, tmp_path):
     assert got == {1}
 
 
+def test_scan_pruning_stays_per_bucket_under_backlog(spark, tmp_path):
+    """Only buckets carrying patch deltas lose zone-map pruning; a
+    patch-free bucket's non-matching file still never becomes an input
+    split."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key=["user_id"], n_buckets=8,
+        stats_cols=["value"],
+    )
+    # two appends -> per-bucket files with disjoint value ranges
+    t.append(spark.createDataFrame(
+        [(i, "lo", float(i % 10)) for i in range(40)], SCHEMA))
+    t.append(spark.createDataFrame(
+        [(100 + i, "hi", 1000.0 + i) for i in range(40)], SCHEMA))
+    # patch exactly one key -> one bucket has a backlog
+    t.commit_patches(patch(spark, [(1, "U", None, 5000.0, ["value"])]))
+    pb = {f["bucket"] for f in t.snapshot().patch_files}
+    assert len(pb) == 1
+    df = t.scan([("value", ">=", 1000.0)])
+    got = {r["user_id"] for r in df.collect()}
+    assert got == {100 + i for i in range(40)} | {1}  # patched row found
+    # low-range files of PATCH-FREE buckets were pruned from the input
+    # (full relative paths: partitionBy reuses part-file basenames
+    # across bucket dirs, so basenames are not unique)
+    read_paths = {p.split("file:", 1)[-1] for p in df.inputFiles()}
+    lo_pruned = [
+        f for f in t.snapshot().data_files
+        if f["bucket"] not in pb
+        and f["stats"]["value"][1] < 1000.0  # a lo-range file
+    ]
+    assert lo_pruned, "expected prunable lo files in patch-free buckets"
+    for f in lo_pruned:
+        assert not any(p.endswith(f["path"]) for p in read_paths)
+
+
 def test_cow_merge_consumes_patch_backlog(spark, tmp_path):
     t = make(spark, tmp_path)
     t.commit_patches(patch(spark, [
