@@ -2383,8 +2383,9 @@ class LakeTable:
         for i in range(v + 1):
             if os.path.exists(self._snap_path(i)):
                 live |= {f["path"] for f in self.snapshot(i).files}
-        # staged WAP commits hold real references until published/abandoned
-        for p in self._staged_wap_files():
+        # staged WAP commits and branch commits hold real references
+        # until published / fast-forwarded / dropped
+        for p in self._staged_wap_files() + self._branch_snapshots():
             live |= {f["path"] for f in self._snapshot_from_file(p).files}
         cutoff = time.time() - older_than_s
         removed = 0
@@ -2491,6 +2492,181 @@ class LakeTable:
             raise FileNotFoundError(f"no ref named {name!r}")
         return v
 
+    # ---------------------------------------------------------------- branches
+    def _branches_dir(self) -> str:
+        return os.path.join(self._meta, "branches")
+
+    def _branch_dir(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(
+                f"branch name {name!r} must match [A-Za-z0-9._-]+"
+            )
+        return os.path.join(self._branches_dir(), name)
+
+    def _branch_snapshots(self) -> list[str]:
+        """Snapshot-file paths of EVERY branch commit across all live
+        branches — GC (expire/vacuum) treats them as references."""
+        root = self._branches_dir()
+        if not os.path.isdir(root):
+            return []
+        out: list[str] = []
+        for b in sorted(os.listdir(root)):
+            bdir = os.path.join(root, b)
+            if not os.path.isdir(bdir):
+                continue
+            out.extend(
+                os.path.join(bdir, n)
+                for n in sorted(os.listdir(bdir))
+                if n.startswith("snap-") and n.endswith(".json")
+            )
+        return out
+
+    def create_branch(
+        self, name: str, version: int | None = None
+    ) -> "LakeTable":
+        """Writable branch (Iceberg branch semantics): an independent
+        snapshot chain forked from ``version`` (default: current head).
+        Writes through the returned handle — merge / append / compact /
+        update / delete, the full surface — commit to the branch only;
+        ``main`` readers never see them until ``fast_forward(name)``
+        publishes the whole chain atomically. Branch commits share the
+        table's content-addressed manifests and data directory, so a
+        branch costs one small JSON per commit — no data is copied and
+        expire/vacuum on main retain everything a branch references.
+
+        The audit-then-publish shape generalizes ``wap()`` from one
+        staged commit to a whole staged LINEAGE (backfills, multi-batch
+        reprocessing, blue/green schema migrations) — at 10^10 rows the
+        publish is still a driver-side O(commits) metadata link."""
+        bdir = self._branch_dir(name)
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError("table has no snapshots to branch")
+        v = cur if version is None else version
+        if not os.path.exists(self._snap_path(v)):
+            raise FileNotFoundError(f"version {v} does not exist (expired?)")
+        os.makedirs(self._branches_dir(), exist_ok=True)
+        try:
+            os.makedirs(bdir)  # atomic: two racing creators serialize here
+        except FileExistsError:
+            raise FileExistsError(f"branch {name!r} already exists") from None
+        with open(os.path.join(bdir, "branch.json"), "w") as fh:
+            json.dump({"name": name, "fork": v, "ts": time.time()}, fh)
+        return self.branch(name)
+
+    def branch(self, name: str) -> "LakeTable":
+        """Handle on an existing branch — a full read/write ``LakeTable``
+        whose history below the fork point resolves on main's chain."""
+        bdir = self._branch_dir(name)
+        if not os.path.isfile(os.path.join(bdir, "branch.json")):
+            raise FileNotFoundError(f"no branch named {name!r}")
+        return _BranchTable(self.spark, self.path, name)
+
+    def branches(self) -> dict[str, dict[str, int]]:
+        """name -> {"fork": forked-from version, "head": branch head}."""
+        root = self._branches_dir()
+        if not os.path.isdir(root):
+            return {}
+        out: dict[str, dict[str, int]] = {}
+        for b in sorted(os.listdir(root)):
+            meta = os.path.join(root, b, "branch.json")
+            if not os.path.isfile(meta):
+                continue
+            with open(meta) as fh:
+                d = json.load(fh)
+            heads = [
+                int(n[5:-5])
+                for n in os.listdir(os.path.join(root, b))
+                if n.startswith("snap-") and n.endswith(".json")
+            ]
+            out[b] = {
+                "fork": int(d["fork"]),
+                "head": max(heads) if heads else int(d["fork"]),
+            }
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch and its snapshot chain. Data files only the
+        branch referenced become orphans — ``vacuum()`` reclaims them."""
+        import shutil
+
+        bdir = self._branch_dir(name)
+        if not os.path.isdir(bdir):
+            raise FileNotFoundError(f"no branch named {name!r}")
+        shutil.rmtree(bdir)
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """Atomically publish a branch's commits onto main (Iceberg
+        ``fast_forward``): requires main's head to still be the branch's
+        fork point — the branch chain is then linked into the live chain
+        commit-by-commit under the same O_EXCL rule as any write (a main
+        writer that advanced first wins: ``CommitConflict``, nothing
+        partially applied because the branch's first version is the
+        contended one). A racer landing MID-publish leaves a proper
+        prefix published — each published prefix is a valid lineage, the
+        fork pointer advances per commit, and the conflict reports the
+        rest still on the branch. Timestamps are re-stamped fresh in
+        order so ``version_as_of`` stays monotonic with live history;
+        each op string is tagged ``:ff(<branch>)``. The branch survives
+        with its fork advanced to the published head (keep writing,
+        fast-forward again), and every published snapshot file is
+        removed from the branch dir only AFTER its main-chain copy is
+        durable."""
+        bdir = self._branch_dir(name)
+        meta_path = os.path.join(bdir, "branch.json")
+        if not os.path.isfile(meta_path):
+            raise FileNotFoundError(f"no branch named {name!r}")
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        fork = int(meta["fork"])
+        pending = sorted(
+            n for n in os.listdir(bdir)
+            if n.startswith("snap-") and n.endswith(".json")
+        )
+        if not pending:
+            return self.snapshot()
+        cur = self.current_version()
+        if cur != fork:
+            raise CommitConflict(
+                f"branch {name!r} forked at version {fork} but main is at "
+                f"{cur} — not fast-forwardable (rebase: re-apply onto a "
+                "fresh branch from the current head)"
+            )
+        published: Snapshot | None = None
+
+        def _advance_fork(v: int) -> None:
+            meta["fork"] = v
+            meta["ts"] = time.time()
+            tmp = meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(meta, fh)
+            os.replace(tmp, meta_path)
+
+        for n in pending:
+            src = os.path.join(bdir, n)
+            with open(src) as fh:
+                d = json.load(fh)
+            d["ts"] = time.time()
+            d["op"] = f"{d['op']}:ff({name})"
+            target = self._snap_path(int(d["version"]))
+            try:
+                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError as e:
+                raise CommitConflict(
+                    f"version {d['version']} already committed at "
+                    f"{self.path} — main advanced during fast-forward; "
+                    f"{'nothing' if published is None else f'prefix through {published.version}'}"
+                    " published"
+                ) from e
+            with os.fdopen(fd, "w") as fh:
+                fh.write(json.dumps(d, indent=1))
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.remove(src)
+            _advance_fork(int(d["version"]))
+            published = self.snapshot(int(d["version"]))
+        return published
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Delete snapshot manifests and data files unreferenced by the
         ``keep_last`` newest snapshots. Versions pinned by a named ref
@@ -2504,10 +2680,16 @@ class LakeTable:
             rv for rv in self.refs().values()
             if os.path.exists(self._snap_path(rv))
         }
+        # a branch's fork version is its base for reads below its own
+        # commits — it must stay resolvable while the branch lives
+        keep_versions |= {
+            b["fork"] for b in self.branches().values()
+            if os.path.exists(self._snap_path(b["fork"]))
+        }
         live: set[str] = set()
         for kv in keep_versions:
             live |= {f["path"] for f in self.snapshot(kv).files}
-        for p in self._staged_wap_files():
+        for p in self._staged_wap_files() + self._branch_snapshots():
             live |= {f["path"] for f in self._snapshot_from_file(p).files}
         removed = 0
         for i in range(0, v + 1):
@@ -2534,7 +2716,7 @@ class LakeTable:
                     continue
                 with open(self._snap_path(kv)) as fh:
                     live_refs |= set(json.load(fh).get("manifest_refs", []))
-            for p in self._staged_wap_files():
+            for p in self._staged_wap_files() + self._branch_snapshots():
                 with open(p) as fh:
                     live_refs |= set(json.load(fh).get("manifest_refs", []))
             for n in os.listdir(mdir):
@@ -2577,6 +2759,73 @@ class _StagedView(LakeTable):
             "staged WAP views are read-only — write inside `with "
             "table.wap(id):`, then publish"
         )
+
+
+class _BranchTable(LakeTable):
+    """Read/write handle on a branch (``LakeTable.branch``): versions at
+    or below the fork point resolve on main's snapshot chain, versions
+    above it live in the branch directory, and every write op commits to
+    the branch directory — main's chain never moves. All inherited
+    behavior (merge, compact, time travel, change feed, zone maps, MOR
+    backlogs) works unchanged because it flows through ``_snap_path`` /
+    ``current_version`` / ``_write_snapshot``. Lifecycle ops that walk
+    the MAIN chain (expire/vacuum/refs/branch-of-branch/wap) are blocked
+    here — run them on the main handle, which retains everything a live
+    branch references."""
+
+    def __init__(self, spark: SparkSession, path: str, name: str):
+        super().__init__(spark, path)
+        self._branch_name = name
+        self._bdir = self._branch_dir(name)
+        with open(os.path.join(self._bdir, "branch.json")) as fh:
+            self._fork = int(json.load(fh)["fork"])
+
+    def _snap_path(self, version: int) -> str:
+        if version <= self._fork:
+            return super()._snap_path(version)
+        return os.path.join(self._bdir, f"snap-{version:012d}.json")
+
+    def current_version(self) -> int | None:
+        if not os.path.isdir(self._bdir):
+            raise FileNotFoundError(
+                f"branch {self._branch_name!r} was dropped"
+            )
+        versions = [
+            int(n[5:-5])
+            for n in os.listdir(self._bdir)
+            if n.startswith("snap-") and n.endswith(".json")
+        ]
+        return max(versions) if versions else self._fork
+
+    def _blocked(self, op: str):
+        raise RuntimeError(
+            f"{op} runs on the main table handle, not on branch "
+            f"{self._branch_name!r}"
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        self._blocked("expire_snapshots")
+
+    def vacuum(self, older_than_s: float = 3600.0) -> int:
+        self._blocked("vacuum")
+
+    def create_ref(self, name: str, version: int | None = None) -> int:
+        self._blocked("create_ref")
+
+    def create_branch(
+        self, name: str, version: int | None = None
+    ) -> "LakeTable":
+        self._blocked("create_branch")
+
+    def fast_forward(self, name: str) -> Snapshot:
+        self._blocked("fast_forward")
+
+    def drop_branch(self, name: str) -> None:
+        self._blocked("drop_branch")
+
+    def wap(self, wap_id: str):
+        self._blocked("wap (a branch IS a staged lineage — write here "
+                      "and fast_forward to publish)")
 
 
 # commits that provably change NO logical row content: a consumer

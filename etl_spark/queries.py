@@ -610,6 +610,64 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def q_branch_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writable-branch lifecycle (``LakeTable.create_branch/branch/
+    fast_forward/drop_branch`` — Iceberg branch semantics): the flagship
+    changelog replays in FOUR (ts, lsn)-ordered batches — 1-2 straight
+    onto main, 3-4 as a MULTI-COMMIT staged lineage on branch
+    ``backfill`` (the thing one-shot WAP cannot express), audited as a
+    whole and fast-forwarded atomically; a poison branch is audited and
+    dropped without main ever seeing it. Final state must equal the
+    flagship oracle bit-exactly — proof the branch replay is the same
+    replay, just staged."""
+    from pyspark.sql.window import Window
+
+    chg = _events_changelog(spark, sf_dir).withColumn(
+        "__q",
+        F.ntile(4).over(Window.orderBy(F.col("ts"), F.col("lsn"))),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_branch_q_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, key=["user_id"], n_buckets=32
+    )
+    for q in (1, 2):
+        replay(spark, chg.filter(F.col("__q") == q).drop("__q"), table)
+    # a poisoned reprocessing attempt: staged on its own branch, fails
+    # audit, dropped — main and the real backfill never see it
+    poison = table.create_branch("poison")
+    poison.merge(
+        spark.createDataFrame(
+            [(999_999_001, "__poison", 0.0, None)], schema
+        )
+    )
+    assert (
+        poison.read().filter(F.col("event_type").startswith("__"))
+        .limit(1).count() > 0
+    )
+    table.drop_branch("poison")
+    # the real backfill: two commits staged as one lineage, one audit,
+    # one atomic publish
+    b = table.create_branch("backfill")
+    for q in (3, 4):
+        replay(spark, chg.filter(F.col("__q") == q).drop("__q"), b)
+    assert b.read().filter(F.col("user_id").isNull()).limit(1).count() == 0
+    table.fast_forward("backfill")
+    return table.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
 def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish gate (``LakeTable.wap/staged/publish/abandon``,
     Iceberg's WAP pattern): the flagship changelog replays in FOUR
@@ -2755,6 +2813,7 @@ QUERIES = {
     "cdc_apply_patch": q_cdc_apply_patch,
     "cdc_apply_patch_mor": q_cdc_apply_patch_mor,
     "wap_publish": q_wap_publish,
+    "branch_backfill": q_branch_backfill,
     "replica_repair": q_replica_repair,
     "change_feed_replicate": q_change_feed_replicate,
     "merge_out_of_order": q_merge_out_of_order,
@@ -2842,6 +2901,7 @@ ORACLE_SQL = {
     "cdc_apply_patch": _ORACLE_CDC_PATCH,
     "cdc_apply_patch_mor": _ORACLE_CDC_PATCH,
     "wap_publish": _ORACLE_CDC_FINAL,
+    "branch_backfill": _ORACLE_CDC_FINAL,
     "replica_repair": _ORACLE_CDC_FINAL,
     "change_feed_replicate": _ORACLE_CDC_FINAL,
     "merge_out_of_order": _ORACLE_OOO_MERGE,
