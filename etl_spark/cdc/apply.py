@@ -142,6 +142,7 @@ def apply_batch(
     merge_lww_by: Sequence[str] | None = None,
     merge_mode: str = "cow",
     patch_touched_col: str | None = None,
+    skip_unchanged: bool = False,
 ) -> dict:
     """Apply one changelog micro-batch to the lake table, exactly once.
 
@@ -179,6 +180,12 @@ def apply_batch(
     idempotent.
     """
     t0 = time.time()
+    if skip_unchanged and patch_touched_col is not None:
+        raise ValueError(
+            "skip_unchanged does not apply to patch batches: a patch "
+            "event only carries touched columns, so no-op suppression "
+            "is already structural there"
+        )
     if merge_mode == "mor_patch":
         if patch_touched_col is None:
             raise ValueError(
@@ -397,15 +404,38 @@ def apply_batch(
                     op_col=op_col, per_bucket=per_bucket,
                 )
             else:
+                if skip_unchanged:
+                    # Change detection (see LakeTable.changed_only): drop
+                    # state-no-op rows BEFORE the merge so all-unchanged
+                    # buckets leave the affected set. The stats pass's
+                    # per_bucket counts are pre-filter, so the merge must
+                    # recount — one extra driver action per batch, paid
+                    # only when the caller opts in (full-row-image
+                    # upstreams where most updates are no-ops).
+                    merge_src = table.changed_only(
+                        merge_src, op_col=op_col,
+                        buckets=set(per_bucket),
+                        broadcast=rows_in <= 200_000,
+                    )
                 snap, merge_stats = table.merge(
-                    merge_src, op_col=op_col, per_bucket=per_bucket,
+                    merge_src, op_col=op_col,
+                    per_bucket=None if skip_unchanged else per_bucket,
                     lww_by=list(merge_lww_by) if merge_lww_by else None,
                     mode=merge_mode,
                     # cached key-unique fold: the merge's anti-join keys
                     # come from it directly instead of re-executing the
                     # resolution subtree (one fewer bucket scan per batch)
-                    source_keys=fold_cache,
+                    source_keys=None if skip_unchanged else fold_cache,
                 )
+                if skip_unchanged:
+                    merge_stats = dict(merge_stats)
+                    merge_stats["rows_unchanged_skipped"] = (
+                        # pre-dedup valid rows minus post-filter source
+                        # rows over-counts by in-batch duplicates; still
+                        # the honest upper-bound signal without an extra
+                        # pre-filter count action
+                        rows_in - merge_stats.get("source_rows", 0)
+                    )
         finally:
             if fold_cache is not None:
                 fold_cache.unpersist()

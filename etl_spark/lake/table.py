@@ -1506,6 +1506,104 @@ class LakeTable:
             if guard_cache is not None:
                 guard_cache.unpersist()
 
+    def changed_only(
+        self,
+        source: DataFrame,
+        op_col: str | None = None,
+        delete_op: str = "D",
+        compare_cols: list[str] | None = None,
+        buckets: set[int] | None = None,
+        broadcast: bool = True,
+    ) -> DataFrame:
+        """Change detection for full-row-image CDC: drop source rows whose
+        MERGE would be a state no-op — upserts whose full (null-safe)
+        image equals the stored row, and deletes of keys that do not
+        exist. The Iceberg/Delta ``WHEN MATCHED AND target IS DISTINCT
+        FROM source THEN UPDATE`` shape, applied as a pre-filter so it
+        composes with every merge mode.
+
+        Why it matters at 10^10 rows: upstreams that re-send full row
+        images (Debezium snapshot re-reads, periodic full-table
+        re-extracts, at-least-once producers) make most "updates" no-ops.
+        Without this filter a copy-on-write merge still REWRITES every
+        bucket the no-op keys hash into — write amplification proportional
+        to the batch's key spread, not to the actual change volume. With
+        it, buckets whose rows are all unchanged drop out of the affected
+        set entirely (an all-unchanged batch commits NOTHING), and the
+        change feed carries no phantom rewrites.
+
+        Cost: one bucket-pruned, broadcast-semi-joined read of the stored
+        rows for the batch's keys (``read_for_key_frame`` — the table side
+        never shuffles; same shape as the ``lww_by`` guard scan). Worth it
+        exactly when no-op rows are common; skip it for churn-only feeds.
+
+        Comparison contract: the merge writes the source row ALIGNED to
+        the evolved schema, so equality is evaluated on that alignment —
+        a table column missing from the source compares as NULL (merge
+        would null it out: that IS a change if the stored value is
+        non-null), and a source column unknown to the table makes the row
+        a change whenever its value is non-null (schema evolution; an
+        all-NULL new column is elided as a state no-op, so the schema
+        evolves on the first batch that carries a real value for it).
+        ``compare_cols`` restricts the comparison to a subset (e.g. to
+        ignore an always-churning ``updated_at``). NULL == NULL is equal
+        (eqNullSafe). ``source`` must be key-deduped, same contract as
+        ``merge``.
+        """
+        base = self.snapshot()
+        if base.n_buckets <= 0:
+            raise ValueError("changed_only requires a bucketed table")
+        key = list(base.key)
+        payload_schema = T.StructType(
+            [f for f in source.schema.fields if f.name != op_col]
+        )
+        schema = evolve_schema(base.schema, payload_schema)
+        if compare_cols is None:
+            cmp_fields = [
+                f for f in schema.fields
+                if f.name not in key and f.name != op_col
+            ]
+        else:
+            by_name = {f.name: f for f in schema.fields}
+            missing = [c for c in compare_cols if c not in by_name]
+            if missing:
+                raise ValueError(
+                    f"compare_cols {missing} not in the evolved schema"
+                )
+            cmp_fields = [by_name[c] for c in compare_cols]
+
+        stored = align_to_schema(
+            self.read_for_key_frame(source, buckets=buckets,
+                                    broadcast=broadcast),
+            schema,
+        )
+        st = stored.select(
+            *key,
+            F.lit(True).alias("__st_exists"),
+            *[F.col(f.name).alias(f"__st_{f.name}") for f in cmp_fields],
+        )
+
+        def _src_side(f: T.StructField) -> Column:
+            if f.name in source.columns:
+                return F.col(f.name).cast(f.dataType)
+            return F.lit(None).cast(f.dataType)
+
+        same = F.lit(True)
+        for f in cmp_fields:
+            same = same & _src_side(f).eqNullSafe(F.col(f"__st_{f.name}"))
+        exists = F.col("__st_exists").isNotNull()
+        if op_col is not None:
+            is_del = F.col(op_col) == F.lit(delete_op)
+            keep = F.when(is_del, exists).otherwise(~exists | ~same)
+        else:
+            keep = ~exists | ~same
+        helper = ["__st_exists"] + [f"__st_{f.name}" for f in cmp_fields]
+        return (
+            source.join(st, on=key, how="left")
+            .filter(keep)
+            .drop(*helper)
+        )
+
     def tag(self, note: str) -> Snapshot:
         """Metadata-only commit recording ``note`` in the op string
         (Iceberg snapshot-tag analogue). Used e.g. by incremental view

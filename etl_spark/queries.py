@@ -32,6 +32,11 @@ equality-delete commits (`cdc_apply_mor`: four ts-ordered mor batches vs
 the cow flagship's oracle; `merge_mor_out_of_order`: the guarded
 wrong-order parity replay vs the global-LWW oracle) — proving the
 shadow-applied read path reconstructs exactly the copy-on-write state.
+Change detection (`cdc_apply_skip_unchanged`) replays each batch unioned
+with a full re-send of the previous one — the at-least-once /
+snapshot-re-read upstream shape — through `changed_only` no-op elision
+and must still converge to the flagship's oracle, with a zero-commit
+assertion on an all-unchanged re-apply.
 The derived-view family (incremental materialized-view maintenance
 from the change feed — delta-maintained count/sum/avg, rescan-maintained
 min/max, and a row-level filtered projection) replays a four-batch
@@ -330,6 +335,62 @@ def q_cdc_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in range(1, 5):
         replay(spark, chg.filter(F.col("__q") == q).drop("__q"), table,
                mor=True)
+    return table.read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+def q_cdc_apply_skip_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-detection CDC lifecycle (``LakeTable.changed_only`` via
+    ``apply_batch(skip_unchanged=True)``): the events changelog is split
+    into four (ts, lsn)-ordered batches and each batch is applied as the
+    union of itself and a FULL RE-SEND of the previous batch — the
+    at-least-once / snapshot-re-read upstream shape where most delivered
+    rows are state no-ops. Change detection must elide exactly the no-op
+    rows (identical full images, deletes of absent keys) and keep the
+    real changes, converging to the SAME final state as the flagship
+    (same DuckDB oracle). The query also re-applies the final batch once
+    more and asserts the merge was a ZERO-COMMIT no-op (table version
+    unchanged) — the all-unchanged-batch contract."""
+    from pyspark.sql.window import Window
+
+    from etl_spark.cdc.apply import apply_batch
+
+    chg = _events_changelog(spark, sf_dir).withColumn(
+        "__q",
+        F.ntile(4).over(Window.orderBy(F.col("ts"), F.col("lsn"))),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_skipun_q_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, key=["user_id"], n_buckets=32
+    )
+    for q in range(1, 5):
+        batch = chg.filter(
+            (F.col("__q") == q) | (F.col("__q") == q - 1)
+        ).drop("__q")
+        apply_batch(spark, batch, table, batch_id=q, skip_unchanged=True,
+                    validators=[("op_known", F.col("op").isin("I", "U", "D"))])
+    v_before = table.snapshot().version
+    stats = apply_batch(
+        spark, chg.filter(F.col("__q") == 4).drop("__q"), table,
+        batch_id=5, skip_unchanged=True,
+        validators=[("op_known", F.col("op").isin("I", "U", "D"))],
+    )
+    assert table.snapshot().version == v_before, (
+        "re-applied all-unchanged batch must be a zero-commit no-op"
+    )
+    assert stats["rows_applied"] == 0, stats
     return table.read().select(
         "user_id",
         F.col("event_type").alias("last_event_type"),
@@ -2810,6 +2871,7 @@ FROM final WHERE value > 50.0
 QUERIES = {
     "cdc_apply_final_state": q_cdc_apply_final_state,
     "cdc_apply_mor": q_cdc_apply_mor,
+    "cdc_apply_skip_unchanged": q_cdc_apply_skip_unchanged,
     "cdc_apply_patch": q_cdc_apply_patch,
     "cdc_apply_patch_mor": q_cdc_apply_patch_mor,
     "wap_publish": q_wap_publish,
@@ -2898,6 +2960,7 @@ QUERIES = {
 ORACLE_SQL = {
     "cdc_apply_final_state": _ORACLE_CDC_FINAL,
     "cdc_apply_mor": _ORACLE_CDC_FINAL,
+    "cdc_apply_skip_unchanged": _ORACLE_CDC_FINAL,
     "cdc_apply_patch": _ORACLE_CDC_PATCH,
     "cdc_apply_patch_mor": _ORACLE_CDC_PATCH,
     "wap_publish": _ORACLE_CDC_FINAL,

@@ -112,6 +112,13 @@ class CdcStream:
     # Switches apply_batch to the column-wise fold + bucket-pruned
     # resolution (and patch-aware default validators). None = full rows.
     patch_touched_col: str | None = None
+    # Change detection (LakeTable.changed_only): drop state-no-op rows
+    # (re-sent identical full images, deletes of absent keys) before the
+    # merge, so all-unchanged buckets are never rewritten and the change
+    # feed carries no phantom updates. Costs one bucket-pruned stored-row
+    # read + one recount action per batch — opt in for full-row-image
+    # upstreams (snapshot re-reads, at-least-once producers).
+    skip_unchanged: bool = False
     # Multi-destination fan-out: the same batch is applied to each extra
     # table after the primary (reference re-runs the whole ETL per
     # destination, /root/reference/etl.go:463-477; here the batch is
@@ -212,6 +219,7 @@ class CdcStream:
                 merge_lww_by=self.merge_lww_by,
                 merge_mode=self.merge_mode,
                 patch_touched_col=self.patch_touched_col,
+                skip_unchanged=self.skip_unchanged,
             ),
             attempts=self.retry_attempts,
         )
@@ -230,6 +238,7 @@ class CdcStream:
                     merge_lww_by=self.merge_lww_by,
                     merge_mode=self.merge_mode,
                     patch_touched_col=self.patch_touched_col,
+                    skip_unchanged=self.skip_unchanged,
                 ),
                 attempts=self.retry_attempts,
             )

@@ -1119,3 +1119,158 @@ def test_delete_where_is_snapshot_preserving(spark, tmp_path):
     snap2, stats2 = t.delete_where("turn_idx > 99")
     assert snap2 is None and stats2["rewritten_buckets"] == 0
     assert t.current_version() == snap.version
+
+
+# ----------------------------------------------------------- changed_only
+def test_changed_only_elides_state_noops(spark, tmp_path):
+    """Change detection: identical full images and deletes of absent keys
+    are dropped; real changes, NULL transitions and existing-key deletes
+    are kept. NULL == NULL compares equal (eqNullSafe)."""
+    t = make(spark, tmp_path, n_buckets=8)
+    t.append(
+        spark.createDataFrame(
+            [("a", 0, "x"), ("b", 0, None), ("c", 0, "z")], SCHEMA
+        )
+    )
+    batch_schema = T.StructType(
+        [T.StructField("op", T.StringType())] + list(SCHEMA.fields)
+    )
+    batch = spark.createDataFrame(
+        [
+            ("U", "a", 0, "x"),      # identical image -> drop
+            ("U", "b", 0, None),     # NULL == NULL -> drop
+            ("U", "c", 0, "z2"),     # real change -> keep
+            ("U", "d", 0, "new"),    # new key -> keep
+            ("D", "a", 0, None),     # delete existing -> keep
+            ("D", "zz", 9, None),    # delete absent -> drop
+        ],
+        batch_schema,
+    )
+    kept = t.changed_only(batch, op_col="op")
+    got = {(r.op, r.conv_id) for r in kept.collect()}
+    assert got == {("U", "c"), ("U", "d"), ("D", "a")}
+
+
+def test_changed_only_null_transition_applies(spark, tmp_path):
+    t = make(spark, tmp_path, n_buckets=4)
+    t.append(spark.createDataFrame([("a", 0, "x"), ("b", 0, None)], SCHEMA))
+    batch = spark.createDataFrame([("a", 0, None), ("b", 0, "v")], SCHEMA)
+    kept = t.changed_only(batch)
+    assert {(r.conv_id, r.text) for r in kept.collect()} == {
+        ("a", None), ("b", "v")
+    }
+
+
+def test_changed_only_missing_source_col_counts_as_null(spark, tmp_path):
+    """The merge writes the source ALIGNED to the table schema, so a
+    source lacking a table column would null it out — that is a change
+    whenever the stored value is non-null."""
+    t = make(spark, tmp_path, n_buckets=4)
+    t.append(spark.createDataFrame([("a", 0, "x"), ("b", 0, None)], SCHEMA))
+    narrow = T.StructType([f for f in SCHEMA.fields if f.name != "text"])
+    batch = spark.createDataFrame([("a", 0), ("b", 0)], narrow)
+    kept = t.changed_only(batch)
+    # a: stored text "x" vs aligned NULL -> change; b: NULL vs NULL -> noop
+    assert {r.conv_id for r in kept.collect()} == {"a"}
+
+
+def test_changed_only_compare_cols_subset(spark, tmp_path):
+    wide = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("updated_at", T.LongType())]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), wide, key=["conv_id", "turn_idx"],
+        n_buckets=4, bucket_by=["conv_id"],
+    )
+    t.append(spark.createDataFrame([("a", 0, "x", 1)], wide))
+    batch = spark.createDataFrame([("a", 0, "x", 2)], wide)
+    # full comparison: updated_at churned -> change
+    assert t.changed_only(batch).count() == 1
+    # ignore the churn column -> state no-op
+    assert t.changed_only(batch, compare_cols=["text"]).count() == 0
+    with pytest.raises(ValueError, match="not in the evolved schema"):
+        t.changed_only(batch, compare_cols=["nope"])
+
+
+def test_merge_with_changed_only_skips_unchanged_buckets(spark, tmp_path):
+    """All-unchanged batch -> zero commit; mixed batch rewrites ONLY the
+    buckets holding real changes (write-amplification contract)."""
+    t = make(spark, tmp_path, n_buckets=8)
+    seed = [(f"c{i}", 0, f"t{i}") for i in range(64)]
+    t.append(spark.createDataFrame(seed, SCHEMA))
+    v1 = t.current_version()
+
+    resend = spark.createDataFrame(seed, SCHEMA).withColumn("op", F.lit("U"))
+    snap, stats = t.merge(t.changed_only(resend, op_col="op"), op_col="op")
+    assert snap is None and stats["source_rows"] == 0
+    assert t.current_version() == v1
+
+    # one real change + 63 re-sends: only the changed key's bucket rewrites
+    mixed = spark.createDataFrame(
+        [("c0", 0, "CHANGED")] + seed[1:], SCHEMA
+    ).withColumn("op", F.lit("U"))
+    snap, stats = t.merge(t.changed_only(mixed, op_col="op"), op_col="op")
+    assert stats["source_rows"] == 1
+    assert stats["rewritten_buckets"] == 1
+    assert t.read().filter("conv_id = 'c0'").collect()[0].text == "CHANGED"
+    assert t.row_count() == 64
+
+
+def test_apply_batch_skip_unchanged_converges_and_advances_watermarks(
+    spark, tmp_path
+):
+    """apply_batch(skip_unchanged=True): re-sent batches elide no-ops but
+    watermarks STILL advance (an all-unchanged batch must not stall the
+    resume point), and final state equals the plain apply."""
+    from etl_spark.cdc.apply import apply_batch
+    from etl_spark.cdc.state import WatermarkStore
+
+    sch = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("source_partition", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+        + list(SCHEMA.fields)
+    )
+    import datetime as dt
+
+    ts0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    b1 = [
+        ("U", 1, 0, ts0, "a", 0, "x"),
+        ("U", 2, 0, ts0, "b", 0, "y"),
+    ]
+    # b2 re-sends b1 verbatim (higher LSNs) + one real change
+    b2 = [
+        ("U", 3, 0, ts0, "a", 0, "x"),
+        ("U", 4, 0, ts0, "b", 0, "y2"),
+    ]
+    t = make(spark, tmp_path, n_buckets=4)
+    wm = WatermarkStore(str(tmp_path / "wm"))
+    vals = [("op_known", F.col("op").isin("I", "U", "D"))]
+    apply_batch(
+        spark, spark.createDataFrame(b1, sch), t, batch_id=1,
+        watermark_store=wm, skip_unchanged=True, validators=vals,
+    )
+    v_after_b1 = t.current_version()
+    stats = apply_batch(
+        spark, spark.createDataFrame(b2, sch), t, batch_id=2,
+        watermark_store=wm, skip_unchanged=True, validators=vals,
+    )
+    assert stats["rows_applied"] == 1  # only b's real change
+    assert stats["rows_unchanged_skipped"] == 1
+    assert wm.get_all()[0] == 4  # watermark advanced past the no-op rows
+    assert t.current_version() == v_after_b1 + 1
+    got = {(r.conv_id, r.text) for r in t.read().collect()}
+    assert got == {("a", "x"), ("b", "y2")}
+
+    # a 100%-no-op batch: zero commit, watermark still advances
+    b3 = [("U", 5, 0, ts0, "a", 0, "x")]
+    stats = apply_batch(
+        spark, spark.createDataFrame(b3, sch), t, batch_id=3,
+        watermark_store=wm, skip_unchanged=True, validators=vals,
+    )
+    assert stats["rows_applied"] == 0
+    assert t.current_version() == v_after_b1 + 1
+    assert wm.get_all()[0] == 5
