@@ -143,6 +143,80 @@ def run_incremental_dedup(spark, sf_dir: str, n_batches: int = 4) -> dict:
     return {"n_batches": n_batches, "pairs": pairs, "sec": round(wall, 3)}
 
 
+def run_minor_compact(spark, wal_dir: str) -> dict:
+    """Minor (bucket-selective) vs full compaction under HOT-SHARD churn:
+    the ~440k-key table is seeded copy-on-write, then mor churn lands in
+    3 of its 32 buckets (conv-hash-filtered — the tenant-skewed feed
+    regime). `compact(min_files=2)` selects exactly the backlogged
+    buckets from manifest entry counts (zero I/O) and rewrites only
+    them; the same churn re-applied and folded by a FULL `compact()`
+    rewrites the whole table. `bytes` is the number that scales: minor
+    is O(hot buckets), full is O(table) — at 10^10 rows the full rewrite
+    per maintenance tick is the anti-pattern the selective path removes
+    (it is also what `CdcStream.compact_when_delta_rows` now triggers)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.apply import replay
+    from etl_spark.cdc.changelog import TRANSCRIPTS_SCHEMA
+    from etl_spark.lake import LakeTable
+    from etl_spark.streaming.stream import discover_wal_schema
+
+    wal = spark.read.schema(discover_wal_schema(spark, wal_dir)).parquet(
+        wal_dir
+    )
+    bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(32))
+    hot = bucket_of.isin([0, 1, 2])
+
+    def commit_bytes(table) -> int:
+        snap = table.snapshot()
+        sid = str(snap.version)
+        return sum(
+            os.path.getsize(os.path.join(table.path, f["path"]))
+            for f in snap.files
+            if f["sid"] == sid and os.path.exists(
+                os.path.join(table.path, f["path"])
+            )
+        )
+
+    work = tempfile.mkdtemp(prefix="etl_spark_minor_")
+    try:
+        table = LakeTable.create(
+            spark, os.path.join(work, "t"), TRANSCRIPTS_SCHEMA,
+            key=["conv_id", "turn_idx"], n_buckets=32,
+            bucket_by=["conv_id"],
+        )
+        replay(spark, wal, table)
+        for _ in range(3):
+            replay(spark, wal.filter(hot), table, mor=True)
+        t0 = time.time()
+        snap = table.compact(min_files=2)
+        minor_sec = time.time() - t0
+        minor = {
+            "sec": round(minor_sec, 3),
+            "bytes": commit_bytes(table),
+            "op": snap.op if snap else None,
+        }
+        rows_after_minor = table.read().count()
+        for _ in range(3):
+            replay(spark, wal.filter(hot), table, mor=True)
+        t1 = time.time()
+        table.compact()
+        full = {
+            "sec": round(time.time() - t1, 3),
+            "bytes": commit_bytes(table),
+        }
+        assert table.read().count() == rows_after_minor
+        return {
+            "minor": minor,
+            "full": full,
+            "bytes_ratio_full_vs_minor": round(
+                full["bytes"] / max(1, minor["bytes"]), 2
+            ),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_mor_vs_cow(spark, wal_dir: str, n_batches: int = 8) -> dict:
     """Write-amplification headline, measured in the regime merge-on-read
     exists for: SMALL churn batches against a BIG table. Both modes seed
@@ -807,6 +881,8 @@ def main() -> None:
         mor = run_mor_vs_cow(spark, wal_dir, n_batches=8)
         queries["cow_churn_8batch"] = mor["cow"]["sec"]
         queries["mor_churn_8batch"] = mor["mor"]["sec"]
+        minor = run_minor_compact(spark, wal_dir)
+        queries["minor_compact_hot_buckets"] = minor["minor"]["sec"]
         repl = run_replication_tick(spark, wal_dir, n_ticks=4)
         queries["cdf_replicate_tick"] = repl["sec_per_tick"]
         skew = run_skew_replay(spark, work_dir)
@@ -832,6 +908,7 @@ def main() -> None:
             "incremental_dedup": inc,
             "scd2_apply": scd2,
             "mor_vs_cow": mor,
+            "minor_compact": minor,
             "replication": repl,
             "skew": skew,
             "anti_entropy": ae,

@@ -2375,7 +2375,9 @@ class LakeTable:
         drop_tombstones: bool = False,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
-    ) -> Snapshot:
+        buckets: "set[int] | list[int] | None" = None,
+        min_files: int | None = None,
+    ) -> Snapshot | None:
         """Rewrite small files per bucket into fewer large ones (snapshot-
         atomic, like Iceberg rewrite_data_files). Needed because each CDC
         micro-batch writes one file per affected bucket.
@@ -2399,10 +2401,65 @@ class LakeTable:
         accumulated by guarded merges (``merge(lww_by=...)``) — safe once
         the out-of-order horizon has passed (no event older than the
         tombstones can still arrive); the files themselves are reclaimed by
-        the next ``expire_snapshots``."""
+        the next ``expire_snapshots``.
+
+        ``buckets`` / ``min_files`` turn this into a MINOR (bucket-
+        selective) compaction — the routine maintenance shape at scale,
+        where a full-table rewrite per trigger is the anti-pattern (a
+        10^10-row table must never be rewritten because 3 of its 4096
+        buckets accumulated micro-batch slivers). ``buckets`` names the
+        bucket set explicitly; ``min_files=k`` selects, from manifest
+        entry counts alone (zero I/O), every bucket whose READ
+        AMPLIFICATION — live entries the read gate must open: data files,
+        mor delta/equality-delete shadow sources, patch deltas — reaches
+        k; the two compose (union). Only the selected buckets are read
+        (the bucket-scoped read gate folds their mor/patch backlog
+        exactly) and rewritten; every other bucket's content-addressed
+        manifest is re-referenced verbatim, so commit metadata stays
+        O(selected). In-scope tombstones drop their delete-source role
+        (all in-bucket data now sits at a higher seq);
+        ``drop_tombstones`` in selective mode retires ONLY the selected
+        buckets' tombstones. An empty selection returns ``None`` with no
+        commit. Untouched buckets keep their backlog until their own
+        compaction — readers stay exact either way."""
         if sort_by and zorder_by:
             raise ValueError("pass either sort_by or zorder_by, not both")
         base = self.snapshot()
+        if buckets is not None or min_files is not None:
+            sel: set[int] = set(buckets or ())
+            if min_files is not None:
+                per: dict[int, int] = {}
+                for f in base.files:
+                    # tombstones are guard metadata: plain reads never open
+                    # them unless they still carry a delete-source role
+                    if f.get("kind") == "tomb" and not f.get("delta"):
+                        continue
+                    per[f["bucket"]] = per.get(f["bucket"], 0) + 1
+                sel |= {b for b, n in per.items() if n >= min_files}
+            if not sel:
+                return None
+            sort_cols = sort_by
+            if zorder_by:
+                sort_cols = [self._zorder_expr(zorder_by)]
+            sel_data = [e for e in base.data_files if e["bucket"] in sel]
+            df = self._read_files(base, sel_data, buckets=sel).withColumn(
+                _BUCKET_COL, self._bucket_expr(base)
+            )
+            new_files = self._write_data_files(
+                base.version + 1, df, base.n_buckets,
+                stats_cols=base.stats_cols, bloom_cols=base.bloom_cols,
+                bloom_ndv=base.bloom_ndv, sort_by=sort_cols,
+            )
+            kept = []
+            for f in base.files:
+                if f["bucket"] not in sel:
+                    kept.append(f)
+                elif f.get("kind") == "tomb" and not drop_tombstones:
+                    kept.append({k: v for k, v in f.items() if k != "delta"})
+            return self._commit(
+                base, kept, new_files, base.schema,
+                f"compact({len(sel)}/{base.n_buckets} buckets)",
+            )
         # The full rewrite folds the merge-on-read backlog: the shadow-
         # applied read below materializes live rows only, equality-delete
         # entries are not carried, and kept tombstones drop their
@@ -2765,15 +2822,33 @@ class LakeTable:
             published = self.snapshot(int(d["version"]))
         return published
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_s: float | None = None
+    ) -> int:
         """Delete snapshot manifests and data files unreferenced by the
         ``keep_last`` newest snapshots. Versions pinned by a named ref
         (``create_ref``) are always retained — files AND manifests —
-        until the ref is dropped. Returns #data files removed."""
+        until the ref is dropped. ``older_than_s`` adds Iceberg's
+        AGE-based retention on top: any snapshot committed within the
+        last ``older_than_s`` seconds survives regardless of keep_last,
+        so time travel / change-feed consumers get a guaranteed history
+        window while storage is still bounded by age (the two compose:
+        keep_last is the floor, age is the horizon). Costs one
+        header-only metadata read per candidate version, no data I/O.
+        Returns #data files removed."""
         v = self.current_version()
         if v is None:
             return 0
         keep_versions = set(range(max(0, v - keep_last + 1), v + 1))
+        if older_than_s is not None:
+            cutoff = time.time() - older_than_s
+            for i in range(0, v + 1):
+                if i in keep_versions or not os.path.exists(
+                    self._snap_path(i)
+                ):
+                    continue
+                if self.snapshot(i, buckets=set()).ts >= cutoff:
+                    keep_versions.add(i)
         keep_versions |= {
             rv for rv in self.refs().values()
             if os.path.exists(self._snap_path(rv))

@@ -129,6 +129,57 @@ def asof_join(
     )
 
 
+def enrich_history(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    fact_time: str,
+    payload_cols: list[str] | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Temporal dimension lookup: attach to each fact the dimension
+    version whose validity interval contains the fact's time —
+    ``valid_from <= t < valid_to`` (half-open; NULL valid_to = open/
+    current) against an SCD2 history (``scd2_history`` /
+    ``cdc.scd2.apply_scd2`` output). The fact-to-dimension join every
+    warehouse pipeline runs ("price as of the order", "user segment as
+    of the event"). Facts before the key's first version, or inside a
+    delete-closed coverage GAP, enrich to NULL like an unmatched left
+    join.
+
+    Implementation: empty intervals (valid_to == valid_from — an
+    equal-timestamp change or a same-instant delete-close) are dropped
+    first (they contain no points under half-open semantics, and
+    dropping them makes (keys, valid_from) unique so the match is
+    deterministic); then ONE ``asof_join`` on valid_from (single
+    shuffle, both sides stream — holds at 10^10 facts x 10^9 dimension
+    versions); then a pure expression pass nullifies matches whose
+    version was already closed at fact time. Never an interval
+    explosion, never a broadcast of the history."""
+    if payload_cols is None:
+        payload_cols = [
+            c for c in history.columns
+            if c not in keys
+            and c not in (valid_from, valid_to, "is_current", "version")
+        ]
+    hist = history.filter(
+        F.col(valid_to).isNull() | (F.col(valid_to) > F.col(valid_from))
+    )
+    joined = asof_join(
+        facts, hist, keys, left_time=fact_time, right_time=valid_from,
+        right_cols=payload_cols + [valid_to], suffix=suffix,
+    )
+    vt = valid_to + suffix if valid_to in facts.columns else valid_to
+    open_at_t = F.col(vt).isNull() | (F.col(fact_time) < F.col(vt))
+    out = joined
+    for c in payload_cols:
+        name = c + suffix if c in facts.columns else c
+        out = out.withColumn(name, F.when(open_at_t, F.col(name)))
+    return out.drop(vt)
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -2516,6 +2516,67 @@ def q_scd2_incremental_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_enrich_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup (operators/temporal.py enrich_history):
+    every purchase enriched with the user's SCD2 ``event_type`` version
+    valid AT purchase time — half-open containment against the
+    delete-closing history of ``scd2_deletes``, so purchases inside a
+    delete-closed coverage gap enrich to NULL. One asof_join shuffle +
+    an expression pass; never an interval explosion or history
+    broadcast."""
+    from etl_spark.operators.temporal import enrich_history, scd2_history
+
+    hist = scd2_history(
+        _events_with_op(spark, sf_dir),
+        keys=["user_id"], time_col="ts",
+        payload_cols=["event_type"], tiebreak=["event_id"], op_col="op",
+    )
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return enrich_history(
+        p, hist, keys=["user_id"], fact_time="ts",
+        payload_cols=["event_type"],
+    ).select(
+        "user_id", "event_id", "value",
+        F.col("event_type").alias("dim_event_type"),
+    )
+
+
+_ORACLE_ENRICH_HISTORY = """
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type,
+         (event_type = 'error') AS del
+  FROM events
+), chg AS (
+  SELECT *, lag(del) OVER w AS pdel, lag(event_type) OVER w AS pet
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), f AS (
+  SELECT * FROM chg
+  WHERE pdel IS NULL
+     OR NOT (pdel IS NOT DISTINCT FROM del
+             AND pet IS NOT DISTINCT FROM event_type)
+), hist AS (
+  SELECT user_id, event_type, valid_from, valid_to
+  FROM (
+    SELECT user_id, event_type, del, ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to
+    FROM f WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ) WHERE NOT del
+), p AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id, p.value,
+       h.event_type AS dim_event_type
+FROM p LEFT JOIN hist h
+  ON p.user_id = h.user_id
+ AND p.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+"""
+
+
 def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full streaming engine path: deterministic transcript changelog ->
     WAL segments -> Structured Streaming tail -> exactly-once MERGE ->
@@ -2945,6 +3006,7 @@ QUERIES = {
     "scd2": q_scd2,
     "scd2_incremental": q_scd2_incremental,
     "scd2_deletes": q_scd2_deletes,
+    "enrich_history": q_enrich_history,
     "scd2_incremental_deletes": q_scd2_incremental_deletes,
     "stream_sessionize": q_stream_sessionize,
     "streaming_cdc_replay": q_streaming_cdc_replay,
@@ -3021,6 +3083,7 @@ ORACLE_SQL = {
     "scd2": _ORACLE_SCD2,
     "scd2_incremental": _ORACLE_SCD2,
     "scd2_deletes": _ORACLE_SCD2_DELETES,
+    "enrich_history": _ORACLE_ENRICH_HISTORY,
     "scd2_incremental_deletes": _ORACLE_SCD2_DELETES,
     "doc_fingerprint": _ORACLE_FINGERPRINT,
     "winnow_overlap_full": _ORACLE_WINNOW_FULL,

@@ -280,17 +280,28 @@ class CdcStream:
         # read-side debt, so a quiet stream never compacts and a hot one
         # compacts exactly when the broadcast guard is about to tip.
         backlog_due = False
+        backlog_buckets: set[int] = set()
         if self.compact_when_delta_rows and not stats.get("skipped"):
             snap = self.table.snapshot()
             # patch deltas count toward the backlog too: they carry the
             # same read-amplification (per-read fold) until compacted
-            backlog = sum(
-                f.get("rows", 0) for f in snap.delete_source_files
-            ) + sum(f.get("rows", 0) for f in snap.patch_files)
+            shadow = snap.delete_source_files + snap.patch_files
+            backlog = sum(f.get("rows", 0) for f in shadow)
+            backlog_buckets = {f["bucket"] for f in shadow}
             stats["delta_backlog_rows"] = backlog
             backlog_due = backlog >= self.compact_when_delta_rows
-        if cadence_due or backlog_due:
+        if cadence_due:
             self.table.compact(sort_by=self.compact_sort_by)
+        elif backlog_due:
+            # MINOR compaction: the fold debt lives entirely in the
+            # buckets that hold delta/patch entries — rewrite only those
+            # (every other bucket's manifest is re-referenced verbatim).
+            # At 10^10 rows with skewed churn this is the difference
+            # between folding a few hot buckets and rewriting the table.
+            self.table.compact(
+                sort_by=self.compact_sort_by, buckets=backlog_buckets
+            )
+        if cadence_due or backlog_due:
             if self.expire_keep_last:
                 self.table.expire_snapshots(keep_last=self.expire_keep_last)
         if self.rebucket_when_bucket_rows and not stats.get("skipped"):

@@ -168,6 +168,33 @@ def test_compact_and_expire(spark, tmp_path):
     assert t.read().count() == 3
 
 
+def test_expire_snapshots_age_based_retention(spark, tmp_path):
+    """older_than_s keeps every snapshot younger than the horizon (beyond
+    keep_last) and expires only aged-out ones — Iceberg's retention
+    contract, guaranteeing consumers a time-travel window."""
+    import json as _json
+    import os as _os
+
+    t = make(spark, tmp_path, n_buckets=2)
+    for i in range(4):
+        t.append(spark.createDataFrame([(f"c{i}", 0, "x")], SCHEMA))
+    # versions 0..4 exist; backdate 0..2 on disk past any horizon
+    for v in range(0, 3):
+        p = t._snap_path(v)
+        with open(p) as fh:
+            d = _json.load(fh)
+        d["ts"] = 1000.0
+        with open(p, "w") as fh:
+            _json.dump(d, fh)
+    t.expire_snapshots(keep_last=1, older_than_s=3600)
+    # young v3 survives beyond keep_last=1; backdated 0..2 are gone
+    assert _os.path.exists(t._snap_path(3)) and _os.path.exists(t._snap_path(4))
+    assert not any(_os.path.exists(t._snap_path(v)) for v in range(0, 3))
+    # the retained window is still time-travelable
+    assert t.read(version=3).count() == 3
+    assert t.read().count() == 4
+
+
 def test_read_for_keys_prunes_buckets(spark, tmp_path):
     """Point-lookup reads only the buckets containing the requested keys,
     and returns exactly the full-scan-filter result."""

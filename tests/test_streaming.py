@@ -614,7 +614,8 @@ def test_stream_mor_with_backlog_compaction_converges(spark, tmp_path):
     snap = table.snapshot()
     assert snap.delete_source_files == []
     assert snap.total_rows == table.row_count()
-    assert any(s.op == "compact" for s in table.history())
+    # backlog trigger commits a MINOR compaction (op names the bucket set)
+    assert any(s.op.startswith("compact") for s in table.history())
 
 
 def test_stream_mor_without_compaction_converges(spark, tmp_path):

@@ -285,3 +285,90 @@ def test_scd2_trailing_delete_leaves_no_current(spark):
                        tiebreak=["lsn"], op_col="op", delete_op="X").collect()
     assert len(out) == 1
     assert out[0]["valid_to"] == _ts(9) and out[0]["is_current"] is False
+
+
+def test_enrich_history_containment_gap_and_boundaries(spark):
+    """Half-open containment: valid_from inclusive, valid_to exclusive;
+    NULL valid_to = open/current; facts inside a delete-closed coverage
+    gap or before the first version enrich to NULL."""
+    from etl_spark.operators.temporal import enrich_history
+
+    hist = spark.createDataFrame(
+        [
+            # u1: [0,10) gold, GAP [10,20) (delete-closed), [20,None) silver
+            ("u1", "gold", _ts(0), _ts(10)),
+            ("u1", "silver", _ts(20), None),
+            # u2: single open version from :5
+            ("u2", "bronze", _ts(5), None),
+        ],
+        "uid string, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            ("u1", _ts(0), 1),    # == valid_from -> gold (inclusive)
+            ("u1", _ts(9), 2),    # inside first version -> gold
+            ("u1", _ts(10), 3),   # == valid_to -> GAP (exclusive) -> NULL
+            ("u1", _ts(15), 4),   # in the gap -> NULL
+            ("u1", _ts(20), 5),   # reopen boundary -> silver
+            ("u1", _ts(59), 6),   # open interval -> silver
+            ("u2", _ts(4), 7),    # before first version -> NULL
+            ("u2", _ts(5), 8),    # at first version -> bronze
+            ("u3", _ts(1), 9),    # key with no history -> NULL
+        ],
+        "uid string, ts timestamp, fid int",
+    )
+    out = {
+        r["fid"]: r["tier"]
+        for r in enrich_history(
+            facts, hist, keys=["uid"], fact_time="ts",
+            payload_cols=["tier"],
+        ).collect()
+    }
+    assert out == {1: "gold", 2: "gold", 3: None, 4: None, 5: "silver",
+                   6: "silver", 7: None, 8: "bronze", 9: None}
+
+
+def test_enrich_history_empty_interval_deterministic(spark):
+    """A zero-width version (valid_to == valid_from — an equal-timestamp
+    change) contains no points and never shadows the real match."""
+    from etl_spark.operators.temporal import enrich_history
+
+    hist = spark.createDataFrame(
+        [
+            ("u1", "flash", _ts(10), _ts(10)),  # empty interval
+            ("u1", "steady", _ts(10), None),
+        ],
+        "uid string, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [("u1", _ts(10), 1), ("u1", _ts(11), 2)],
+        "uid string, ts timestamp, fid int",
+    )
+    out = {
+        r["fid"]: r["tier"]
+        for r in enrich_history(
+            facts, hist, keys=["uid"], fact_time="ts",
+            payload_cols=["tier"],
+        ).collect()
+    }
+    assert out == {1: "steady", 2: "steady"}
+
+
+def test_enrich_history_collision_suffix(spark):
+    """A payload/valid_to name already present on the fact side gets the
+    suffix; the fact's own column is untouched."""
+    from etl_spark.operators.temporal import enrich_history
+
+    hist = spark.createDataFrame(
+        [("u1", "gold", _ts(0), None)],
+        "uid string, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [("u1", _ts(5), "mine", 1)],
+        "uid string, ts timestamp, tier string, fid int",
+    )
+    row = enrich_history(
+        facts, hist, keys=["uid"], fact_time="ts", payload_cols=["tier"],
+    ).collect()[0]
+    assert row["tier"] == "mine" and row["tier_dim"] == "gold"
+    assert "valid_to" not in row.asDict() and "valid_to_dim" not in row.asDict()
