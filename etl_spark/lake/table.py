@@ -38,6 +38,7 @@ moot by idempotent MERGE — and truncate-then-load
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import re
@@ -775,6 +776,93 @@ class LakeTable:
             ),
             "orphan_files": orphans,
         }
+
+    def metadata_df(
+        self, kind: str = "files", version: int | None = None
+    ) -> DataFrame:
+        """Iceberg-style metadata tables (``table.files`` /
+        ``table.snapshots`` / ``table.partitions``) as ordinary
+        DataFrames, so operations queries join/filter/aggregate table
+        metadata with Spark SQL (``.createOrReplaceTempView`` and go).
+        Built from manifests only — NEVER a data-file read, and never a
+        Spark job beyond ``createDataFrame`` of O(files) driver rows
+        (the same lists every commit already holds in memory; at a
+        4k-bucket 100 TB table that is thousands of rows, not billions).
+
+        ``files``: one row per live manifest entry of the (optionally
+        version-pinned) snapshot — path, bucket, kind (data/eqdel/
+        patch/tomb), rows, committed schema-id, data sequence, the
+        mor ``delta`` shadow flag, and on-disk bytes.
+        ``snapshots``: one row per retained snapshot (the history /
+        time-travel catalog) with per-kind file and row tallies.
+        ``partitions``: per-bucket fill from the manifest row sums —
+        the skew/maintenance view (data rows, mor+patch backlog rows,
+        file counts, tombstones)."""
+        if kind == "files":
+            snap = self.snapshot(version)
+            rows = [
+                (
+                    e["path"], e["bucket"], e.get("kind", "data"),
+                    e.get("rows", 0), str(e["sid"]),
+                    int(e.get("seq", e["sid"])), bool(e.get("delta")),
+                    os.path.getsize(os.path.join(self.path, e["path"]))
+                    if os.path.exists(os.path.join(self.path, e["path"]))
+                    else None,
+                )
+                for e in snap.files
+            ]
+            schema = (
+                "path string, bucket int, kind string, rows bigint, "
+                "schema_id string, seq bigint, is_mor_shadow boolean, "
+                "file_bytes bigint"
+            )
+        elif kind == "snapshots":
+            rows = [
+                (
+                    s.version,
+                    datetime.datetime.fromtimestamp(
+                        s.ts, datetime.timezone.utc
+                    ).replace(tzinfo=None),
+                    s.op, len(s.data_files), s.total_rows,
+                    sum(f.get("rows", 0) for f in s.delete_source_files),
+                    sum(f.get("rows", 0) for f in s.patch_files),
+                    len(s.tomb_files),
+                )
+                for s in self.history()
+            ]
+            schema = (
+                "version int, committed_at timestamp, op string, "
+                "n_data_files int, data_rows bigint, "
+                "mor_backlog_rows bigint, patch_backlog_rows bigint, "
+                "tombstone_files int"
+            )
+        elif kind == "partitions":
+            snap = self.snapshot(version)
+            per: dict[int, list[int]] = {}
+            for e in snap.files:
+                a = per.setdefault(e["bucket"], [0, 0, 0, 0])
+                k = e.get("kind", "data")
+                if k == "tomb":
+                    a[3] += 1
+                    continue
+                a[2] += 1
+                if k in ("eqdel", "patch") or e.get("delta"):
+                    a[1] += e.get("rows", 0)
+                if k not in ("eqdel", "patch"):
+                    a[0] += e.get("rows", 0)
+            rows = [
+                (b, a[0], a[1], a[2], a[3]) for b, a in sorted(per.items())
+            ]
+            schema = (
+                "bucket int, data_rows bigint, backlog_rows bigint, "
+                "n_files int, tombstone_files int"
+            )
+        else:
+            raise ValueError(
+                f"unknown metadata table {kind!r}: "
+                "expected files|snapshots|partitions"
+            )
+        return self.spark.createDataFrame(rows, schema)
 
     def read_for_keys(self, values: list, version: int | None = None) -> DataFrame:
         """Point-lookup scan: read ONLY the buckets that can contain the

@@ -1301,3 +1301,54 @@ def test_apply_batch_skip_unchanged_converges_and_advances_watermarks(
     assert stats["rows_applied"] == 0
     assert t.current_version() == v_after_b1 + 1
     assert wm.get_all()[0] == 5
+
+
+def test_metadata_tables_match_manifests(spark, tmp_path):
+    """files/snapshots/partitions metadata DataFrames agree with the
+    manifest ground truth and are SQL-queryable — never a data read."""
+    t = make(spark, tmp_path)
+    t.append(spark.createDataFrame(
+        [(f"c{i}", 0, "x") for i in range(12)], SCHEMA))
+    op_schema = T.StructType(
+        SCHEMA.fields + [T.StructField("op", T.StringType())]
+    )
+    t.merge(spark.createDataFrame(
+        [("c0", 0, "y", "U"), ("c1", 0, None, "D")], op_schema),
+        op_col="op", mode="mor")
+    snap = t.snapshot()
+
+    files = t.metadata_df("files")
+    files.createOrReplaceTempView("t_files")
+    got = {
+        (r.path, r.bucket, r.kind, r.rows)
+        for r in files.collect()
+    }
+    assert got == {
+        (e["path"], e["bucket"], e.get("kind", "data"), e.get("rows", 0))
+        for e in snap.files
+    }
+    # SQL over metadata: live bytes of mor shadow sources
+    backlog = spark.sql(
+        "SELECT coalesce(sum(rows),0) AS r FROM t_files WHERE "
+        "kind = 'eqdel' OR is_mor_shadow"
+    ).collect()[0]["r"]
+    assert backlog == sum(
+        f.get("rows", 0) for f in snap.delete_source_files
+    )
+
+    snaps = {r.version: r for r in t.metadata_df("snapshots").collect()}
+    assert set(snaps) == {s.version for s in t.history()}
+    assert snaps[snap.version].op == snap.op
+    assert snaps[snap.version].data_rows == snap.total_rows
+    assert snaps[snap.version].mor_backlog_rows == backlog
+
+    parts = {r.bucket: r for r in t.metadata_df("partitions").collect()}
+    assert sum(p.data_rows for p in parts.values()) == snap.total_rows
+    assert sum(p.backlog_rows for p in parts.values()) == backlog
+    # version pinning reaches the pre-merge snapshot
+    v0_rows = t.metadata_df("files", version=snap.version - 1).collect()
+    assert all(r.kind == "data" for r in v0_rows)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        t.metadata_df("nope")
