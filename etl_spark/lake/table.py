@@ -1042,7 +1042,7 @@ class LakeTable:
         self, snap_version: int, df: DataFrame, n_buckets: int = 0,
         origin_partition: bool = False, stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None, bloom_ndv: int = 1_000_000,
-        sort_by: list[str] | None = None,
+        sort_by: list[str] | None = None, max_rows_per_file: int = 0,
     ) -> list[dict[str, Any]]:
         """Write df (must carry __bucket) partitioned by bucket under a
         unique dir; return manifest entries with parquet-footer row counts.
@@ -1072,6 +1072,12 @@ class LakeTable:
             df = df.sortWithinPartitions(_BUCKET_COL, *sort_by)
         part_cols = [_BUCKET_COL] + ([_ORIGIN_COL] if origin_partition else [])
         writer = df.write.partitionBy(*part_cols).mode("errorifexists")
+        if max_rows_per_file > 0:
+            # roll oversized buckets into multiple files: within-bucket
+            # read parallelism at 100 TB (a 2.5M-row bucket rewritten as
+            # ONE file is one scan task); manifests already hold a list
+            # per bucket, so nothing downstream changes
+            writer = writer.option("maxRecordsPerFile", max_rows_per_file)
         # Parquet column bloom filters on the table's lookup columns: the
         # reader's row-group filter then skips groups on key-equality
         # predicates — the intra-bucket complement of manifest bucket
@@ -2470,6 +2476,13 @@ class LakeTable:
         atomic, like Iceberg rewrite_data_files). Needed because each CDC
         micro-batch writes one file per affected bucket.
 
+        ``target_file_rows`` caps rows per rewritten file
+        (``maxRecordsPerFile``): an oversized bucket rolls into several
+        files so within-bucket scans keep parallel tasks — the file-size
+        half of Iceberg's bin-packing rewrite (the small-file half is the
+        rewrite itself). With ``sort_by``/``zorder_by`` each rolled file
+        is a contiguous sorted run, so row-group stats stay tight.
+
         ``sort_by`` range-clusters each bucket during the rewrite (Iceberg
         sort-order compaction): rows land sorted inside the bucket's file,
         so parquet ROW-GROUP min/max stats become tight disjoint ranges —
@@ -2537,6 +2550,7 @@ class LakeTable:
                 base.version + 1, df, base.n_buckets,
                 stats_cols=base.stats_cols, bloom_cols=base.bloom_cols,
                 bloom_ndv=base.bloom_ndv, sort_by=sort_cols,
+                max_rows_per_file=target_file_rows,
             )
             kept = []
             for f in base.files:
@@ -2568,7 +2582,7 @@ class LakeTable:
         new_files = self._write_data_files(
             base.version + 1, df, base.n_buckets, stats_cols=base.stats_cols,
             bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
-            sort_by=sort_cols,
+            sort_by=sort_cols, max_rows_per_file=target_file_rows,
         )
         return self._commit(base, kept, new_files, base.schema, "compact")
 

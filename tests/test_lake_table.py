@@ -1352,3 +1352,29 @@ def test_metadata_tables_match_manifests(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         t.metadata_df("nope")
+
+
+def test_compact_target_file_rows_splits_oversized_bucket(spark, tmp_path):
+    """target_file_rows rolls an oversized bucket into multiple files
+    (within-bucket scan parallelism); state and manifests stay exact."""
+    t = make(spark, tmp_path, n_buckets=2)
+    data = [(f"c{i}", j, f"x{i}-{j}") for i in range(8) for j in range(25)]
+    t.append(spark.createDataFrame(data, SCHEMA))
+    before = rows(t.read())
+    t.compact(target_file_rows=40)
+    snap = t.snapshot()
+    per = {}
+    for f in snap.data_files:
+        per.setdefault(f["bucket"], []).append(f.get("rows", 0))
+    # every occupied bucket holds >40 rows total -> must have split
+    assert all(len(v) >= 2 for v in per.values())
+    assert all(r <= 40 for v in per.values() for r in v)
+    assert sum(r for v in per.values() for r in v) == len(data)
+    assert rows(t.read()) == before
+    # default (5M) packs each bucket back to one file
+    t.compact()
+    assert all(
+        len([f for f in t.snapshot().data_files if f["bucket"] == b]) == 1
+        for b in per
+    )
+    assert rows(t.read()) == before
