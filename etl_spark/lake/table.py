@@ -3078,7 +3078,9 @@ class _BranchTable(LakeTable):
             f"{self._branch_name!r}"
         )
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_s: float | None = None
+    ) -> int:
         self._blocked("expire_snapshots")
 
     def vacuum(self, older_than_s: float = 3600.0) -> int:
