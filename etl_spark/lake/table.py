@@ -2522,7 +2522,12 @@ class LakeTable:
         ``drop_tombstones`` in selective mode retires ONLY the selected
         buckets' tombstones. An empty selection returns ``None`` with no
         commit. Untouched buckets keep their backlog until their own
-        compaction — readers stay exact either way."""
+        compaction — readers stay exact either way. The selective commit
+        VALIDATES-AND-REBASES on conflict (Iceberg commit.retry for
+        rewrite_data_files): losing the O_EXCL race to a writer that
+        left every selected bucket's entries identical re-commits on the
+        new base instead of aborting — maintenance and ingest only
+        genuinely conflict on the same bucket."""
         if sort_by and zorder_by:
             raise ValueError("pass either sort_by or zorder_by, not both")
         base = self.snapshot()
@@ -2552,15 +2557,52 @@ class LakeTable:
                 bloom_ndv=base.bloom_ndv, sort_by=sort_cols,
                 max_rows_per_file=target_file_rows,
             )
-            kept = []
-            for f in base.files:
-                if f["bucket"] not in sel:
-                    kept.append(f)
-                elif f.get("kind") == "tomb" and not drop_tombstones:
-                    kept.append({k: v for k, v in f.items() if k != "delta"})
-            return self._commit(
-                base, kept, new_files, base.schema,
-                f"compact({len(sel)}/{base.n_buckets} buckets)",
+            # Validate-and-rebase commit loop (Iceberg commit.retry for
+            # rewrite_data_files): a minor compaction conflicts with
+            # concurrent ingest ONLY if the winner touched a selected
+            # bucket. If the winner's commit left every selected bucket's
+            # entries bit-identical (content-addressed manifests make
+            # that a pure metadata equality), the rewritten files are
+            # still the exact fold of those buckets — re-commit on top of
+            # the new base, carrying the winner's other-bucket entries.
+            # At scale this is what lets maintenance never abort ingest
+            # (and vice versa); a genuine same-bucket race raises, and
+            # the stranded rewrite files are reclaimed by vacuum().
+            for _attempt in range(5):
+                kept = []
+                for f in base.files:
+                    if f["bucket"] not in sel:
+                        kept.append(f)
+                    elif f.get("kind") == "tomb" and not drop_tombstones:
+                        kept.append(
+                            {k: v for k, v in f.items() if k != "delta"}
+                        )
+                try:
+                    return self._commit(
+                        base, kept, new_files, base.schema,
+                        f"compact({len(sel)}/{base.n_buckets} buckets)",
+                    )
+                except CommitConflict:
+                    cur = self.snapshot()
+
+                    def _ek(e: dict) -> str:
+                        return json.dumps(e, sort_keys=True, default=str)
+
+                    same_sel = sorted(
+                        _ek(e) for e in base.files if e["bucket"] in sel
+                    ) == sorted(
+                        _ek(e) for e in cur.files if e["bucket"] in sel
+                    )
+                    if (
+                        not same_sel
+                        or cur.n_buckets != base.n_buckets
+                        or cur.schema != base.schema
+                    ):
+                        raise
+                    base = cur
+            raise CommitConflict(
+                f"selective compact lost the commit race 5 times at "
+                f"{self.path}"
             )
         # The full rewrite folds the merge-on-read backlog: the shadow-
         # applied read below materializes live rows only, equality-delete

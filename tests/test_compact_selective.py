@@ -13,6 +13,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -205,3 +207,86 @@ def test_selective_drop_tombstones_is_bucket_local(spark, tmp_path):
     got = rows(t.read())
     assert (db, 0, "stale") not in got
     assert all(r[0] != da or r[1] != 0 for r in got)  # da's delete held
+
+
+def _inject_before_commit(table, fn):
+    """Run ``fn`` after the compact's rewrite files are written but
+    before its commit — the window a concurrent writer can win."""
+    orig = table._write_data_files
+
+    def wrapper(*a, **kw):
+        out = orig(*a, **kw)
+        table._write_data_files = orig  # fire once
+        fn()
+        return out
+
+    table._write_data_files = wrapper
+
+
+def test_selective_compact_rebases_over_disjoint_winner(spark, tmp_path):
+    """A concurrent commit into a NON-selected bucket does not abort the
+    minor compaction: it rebases (validate-and-retry) and both changes
+    land — maintenance never aborts ingest on disjoint buckets."""
+    t = make(spark, tmp_path / "t")
+    seed(spark, t)
+    bmap = conv_buckets(spark, [f"c{i:03d}" for i in range(24)])
+    hot = "c000"
+    other = next(c for c, b in bmap.items() if b != bmap[hot])
+    for i in range(2):
+        t.merge(
+            spark.createDataFrame([(hot, 0, f"new{i}", "U")], OP_SCHEMA),
+            op_col="op", mode="mor",
+        )
+    writer = LakeTable(spark, t.path)  # second handle = concurrent writer
+
+    def winner():
+        writer.merge(
+            spark.createDataFrame([(other, 9, "race", "I")], OP_SCHEMA),
+            op_col="op",
+        )
+
+    _inject_before_commit(t, winner)
+    before = rows(t.read()) | {(other, 9, "race")}
+    got = t.compact(buckets={bmap[hot]})
+    assert got is not None and got.op == f"compact(1/{N_BUCKETS} buckets)"
+    # both the winner's row and the folded bucket survive
+    assert rows(t.read()) == before
+    snap = t.snapshot()
+    assert not any(
+        f["bucket"] == bmap[hot] for f in snap.delete_source_files
+    )
+    # the winner's commit is in history right below the compact
+    assert [s.op for s in t.history()][-2].startswith("merge")
+
+
+def test_selective_compact_raises_on_same_bucket_race(spark, tmp_path):
+    """A concurrent commit INTO a selected bucket is a genuine conflict:
+    the rewrite is stale, so the compact raises instead of dropping the
+    winner's data; state stays exactly the winner's."""
+    from etl_spark.lake import CommitConflict
+
+    t = make(spark, tmp_path / "t")
+    seed(spark, t)
+    bmap = conv_buckets(spark, ["c000"])
+    hot = "c000"
+    t.merge(
+        spark.createDataFrame([(hot, 0, "new0", "U")], OP_SCHEMA),
+        op_col="op", mode="mor",
+    )
+    writer = LakeTable(spark, t.path)
+
+    def winner():
+        writer.merge(
+            spark.createDataFrame([(hot, 1, "race", "U")], OP_SCHEMA),
+            op_col="op", mode="mor",
+        )
+
+    _inject_before_commit(t, winner)
+    before_version = t.current_version()
+    with pytest.raises(CommitConflict):
+        t.compact(buckets={bmap[hot]})
+    # the winner's commit stands; the lost rewrite left no table change
+    assert t.current_version() == before_version + 1
+    assert (hot, 1, "race") in rows(t.read())
+    # stranded rewrite files are orphans vacuum() can reclaim
+    assert t.health()["orphan_files"] >= 1
