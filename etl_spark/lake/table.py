@@ -794,7 +794,8 @@ class LakeTable:
         patch/tomb), rows, committed schema-id, data sequence, the
         mor ``delta`` shadow flag, and on-disk bytes.
         ``snapshots``: one row per retained snapshot (the history /
-        time-travel catalog) with per-kind file and row tallies.
+        time-travel catalog, bounded at ``version`` when given) with
+        per-kind file and row tallies.
         ``partitions``: per-bucket fill from the manifest row sums —
         the skew/maintenance view (data rows, mor+patch backlog rows,
         file counts, tombstones)."""
@@ -804,7 +805,7 @@ class LakeTable:
                 (
                     e["path"], e["bucket"], e.get("kind", "data"),
                     e.get("rows", 0), str(e["sid"]),
-                    int(e.get("seq", e["sid"])), bool(e.get("delta")),
+                    _entry_seq(e), bool(e.get("delta")),
                     os.path.getsize(os.path.join(self.path, e["path"]))
                     if os.path.exists(os.path.join(self.path, e["path"]))
                     else None,
@@ -820,15 +821,19 @@ class LakeTable:
             rows = [
                 (
                     s.version,
+                    # tz-AWARE: a naive datetime goes through time.mktime
+                    # (host OS timezone) in TimestampType.toInternal and
+                    # shifts by the host's UTC offset
                     datetime.datetime.fromtimestamp(
                         s.ts, datetime.timezone.utc
-                    ).replace(tzinfo=None),
+                    ),
                     s.op, len(s.data_files), s.total_rows,
                     sum(f.get("rows", 0) for f in s.delete_source_files),
                     sum(f.get("rows", 0) for f in s.patch_files),
                     len(s.tomb_files),
                 )
                 for s in self.history()
+                if version is None or s.version <= version
             ]
             schema = (
                 "version int, committed_at timestamp, op string, "
@@ -844,6 +849,11 @@ class LakeTable:
                 k = e.get("kind", "data")
                 if k == "tomb":
                     a[3] += 1
+                    if e.get("delta"):
+                        # guarded MOR delete: still a delete source the
+                        # read gate folds — count its fold debt like
+                        # snapshots.mor_backlog_rows does
+                        a[1] += e.get("rows", 0)
                     continue
                 a[2] += 1
                 if k in ("eqdel", "patch") or e.get("delta"):
@@ -2511,9 +2521,11 @@ class LakeTable:
         buckets accumulated micro-batch slivers). ``buckets`` names the
         bucket set explicitly; ``min_files=k`` selects, from manifest
         entry counts alone (zero I/O), every bucket whose READ
-        AMPLIFICATION — live entries the read gate must open: data files,
-        mor delta/equality-delete shadow sources, patch deltas — reaches
-        k; the two compose (union). Only the selected buckets are read
+        AMPLIFICATION — live entries the read gate must open: data files
+        below ``target_file_rows`` (an at-target file is healthy
+        parallelism, never re-selected), mor delta/equality-delete shadow
+        sources, patch deltas — reaches k; the two compose (union), and
+        unoccupied/out-of-range explicit buckets are dropped/rejected. Only the selected buckets are read
         (the bucket-scoped read gate folds their mor/patch backlog
         exactly) and rewritten; every other bucket's content-addressed
         manifest is re-referenced verbatim, so commit metadata stays
@@ -2533,12 +2545,31 @@ class LakeTable:
         base = self.snapshot()
         if buckets is not None or min_files is not None:
             sel: set[int] = set(buckets or ())
+            bad = sorted(b for b in sel if not 0 <= b < base.n_buckets)
+            if bad:
+                raise ValueError(
+                    f"bucket ids out of range [0, {base.n_buckets}): {bad}"
+                )
+            # unoccupied buckets have nothing to fold — selecting one
+            # must not mint a content-identical snapshot
+            sel &= {f["bucket"] for f in base.files}
             if min_files is not None:
                 per: dict[int, int] = {}
                 for f in base.files:
+                    k = f.get("kind", "data")
                     # tombstones are guard metadata: plain reads never open
                     # them unless they still carry a delete-source role
-                    if f.get("kind") == "tomb" and not f.get("delta"):
+                    if k == "tomb" and not f.get("delta"):
+                        continue
+                    # a data file already at target size is healthy
+                    # within-bucket parallelism, not read debt — counting
+                    # it would re-select (and rewrite) a properly rolled
+                    # bucket on every maintenance tick, forever
+                    if (
+                        k == "data"
+                        and not f.get("delta")
+                        and f.get("rows", 0) >= target_file_rows
+                    ):
                         continue
                     per[f["bucket"]] = per.get(f["bucket"], 0) + 1
                 sel |= {b for b, n in per.items() if n >= min_files}

@@ -290,3 +290,65 @@ def test_selective_compact_raises_on_same_bucket_race(spark, tmp_path):
     assert (hot, 1, "race") in rows(t.read())
     # stranded rewrite files are orphans vacuum() can reclaim
     assert t.health()["orphan_files"] >= 1
+
+
+def test_selection_guards_and_rolled_bucket_not_reselected(spark, tmp_path):
+    """Out-of-range explicit buckets raise; unoccupied ones are dropped
+    (no spurious content-identical commit); a bucket legitimately rolled
+    into multiple AT-TARGET files by target_file_rows is not re-selected
+    by min_files on the next maintenance tick."""
+    t = make(spark, tmp_path / "t")
+    seed(spark, t)
+    v = t.current_version()
+    with pytest.raises(ValueError):
+        t.compact(buckets={N_BUCKETS + 7})
+    occupied = {f["bucket"] for f in t.snapshot().files}
+    empty = (set(range(N_BUCKETS)) - occupied) or None
+    if empty:
+        assert t.compact(buckets=empty) is None
+    assert t.current_version() == v  # nothing committed
+
+    # roll one hot bucket into several at-target files
+    bmap = conv_buckets(spark, ["c000"])
+    hot = bmap["c000"]
+    for i in range(3):
+        t.append(spark.createDataFrame([("c000", 10 + i, f"x{i}")], SCHEMA))
+    t.compact(buckets={hot}, target_file_rows=2)
+    n_hot = len([f for f in t.snapshot().files if f["bucket"] == hot])
+    assert n_hot >= 2  # genuinely rolled
+    # maintenance tick with the same target: the rolled bucket is NOT
+    # read debt, so min_files must not select it again
+    assert t.compact(min_files=2, target_file_rows=2) is None
+
+
+def test_partitions_backlog_counts_guarded_delete_tombstones(spark, tmp_path):
+    """A guarded (lww) MOR delete commits kind='tomb' entries that still
+    carry the delete-source role: partitions.backlog_rows must agree
+    with snapshots.mor_backlog_rows about them."""
+    t = make(spark, tmp_path / "t")
+    seed(spark, t)
+    guard_schema = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("ts", T.LongType()), T.StructField("op", T.StringType())]
+    )
+    t.merge(
+        spark.createDataFrame([("c000", 0, None, 100, "D")], guard_schema),
+        op_col="op", lww_by=["ts"], mode="mor",
+    )
+    snap = t.snapshot()
+    expect = sum(f.get("rows", 0) for f in snap.delete_source_files)
+    assert expect > 0
+    parts = t.metadata_df("partitions")
+    got = parts.groupBy().sum("backlog_rows").collect()[0][0]
+    assert got == expect
+    snaps = t.metadata_df("snapshots").orderBy("version").collect()
+    assert snaps[-1].mor_backlog_rows == expect
+    # version bound honors the pin
+    pinned = t.metadata_df("snapshots", version=snap.version - 1).collect()
+    assert max(r.version for r in pinned) == snap.version - 1
+    # committed_at is the true UTC commit instant regardless of host TZ
+    import datetime as _dt
+    utc_committed = snaps[-1].committed_at.replace(
+        tzinfo=_dt.timezone.utc
+    ).timestamp()
+    assert abs(utc_committed - snap.ts) < 1.0
