@@ -135,6 +135,17 @@ class CdcStream:
     # short-lived streams).
     compact_every: int = 0
     expire_keep_last: int = 3
+    # Age horizon composed with expire_keep_last on the same maintenance
+    # tick (LakeTable.expire_snapshots(older_than_s=...)): snapshots
+    # younger than this survive beyond keep_last, guaranteeing
+    # change-feed / time-travel consumers a history window while a hot
+    # stream's frequent compactions don't erode it. None = count-only.
+    expire_older_than_s: float | None = None
+    # Reclaim unreferenced data files (lost commit races, crashed
+    # pre-commit writes) on the same maintenance tick, with vacuum's
+    # mtime age guard. None disables — vacuum walks the table's data
+    # dir, so it belongs on the compaction cadence, never per batch.
+    vacuum_older_than_s: float | None = None
     # range-cluster each bucket on these columns during the periodic
     # compaction (tight parquet row-group stats for time-range reads of
     # the ingest table); None keeps arrival order
@@ -303,7 +314,14 @@ class CdcStream:
             )
         if cadence_due or backlog_due:
             if self.expire_keep_last:
-                self.table.expire_snapshots(keep_last=self.expire_keep_last)
+                self.table.expire_snapshots(
+                    keep_last=self.expire_keep_last,
+                    older_than_s=self.expire_older_than_s,
+                )
+            if self.vacuum_older_than_s is not None:
+                stats["vacuumed_files"] = self.table.vacuum(
+                    older_than_s=self.vacuum_older_than_s
+                )
         if self.rebucket_when_bucket_rows and not stats.get("skipped"):
             snap = self.table.snapshot()
             total, n = snap.total_rows, snap.n_buckets

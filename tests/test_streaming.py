@@ -679,3 +679,37 @@ def test_stream_rebuckets_as_table_grows(spark, tmp_path):
         s["rows_in"] for s in s2.batch_stats if not s.get("skipped")
     ) == 0
     assert_converged(table, pdf)
+
+
+def test_stream_maintenance_age_retention_and_vacuum(spark, tmp_path):
+    """The maintenance tick composes the age horizon with keep_last
+    (young snapshots all survive aggressive keep_last=1 expiry) and
+    vacuums orphan data files (a stranded pre-commit write disappears),
+    while the stream still converges exactly."""
+    import os
+
+    pdf = generate_changelog(SPEC)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+    table = make_target(spark, tmp_path)
+    # a crashed pre-commit write: a whole stranded unique dir under data/
+    orphan_dir = os.path.join(table.path, "data", "snap-999999999999-dead")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-junk.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+    stats = CdcStream(
+        spark, wal, table, str(tmp_path / "state"),
+        max_files_per_trigger=2, compact_every=1, expire_keep_last=1,
+        expire_older_than_s=3600.0, vacuum_older_than_s=0.0,
+    ).run_to_completion()
+    assert_converged(table, pdf)
+    assert not os.path.exists(orphan)
+    assert any(s.get("vacuumed_files", 0) >= 1 for s in stats)
+    # every snapshot this run committed is younger than the horizon, so
+    # keep_last=1 expired NOTHING: full history stays time-travelable
+    v = table.current_version()
+    assert all(
+        os.path.exists(table._snap_path(i)) for i in range(v + 1)
+    )
+    assert table.read(version=0).count() == 0
