@@ -50,7 +50,7 @@ from __future__ import annotations
 import re
 from typing import Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -79,6 +79,33 @@ def _w(col: str = "_change_type"):
         F.when(F.col(col).isin("insert", "update_postimage"), F.lit(1))
         .otherwise(F.lit(-1))
     )
+
+
+def _any_null(cols: list[str]) -> Column:
+    out = F.lit(False)
+    for c in cols:
+        out = out | F.col(c).isNull()
+    return out
+
+
+def _guard_null_groups(hist: list, gb: list[str]) -> None:
+    """Refuse incremental maintenance of a NULL group key. SQL GROUP BY
+    forms a NULL group, but every join the refresh relies on (delta ->
+    state prune, rescan semi/anti, and the merge's survivors anti-join
+    keyed on the group columns) is NULL-UNSAFE: the stored NULL-group
+    row never matches, so a touched NULL group would silently reset /
+    duplicate its state row. An UNTOUCHED NULL group survives every
+    refresh correctly, so the guard fires exactly when the window
+    touches one — folded into the histogram action the refresh already
+    pays, zero extra jobs. ``rebuild()`` (one-shot overwrite) handles
+    NULL groups exactly; or coalesce NULLs upstream."""
+    if any(r["__nullkey"] for r in hist):
+        raise ValueError(
+            f"refresh window touches a NULL value in group-by {gb}: "
+            "incremental maintenance merges on the group key, which is "
+            "NULL-unsafe. rebuild() this view (exact for NULL groups) "
+            "or coalesce the NULL upstream (e.g. a sentinel category)."
+        )
 
 
 class IncrementalAggView:
@@ -209,7 +236,8 @@ class IncrementalAggView:
         if v is None:
             return None
         for i in range(v, -1, -1):
-            m = _REFRESH_RE.match(self.table.snapshot(i).op)
+            # header-only read: .op needs no bucket manifests
+            m = _REFRESH_RE.match(self.table.snapshot(i, buckets=set()).op)
             if m:
                 return int(m.group(1))
         return None
@@ -281,10 +309,11 @@ class IncrementalAggView:
     def _commit_merge(
         self, src: DataFrame, cur: int,
         per_bucket: dict[int, int] | None = None,
+        source_keys: DataFrame | None = None,
     ) -> dict:
         snap, mstats = self.table.merge(
             src, op_col="__op", op_note=f"refresh:{cur}",
-            per_bucket=per_bucket,
+            per_bucket=per_bucket, source_keys=source_keys,
         )
         if snap is None:  # zero delta — advance the watermark alone
             self.table.tag(f"refresh:{cur}")
@@ -325,13 +354,19 @@ class IncrementalAggView:
             # source rows), so the merge itself runs exactly one job —
             # the write. Driver actions are the refresh's serial floor,
             # same discipline as apply_batch.
-            bexpr = self.table._bucket_expr(self.table.snapshot())
-            per_bucket = {
-                r["__b"]: r["__n"]
-                for r in delta.groupBy(bexpr.alias("__b"))
-                .agg(F.count(F.lit(1)).alias("__n"))
+            bexpr = self.table._bucket_expr(
+                self.table.snapshot(buckets=set())  # header-only
+            )
+            hist = (
+                delta.groupBy(bexpr.alias("__b"))
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.max(_any_null(gb)).alias("__nullkey"),
+                )
                 .collect()
-            }
+            )
+            _guard_null_groups(hist, gb)
+            per_bucket = {r["__b"]: r["__n"] for r in hist}
             n_groups = sum(per_bucket.values())
             if n_groups == 0:
                 self.table.tag(f"refresh:{cur}")
@@ -376,7 +411,13 @@ class IncrementalAggView:
                 self.last_plan = (
                     merged._jdf.queryExecution().executedPlan().toString()
                 )
-            return self._commit_merge(merged, cur, per_bucket=per_bucket)
+            # source_keys from the PERSISTED delta: merge otherwise
+            # re-derives the key set from `merged`, re-evaluating the
+            # state-prune join subtree inside the write job
+            return self._commit_merge(
+                merged, cur, per_bucket=per_bucket,
+                source_keys=delta.select(*gb),
+            )
         finally:
             delta.unpersist()
 
@@ -388,43 +429,59 @@ class IncrementalAggView:
             # fresh ∪ gone partitions the affected key set exactly, so the
             # affected per-bucket counts double as the merge's per_bucket
             # accounting — one driver action, then the write job
-            bexpr = self.table._bucket_expr(self.table.snapshot())
-            per_bucket = {
-                r["__b"]: r["__n"]
-                for r in affected.groupBy(bexpr.alias("__b"))
-                .agg(F.count(F.lit(1)).alias("__n"))
+            bexpr = self.table._bucket_expr(
+                self.table.snapshot(buckets=set())  # header-only
+            )
+            hist = (
+                affected.groupBy(bexpr.alias("__b"))
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.max(_any_null(gb)).alias("__nullkey"),
+                )
                 .collect()
-            }
+            )
+            _guard_null_groups(hist, gb)
+            per_bucket = {r["__b"]: r["__n"] for r in hist}
             n_groups = sum(per_bucket.values())
             if n_groups == 0:
                 self.table.tag(f"refresh:{cur}")
                 return {"groups_updated": 0, "groups_deleted": 0}
             keys = self._broadcast_if_small(affected, n_groups)
+            # persist: `fresh` (the affected-group rescan aggregation) is
+            # referenced by BOTH union branches and would otherwise run
+            # the semi-join+aggregate subtree twice inside the write job
+            # (the inlined-subtree rule from CLAUDE.md)
             fresh = (
                 self.source.read(cur)
                 .join(keys, on=gb, how="left_semi")
                 .groupBy(*gb)
                 .agg(*self._rescan_agg_exprs())
-            )
-            gone = affected.join(
-                fresh.select(*gb), on=gb, how="left_anti"
-            ).select(
-                *gb,
-                *[
-                    F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in self.table.schema.fields
-                    if f.name not in gb
-                ],
-            )
-            src = (
-                fresh.withColumn("__op", F.lit("U"))
-                .unionByName(gone.withColumn("__op", F.lit("D")))
-            )
-            if self.capture_plans:
-                self.last_plan = (
-                    src._jdf.queryExecution().executedPlan().toString()
+            ).persist()
+            try:
+                gone = affected.join(
+                    fresh.select(*gb), on=gb, how="left_anti"
+                ).select(
+                    *gb,
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in self.table.schema.fields
+                        if f.name not in gb
+                    ],
                 )
-            return self._commit_merge(src, cur, per_bucket=per_bucket)
+                src = (
+                    fresh.withColumn("__op", F.lit("U"))
+                    .unionByName(gone.withColumn("__op", F.lit("D")))
+                )
+                if self.capture_plans:
+                    self.last_plan = (
+                        src._jdf.queryExecution().executedPlan().toString()
+                    )
+                # fresh ∪ gone keys == affected exactly (persisted)
+                return self._commit_merge(
+                    src, cur, per_bucket=per_bucket, source_keys=affected
+                )
+            finally:
+                fresh.unpersist()
         finally:
             affected.unpersist()
 
@@ -491,7 +548,8 @@ class IncrementalRowView:
         if v is None:
             return None
         for i in range(v, -1, -1):
-            m = _REFRESH_RE.match(self.table.snapshot(i).op)
+            # header-only read: .op needs no bucket manifests
+            m = _REFRESH_RE.match(self.table.snapshot(i, buckets=set()).op)
             if m:
                 return int(m.group(1))
         return None
@@ -510,6 +568,7 @@ class IncrementalRowView:
                     "rows_deleted": 0, "no_op": False,
                     "maintenance_only": True}
         key = self.source.key
+        persisted: DataFrame | None = None
         if last is None:
             ups_in = self.source.read(cur)
             del_keys = ups_in.select(*key).limit(0)
@@ -527,10 +586,17 @@ class IncrementalRowView:
                 return {"refreshed_through": cur,
                         "rows_upserted": snap.total_rows,
                         "rows_deleted": 0, "no_op": False, "rebuilt": True}
-            del_keys = ch.filter(F.col("_change_type") == "delete").select(*key)
-            ups_in = ch.filter(F.col("_change_type") != "delete").drop(
-                "_change_type"
-            )
+            # persist: the changes full-outer-join subtree is referenced
+            # by t, dropped AND del_keys — uncached it re-evaluates per
+            # reference inside the one merge write job (CLAUDE.md's
+            # inlined-subtree rule); the window is O(changed rows)
+            persisted = ch.persist()
+            del_keys = persisted.filter(
+                F.col("_change_type") == "delete"
+            ).select(*key)
+            ups_in = persisted.filter(
+                F.col("_change_type") != "delete"
+            ).drop("_change_type")
         t = self.transform(ups_in)
         dropped = ups_in.select(*key).join(
             t.select(*key), on=key, how="left_anti"
@@ -553,9 +619,16 @@ class IncrementalRowView:
         src = t.withColumn("__op", F.lit("U")).unionByName(
             dels, allowMissingColumns=True
         )
-        snap, mstats = self.table.merge(
-            src, op_col="__op", op_note=f"refresh:{cur}"
-        )
+        try:
+            snap, mstats = self.table.merge(
+                src, op_col="__op", op_note=f"refresh:{cur}",
+                source_keys=(
+                    persisted.select(*key) if persisted is not None else None
+                ),
+            )
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
         if snap is None:
             self.table.tag(f"refresh:{cur}")
             return {"refreshed_through": cur, "rows_upserted": 0,

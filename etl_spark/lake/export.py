@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 
@@ -104,22 +105,53 @@ class ChangeFeedExporter:
             return 0
 
     def reset_cursor(self, version: int = 0) -> None:
-        self._advance_cursor(version, force=True)
+        """Deliberate rewind (the re-bootstrap recovery): the ``reset``
+        flag suppresses crash reconciliation for the next window, so a
+        stale full-load segment on disk cannot bounce the cursor forward
+        past history the table no longer retains."""
+        self._advance_cursor(version, force=True, reset=True)
 
-    def _advance_cursor(self, version: int, force: bool = False) -> None:
+    def _advance_cursor(
+        self, version: int, force: bool = False, reset: bool = False
+    ) -> None:
         if not force and version <= self.cursor():
             return
         tmp = self._cursor_file() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(
-                {"exported_version": version, "updated_at": time.time()}, fh
+                {
+                    "exported_version": version,
+                    "updated_at": time.time(),
+                    "reset": reset,
+                },
+                fh,
             )
         os.replace(tmp, self._cursor_file())
+
+    def _cursor_state(self) -> dict:
+        try:
+            with open(self._cursor_file()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {"exported_version": 0, "reset": False}
 
     def _seg_dir(self, from_v: int, to_v: int) -> str:
         return os.path.join(
             self.out_dir, f"{_SEG_PREFIX}{from_v:012d}-{to_v:012d}"
         )
+
+    def _committed_to(self, from_v: int) -> int:
+        """Highest ``to_version`` of any rename-committed segment whose
+        window starts at ``from_v`` (driver-side name listing, no I/O)."""
+        pref = f"{_SEG_PREFIX}{from_v:012d}-"
+        best = from_v
+        for n in os.listdir(self.out_dir):
+            if n.startswith(pref):
+                try:
+                    best = max(best, int(n[len(pref):]))
+                except ValueError:
+                    continue
+        return best
 
     # ----------------------------------------------------------- export
     def export_once(self) -> dict:
@@ -129,7 +161,30 @@ class ChangeFeedExporter:
         One diff scan + one write per call — no row-count action (text
         files carry no footer counts; consumers account on apply)."""
         cur = self.table.current_version()
-        last = self.cursor()
+        state = self._cursor_state()
+        last = int(state.get("exported_version", 0))
+        # Crash reconciliation: the atomic segment RENAME is the real
+        # commit — the cursor file is a lagging cache. If a committed
+        # window starting at `last` already exists on disk (a crash or a
+        # racing exporter landed between rename and cursor advance),
+        # resume AFTER it instead of exporting an overlapping window: two
+        # overlapping full loads would silently resurrect rows deleted
+        # between them on a fresh consumer. A DELIBERATE reset_cursor
+        # (the re-bootstrap recovery) carries the ``reset`` flag and is
+        # never reconciled — a stale full-load segment must not bounce
+        # the cursor past history the table no longer retains.
+        committed = (
+            last if state.get("reset") else self._committed_to(last)
+        )
+        if committed > last:
+            self._advance_cursor(committed)
+            if cur is None or cur <= committed:
+                return {
+                    "skipped": False, "reconciled": True,
+                    "from_version": last, "to_version": committed,
+                    "segment": self._seg_dir(last, committed),
+                }
+            last = committed
         if cur is None or cur <= last:
             return {"skipped": True, "from_version": last, "to_version": last}
         if last > 0 and maintenance_only(self.table, last, cur):
@@ -147,7 +202,8 @@ class ChangeFeedExporter:
             }
         seg = self._seg_dir(last, cur)
         if not os.path.exists(seg):
-            snap = self.table.snapshot(cur)
+            # header-only: only schema + ts are read off this snapshot
+            snap = self.table.snapshot(cur, buckets=set())
             payload_cols = [f.name for f in snap.schema.fields]
             if last == 0:
                 # full-load window: read the current snapshot directly as
@@ -244,10 +300,18 @@ def applied_through(commit_log: CommitLog, source: str = "cdf-replica") -> int:
     version every segment at or below which it has durably merged. Used
     as the retention floor for ``prune_feed`` (take the MIN across all
     consumers' commit logs before pruning a shared feed)."""
+    # exact-source match: the suffix after the prefix must be the
+    # 12-digit batch id — a prefix test alone would let consumer
+    # "cdf-replica-b"'s markers inflate "cdf-replica"'s floor and
+    # prune_feed would retire windows the shorter-named consumer
+    # never applied
+    pat = re.compile(
+        rf"^commit-{re.escape(source.replace('/', '_'))}-(\d{{12}})\.json$"
+    )
     applied = [
-        int(n.split("-")[-1].split(".")[0])
+        int(m.group(1))
         for n in os.listdir(commit_log.path)
-        if n.startswith(f"commit-{source.replace('/', '_')}-")
+        if (m := pat.match(n))
     ]
     # windows are produced by one monotonic cursor and applied in
     # ascending order, so the max commit IS the contiguous high point

@@ -154,7 +154,8 @@ class FingerprintView:
         if v is None:
             return None
         for i in range(v, -1, -1):
-            m = _FP_NOTE_RE.search(self.table.snapshot(i).op)
+            # header-only read: .op needs no bucket manifests
+            m = _FP_NOTE_RE.search(self.table.snapshot(i, buckets=set()).op)
             if m:
                 return int(m.group(1)), m.group(2)
         return None
@@ -347,10 +348,14 @@ def diff_tables(
         pf = bucket_fingerprints(
             primary.read(primary_version), bexpr, cols
         ).collect()
-    r_full = align_to_schema(replica.read(replica_version), schema)
+    # r_full opens every replica bucket manifest at plan-build time —
+    # construct it only on the paths that actually scan the replica
+    # (never on the advertised zero-read converged-pair path)
+    r_full: DataFrame | None = None
     if replica_fps is not None:
         rf = _view_fps(replica, replica_fps, "replica")
     else:
+        r_full = align_to_schema(replica.read(replica_version), schema)
         rf = bucket_fingerprints(r_full, bexpr, cols).collect()
     pmap = {r["bucket"]: (r["n_rows"], r["xor_fp"], r["sum_fp"]) for r in pf}
     rmap = {r["bucket"]: (r["n_rows"], r["xor_fp"], r["sum_fp"]) for r in rf}
@@ -364,8 +369,6 @@ def diff_tables(
     }
     spark = primary.spark
     if not divergent:
-        import pyspark.sql.types as T
-
         empty = T.StructType(
             list(schema.fields) + [T.StructField(_OP_COL, T.StringType())]
         )
@@ -377,6 +380,8 @@ def diff_tables(
             _read_buckets(replica, replica_version, divergent), schema
         )
     else:
+        if r_full is None:  # unreachable today: fps imply equal layouts
+            r_full = align_to_schema(replica.read(replica_version), schema)
         r_rows = r_full.filter(bexpr.isin(list(divergent)))
 
     payload = [c for c in cols if c not in key]

@@ -3199,7 +3199,7 @@ def maintenance_only(table: LakeTable, last: int, cur: int) -> bool:
     pat = re.compile(_MAINT_RE_STR)
     try:
         return all(
-            pat.match(table.snapshot(v).op) is not None
+            pat.match(table.snapshot(v, buckets=set()).op) is not None
             for v in range(last + 1, cur + 1)
         )
     except FileNotFoundError:

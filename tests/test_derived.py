@@ -722,3 +722,58 @@ def test_row_view_maintains_pq_index_incrementally(spark, tmp_path):
         for r in pq_topk(src.read(), q, k=5, codebooks=B).collect()
     }
     assert a == b
+
+
+@pytest.mark.parametrize("strategy", ["delta", "rescan"])
+def test_null_group_touch_raises_untouched_survives(spark, tmp_path, strategy):
+    """SQL GROUP BY forms a NULL group, but the refresh's joins (and the
+    merge's key matching) are NULL-unsafe — a touched NULL group would
+    silently reset/duplicate its state row. The guard raises exactly
+    when a window touches one; an UNTOUCHED NULL group rides through
+    refreshes intact, and rebuild() is exact for it."""
+    ops = T.StructType(
+        list(SRC_SCHEMA.fields) + [T.StructField("op", T.StringType())]
+    )
+    src = LakeTable.create(
+        spark, str(tmp_path / f"src_{strategy}"), SRC_SCHEMA,
+        key=["id"], n_buckets=4,
+    )
+    rows = [(0, None, 1.0, "U"), (1, "g1", 2.0, "U"), (2, "g1", 3.0, "U")]
+    src.merge(spark.createDataFrame(rows, ops), op_col="op")
+    aggs = (
+        {"n": ("count", "*"), "s": ("sum", "val")}
+        if strategy == "delta"
+        else {"mx": ("max", "val")}
+    )
+    view = IncrementalAggView(
+        spark, str(tmp_path / f"v_{strategy}"), src,
+        group_by=["grp"], aggs=aggs, strategy=strategy,
+    )
+    # ANY window touching the NULL group raises — including the initial
+    # one (rescan's semi-join would silently drop the group even then)
+    with pytest.raises(ValueError, match="NULL value in group-by"):
+        view.refresh()
+    view.rebuild()  # the documented path: one-shot overwrite, exact
+    state0 = {r["grp"]: r for r in view.read().collect()}
+    assert None in state0 and state0[None]["n" if strategy == "delta" else "mx"]
+
+    # churn NOT touching the NULL group: refresh fine, NULL row intact
+    src.merge(spark.createDataFrame([(3, "g1", 9.0, "U")], ops), op_col="op")
+    view.refresh()
+    state1 = {r["grp"]: r for r in view.read().collect()}
+    assert state1[None] == state0[None]
+    assert len([r for r in view.read().collect() if r["grp"] is None]) == 1
+
+    # churn touching the NULL group: clear error, state unchanged
+    src.merge(spark.createDataFrame([(4, None, 5.0, "U")], ops), op_col="op")
+    with pytest.raises(ValueError, match="NULL value in group-by"):
+        view.refresh()
+    assert {r["grp"]: r for r in view.read().collect()} == state1
+
+    # the documented recovery is exact, including the NULL group
+    view.rebuild()
+    got = {r["grp"]: r for r in view.read().collect()}
+    if strategy == "delta":
+        assert got[None]["n"] == 2 and float(got[None]["s"]) == 6.0
+    else:
+        assert got[None]["mx"] == 5.0

@@ -315,3 +315,50 @@ def test_maintenance_commits_advance_cursor_without_diff(spark, tmp_path):
     stats = replicate_available(spark, feed, dst, state)
     assert stats[-1]["rows_in"] == 3  # churn only, not the compacted table
     assert_same(src, dst)
+
+
+def test_crash_with_table_advance_never_overlaps_full_loads(spark, tmp_path):
+    """The killer crash window: segment renamed, cursor NOT advanced, and
+    the table advances (a row is DELETED) before the exporter restarts.
+    The restart must resume AFTER the committed segment — a second
+    overlapping full load would resurrect the deleted row on a fresh
+    consumer forever."""
+    src, dst = make_pair(spark, tmp_path)
+    feed = str(tmp_path / "feed")
+    ex = ChangeFeedExporter(src, feed, table_name="t")
+    src.merge(spark.createDataFrame(rows(range(8)), SCHEMA))
+    first = ex.export_once()          # full-load seg-0-v committed
+    os.remove(ex._cursor_file())      # ...but the cursor write was lost
+    # primary advances: delete id=3 before the exporter restarts
+    del_schema = T.StructType(list(SCHEMA.fields) + [T.StructField("op", T.StringType())])
+    src.merge(
+        spark.createDataFrame([(3, None, None, None, "D")], del_schema),
+        op_col="op",
+    )
+    redo = ex.export_once()
+    # resumed AFTER the committed full load: an incremental window, not a
+    # second overlapping full load
+    assert redo.get("reconciled") or redo["from_version"] > 0
+    segs = sorted(
+        n for n in os.listdir(feed) if n.startswith("seg-")
+    )
+    full_loads = [n for n in segs if n.startswith("seg-000000000000-")]
+    assert len(full_loads) == 1
+    # drain and verify: the replica must NOT resurrect id=3
+    while not ex.export_once().get("skipped"):
+        pass
+    replicate_available(spark, feed, dst, str(tmp_path / "state"))
+    assert_same(src, dst)
+    assert dst.read().filter("id = 3").count() == 0
+
+
+def test_applied_through_is_exact_source_match(spark, tmp_path):
+    """A consumer whose name extends another's must not inflate the
+    shorter consumer's retention floor."""
+    from etl_spark.cdc.state import CommitLog
+
+    log = CommitLog(str(tmp_path / "log"))
+    log.commit("cdf-replica", 7)
+    log.commit("cdf-replica-b", 42)
+    assert applied_through(log, "cdf-replica") == 7
+    assert applied_through(log, "cdf-replica-b") == 42
