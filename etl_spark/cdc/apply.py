@@ -416,6 +416,10 @@ def apply_batch(
                         merge_src, op_col=op_col,
                         buckets=set(per_bucket),
                         broadcast=rows_in <= 200_000,
+                        # guarded tables: an absent-key delete must still
+                        # write its tombstone or a later stale upsert
+                        # resurrects the row — never elide it there
+                        drop_absent_deletes=not merge_lww_by,
                     )
                 snap, merge_stats = table.merge(
                     merge_src, op_col=op_col,

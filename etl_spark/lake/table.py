@@ -45,7 +45,7 @@ import re
 import time
 import uuid
 from dataclasses import dataclass
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1618,6 +1618,7 @@ class LakeTable:
         compare_cols: list[str] | None = None,
         buckets: set[int] | None = None,
         broadcast: bool = True,
+        drop_absent_deletes: bool = True,
     ) -> DataFrame:
         """Change detection for full-row-image CDC: drop source rows whose
         MERGE would be a state no-op — upserts whose full (null-safe)
@@ -1653,6 +1654,20 @@ class LakeTable:
         ignore an always-churning ``updated_at``). NULL == NULL is equal
         (eqNullSafe). ``source`` must be key-deduped, same contract as
         ``merge``.
+
+        GUARDED (``lww_by``) tables: pass ``drop_absent_deletes=False``
+        — there, a delete of an absent key is NOT a state no-op: it must
+        write a TOMBSTONE or a later-arriving stale upsert resurrects
+        the row. (Same-image upserts stay safely elidable as long as the
+        lww columns are compared — the default compares every column —
+        since a newer order then counts as a change.) ``apply_batch``
+        wires this automatically from ``merge_lww_by``.
+
+        Concurrency: the no-op comparison reads the snapshot at CALL
+        time. The caller must be the table's only writer between this
+        filter and the merge (the streaming contract); for multi-writer
+        retries use ``merge_with_retry(..., pre_filter=...)`` so the
+        filter recomputes against each retried base.
         """
         base = self.snapshot()
         if base.n_buckets <= 0:
@@ -1698,7 +1713,8 @@ class LakeTable:
         exists = F.col("__st_exists").isNotNull()
         if op_col is not None:
             is_del = F.col(op_col) == F.lit(delete_op)
-            keep = F.when(is_del, exists).otherwise(~exists | ~same)
+            del_keep = exists if drop_absent_deletes else F.lit(True)
+            keep = F.when(is_del, del_keep).otherwise(~exists | ~same)
         else:
             keep = ~exists | ~same
         helper = ["__st_exists"] + [f"__st_{f.name}" for f in cmp_fields]
@@ -1937,6 +1953,7 @@ class LakeTable:
         source: DataFrame,
         attempts: int = 5,
         backoff_s: float = 0.05,
+        pre_filter: "Callable[[DataFrame], DataFrame] | None" = None,
         **kwargs: Any,
     ) -> tuple[Snapshot | None, dict[str, int]]:
         """Optimistic-concurrency MERGE: when another writer wins the
@@ -1949,13 +1966,21 @@ class LakeTable:
         order the conflict implies. Jittered exponential backoff breaks
         repeated collisions under fan-in; data files written by a losing
         attempt are stranded in their unique commit dir and reclaimed by
-        ``vacuum()``."""
+        ``vacuum()``.
+
+        ``pre_filter`` (e.g. ``table.changed_only``) is re-applied to the
+        RAW source on every attempt, so a snapshot-dependent filter is
+        always computed against the same base the retried merge reads —
+        passing an already-filtered frame instead would pin the filter to
+        the pre-conflict snapshot and silently drop rows the winner just
+        changed."""
         import random as _random
 
         last_exc: CommitConflict | None = None
         for i in range(attempts):
             try:
-                return self.merge(source, **kwargs)
+                src = pre_filter(source) if pre_filter else source
+                return self.merge(src, **kwargs)
             except CommitConflict as e:
                 last_exc = e
                 time.sleep(backoff_s * (2**i) * _random.uniform(0.5, 1.5))

@@ -1303,6 +1303,97 @@ def test_apply_batch_skip_unchanged_converges_and_advances_watermarks(
     assert wm.get_all()[0] == 5
 
 
+def test_changed_only_guarded_keeps_absent_deletes(spark, tmp_path):
+    """lww_by tables: a delete of an ABSENT key is NOT a state no-op —
+    it must reach the merge and write its tombstone, or a later-arriving
+    stale upsert resurrects the row. changed_only(drop_absent_deletes=
+    False) keeps it; apply_batch wires that automatically."""
+    t = make_guard(spark, tmp_path)
+    # D arrives first (key never existed), newest order ts=200
+    d = spark.createDataFrame([("k", 0, None, 200, 20, "D")], OPS)
+    kept = t.changed_only(d, op_col="op", drop_absent_deletes=False)
+    assert kept.count() == 1  # default (True) would drop it
+    t.merge(kept, op_col="op", lww_by=["ts", "lsn"])
+    assert len(t.snapshot().tomb_files) == 1
+    # the late stale upsert (ts=150) must lose to the tombstone — even
+    # through the change-detection filter
+    late = spark.createDataFrame([("k", 0, "stale", 150, 15, "U")], OPS)
+    t.merge(
+        t.changed_only(late, op_col="op", drop_absent_deletes=False),
+        op_col="op", lww_by=["ts", "lsn"],
+    )
+    assert grows(t) == set()  # delete is newest: k stays deleted
+
+    # end-to-end: apply_batch(skip_unchanged=True, merge_lww_by=...)
+    # makes the same guarantee without the caller passing the flag
+    from etl_spark.cdc.apply import apply_batch
+
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "g2"), GUARD_SCHEMA,
+        key=["conv_id", "turn_idx"], n_buckets=4, bucket_by=["conv_id"],
+    )
+    vals = [("op_known", F.col("op").isin("I", "U", "D"))]
+    apply_batch(
+        spark, spark.createDataFrame([("k", 0, None, 200, 20, "D")], OPS),
+        t2, batch_id=1, skip_unchanged=True, merge_lww_by=["ts", "lsn"],
+        validators=vals,
+    )
+    assert len(t2.snapshot().tomb_files) == 1
+    apply_batch(
+        spark, spark.createDataFrame([("k", 0, "stale", 150, 15, "U")], OPS),
+        t2, batch_id=2, skip_unchanged=True, merge_lww_by=["ts", "lsn"],
+        validators=vals,
+    )
+    assert grows(t2) == set()
+
+
+def test_merge_with_retry_pre_filter_recomputes_against_winner(
+    spark, tmp_path
+):
+    """TOCTOU guard: a snapshot-dependent pre-filter (changed_only) must
+    be re-applied to the RAW source on every retry attempt, so after a
+    lost commit race the filter compares against the WINNER's state —
+    passing a pre-filtered frame instead would pin the comparison to the
+    pre-conflict snapshot and silently drop rows the winner changed."""
+    t = make(spark, tmp_path)
+    t.append(
+        spark.createDataFrame([("c1", 0, "base1"), ("c2", 0, "base2")], SCHEMA)
+    )
+    t2 = LakeTable.load(spark, t.path)
+    ops = T.StructType(list(SCHEMA.fields) + [T.StructField("op", T.StringType())])
+
+    orig = t._write_snapshot
+    raced = {"done": False}
+
+    def racy(snap):
+        if not raced["done"]:
+            raced["done"] = True
+            # the winner changes c2 between loser's filter and commit
+            t2.merge(
+                spark.createDataFrame([("c2", 0, "X2", "U")], ops),
+                op_col="op",
+            )
+        return orig(snap)
+
+    t._write_snapshot = racy
+    # loser's batch: c1 genuinely new (forces a commit -> conflict),
+    # c2 equal to the PRE-race stored value (stale filter would drop it)
+    batch = spark.createDataFrame(
+        [("c1", 0, "new1", "U"), ("c2", 0, "base2", "U")], ops
+    )
+    try:
+        snap, stats = t.merge_with_retry(
+            batch, op_col="op",
+            pre_filter=lambda src: t.changed_only(src, op_col="op"),
+        )
+    finally:
+        t._write_snapshot = orig
+    assert raced["done"]
+    # c2's write must NOT be lost: the retry recomputed the filter
+    # against the winner's X2 and kept the row
+    assert rows(t.read()) == {("c1", 0, "new1"), ("c2", 0, "base2")}
+
+
 def test_metadata_tables_match_manifests(spark, tmp_path):
     """files/snapshots/partitions metadata DataFrames agree with the
     manifest ground truth and are SQL-queryable — never a data read."""
