@@ -106,6 +106,33 @@ def _stat_key(v: Any):
     return v
 
 
+def _atomic_create(path: str, payload: str) -> None:
+    """Durably publish ``payload`` at ``path`` with create-if-absent
+    semantics: write + fsync a unique temp file, then hard-link it into
+    place. The link is the atomic commit point (EEXIST = lost the race,
+    surfaced as FileExistsError exactly like ``O_EXCL``), and — unlike
+    O_EXCL-create-then-write — the file is COMPLETE the instant it
+    becomes visible, so neither a crash between create and write nor a
+    concurrent directory listing can ever observe an empty/partial
+    manifest at a committed version. The parent directory is fsynced so
+    the link itself survives power loss."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
+    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed the same version first (optimistic cc)."""
 
@@ -434,13 +461,15 @@ class LakeTable:
             indent=1,
         )
         path = self._wap_target or self._snap_path(snap.version)
-        # O_EXCL create IS the atomic commit point: the first writer of
-        # version N wins; a concurrent writer gets CommitConflict and must
-        # re-read the table and retry on top of the new snapshot. A WAP
-        # stage diverts the SAME payload to its staged file — one commit
-        # per stage, same exclusivity.
+        # Link-create IS the atomic commit point (_atomic_create): the
+        # first writer of version N wins; a concurrent writer gets
+        # CommitConflict and must re-read the table and retry on top of
+        # the new snapshot. The snapshot file is complete the instant it
+        # is visible — a crash can never leave a truncated head that
+        # wedges the chain. A WAP stage diverts the SAME payload to its
+        # staged file — one commit per stage, same exclusivity.
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            _atomic_create(path, payload)
         except FileExistsError as e:
             if self._wap_target:
                 raise CommitConflict(
@@ -449,10 +478,6 @@ class LakeTable:
             raise CommitConflict(
                 f"version {snap.version} already committed at {self.path}"
             ) from e
-        with os.fdopen(fd, "w") as fh:
-            fh.write(payload)
-            fh.flush()
-            os.fsync(fh.fileno())
 
     def history(self) -> list[Snapshot]:
         v = self.current_version()
@@ -1815,15 +1840,11 @@ class LakeTable:
         d["op"] = f"{d['op']}:wap({wap_id})"
         target = self._snap_path(d["version"])
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            _atomic_create(target, json.dumps(d, indent=1))
         except FileExistsError as e:
             raise CommitConflict(
                 f"version {d['version']} already committed at {self.path}"
             ) from e
-        with os.fdopen(fd, "w") as fh:
-            fh.write(json.dumps(d, indent=1))
-            fh.flush()
-            os.fsync(fh.fileno())
         os.remove(p)
         return self.snapshot(d["version"])
 
@@ -2817,9 +2838,20 @@ class LakeTable:
             raise FileNotFoundError(f"version {v} does not exist (expired?)")
         os.makedirs(self._refs_dir(), exist_ok=True)
         path = os.path.join(self._refs_dir(), f"{name}.json")
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as fh:
-            json.dump({"name": name, "version": v, "ts": time.time()}, fh)
+        _atomic_create(
+            path, json.dumps({"name": name, "version": v, "ts": time.time()})
+        )
+        # validate-after-create: a concurrent expire_snapshots may have
+        # read refs() before this ref became visible and deleted the
+        # pinned version. Expire re-checks refs before each delete, so
+        # the two interleave to exactly one winner: either the version
+        # survives, or the ref is rolled back here with a loud error —
+        # never a dangling ref.
+        if not os.path.exists(self._snap_path(v)):
+            os.remove(path)
+            raise FileNotFoundError(
+                f"version {v} was expired while tagging it — nothing pinned"
+            )
         return v
 
     def drop_ref(self, name: str) -> None:
@@ -2966,7 +2998,11 @@ class LakeTable:
         with its fork advanced to the published head (keep writing,
         fast-forward again), and every published snapshot file is
         removed from the branch dir only AFTER its main-chain copy is
-        durable."""
+        durable. A crash mid-publish (after a main write, before the
+        branch-side cleanup) is reconciled on the next call: main
+        commits tagged ``:ff(<branch>)`` directly above the recorded
+        fork are recognized as our own published prefix and the fork
+        rolls forward over them instead of wedging on divergence."""
         bdir = self._branch_dir(name)
         meta_path = os.path.join(bdir, "branch.json")
         if not os.path.isfile(meta_path):
@@ -2974,20 +3010,6 @@ class LakeTable:
         with open(meta_path) as fh:
             meta = json.load(fh)
         fork = int(meta["fork"])
-        pending = sorted(
-            n for n in os.listdir(bdir)
-            if n.startswith("snap-") and n.endswith(".json")
-        )
-        if not pending:
-            return self.snapshot()
-        cur = self.current_version()
-        if cur != fork:
-            raise CommitConflict(
-                f"branch {name!r} forked at version {fork} but main is at "
-                f"{cur} — not fast-forwardable (rebase: re-apply onto a "
-                "fresh branch from the current head)"
-            )
-        published: Snapshot | None = None
 
         def _advance_fork(v: int) -> None:
             meta["fork"] = v
@@ -2996,6 +3018,49 @@ class LakeTable:
             with open(tmp, "w") as fh:
                 json.dump(meta, fh)
             os.replace(tmp, meta_path)
+            nonlocal fork
+            fork = v
+
+        # Crash reconciliation: a prior fast_forward stopped after
+        # publishing snap-(fork+1) to main but before removing the branch
+        # copy and/or advancing the fork pointer. Main being ahead of the
+        # recorded fork is then NOT divergence — our own :ff(name)-tagged
+        # commits prove the publish landed. Roll the fork forward over
+        # every such commit (discarding the branch copy only when it is
+        # verifiably the same commit) so the remaining pending chain
+        # resumes cleanly instead of wedging on `cur != fork` forever.
+        cur = self.current_version()
+        while cur is not None and cur > fork:
+            nxt = fork + 1
+            main_snap = self._snap_path(nxt)
+            if not os.path.exists(main_snap):
+                break
+            with open(main_snap) as fh:
+                md = json.load(fh)
+            if not str(md.get("op", "")).endswith(f":ff({name})"):
+                break  # a foreign commit took the version: true divergence
+            src = os.path.join(bdir, f"snap-{nxt:012d}.json")
+            if os.path.exists(src):
+                with open(src) as fh:
+                    bd = json.load(fh)
+                if bd.get("manifest_refs") != md.get("manifest_refs"):
+                    break  # same tag, different content: do not discard
+                os.remove(src)
+            _advance_fork(nxt)
+
+        pending = sorted(
+            n for n in os.listdir(bdir)
+            if n.startswith("snap-") and n.endswith(".json")
+        )
+        if not pending:
+            return self.snapshot()
+        if cur != fork:
+            raise CommitConflict(
+                f"branch {name!r} forked at version {fork} but main is at "
+                f"{cur} — not fast-forwardable (rebase: re-apply onto a "
+                "fresh branch from the current head)"
+            )
+        published: Snapshot | None = None
 
         for n in pending:
             src = os.path.join(bdir, n)
@@ -3005,7 +3070,7 @@ class LakeTable:
             d["op"] = f"{d['op']}:ff({name})"
             target = self._snap_path(int(d["version"]))
             try:
-                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                _atomic_create(target, json.dumps(d, indent=1))
             except FileExistsError as e:
                 raise CommitConflict(
                     f"version {d['version']} already committed at "
@@ -3013,10 +3078,6 @@ class LakeTable:
                     f"{'nothing' if published is None else f'prefix through {published.version}'}"
                     " published"
                 ) from e
-            with os.fdopen(fd, "w") as fh:
-                fh.write(json.dumps(d, indent=1))
-                fh.flush()
-                os.fsync(fh.fileno())
             os.remove(src)
             _advance_fork(int(d["version"]))
             published = self.snapshot(int(d["version"]))
@@ -3070,6 +3131,15 @@ class LakeTable:
                 continue
             if not os.path.exists(self._snap_path(i)):
                 continue  # already expired by an earlier pass
+            # re-check refs immediately before this delete: a ref created
+            # AFTER the keep-set above was computed must still pin the
+            # version (create_ref validates after its own write, so the
+            # two racing ops converge to one winner — see create_ref)
+            pinned_now = set(self.refs().values())
+            if i in pinned_now:
+                keep_versions.add(i)
+                live |= {f["path"] for f in self.snapshot(i).files}
+                continue
             snap = self.snapshot(i)
             for f in snap.files:
                 if f["path"] not in live:
@@ -3150,8 +3220,17 @@ class _BranchTable(LakeTable):
         super().__init__(spark, path)
         self._branch_name = name
         self._bdir = self._branch_dir(name)
+        self._fork  # fail early if branch.json is missing/corrupt
+
+    @property
+    def _fork(self) -> int:
+        # NEVER cached: fast_forward advances the fork pointer in
+        # branch.json, and a handle constructed before the publish must
+        # see its own published commits on main afterwards — a cached
+        # fork would silently read stale state and commit wrong-base
+        # snapshots. One tiny driver-side JSON read per metadata op.
         with open(os.path.join(self._bdir, "branch.json")) as fh:
-            self._fork = int(json.load(fh)["fork"])
+            return int(json.load(fh)["fork"])
 
     def _snap_path(self, version: int) -> str:
         if version <= self._fork:

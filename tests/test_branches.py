@@ -142,6 +142,72 @@ def test_branch_blocked_lifecycle_ops(spark, tmp_path):
         t.create_branch("bad/name")
 
 
+def test_branch_handle_stays_live_across_fast_forward(spark, tmp_path):
+    """A handle held across fast_forward must see the advanced fork
+    (branch.json is re-read, never cached) — its own published commits
+    on main — and keep committing on the right base."""
+    t = make(spark, tmp_path)
+    b = t.create_branch("b")
+    b.merge(spark.createDataFrame([("c2", 0, "first")], SCHEMA))
+    t.fast_forward("b")
+    # the SAME pre-publish handle resolves its published commit on main
+    assert b.current_version() == 2
+    assert rows(b.read()) == {("c1", 0, "base"), ("c2", 0, "first")}
+    # and a new write commits on the published base, not the stale fork
+    b.merge(spark.createDataFrame([("c3", 0, "second")], SCHEMA))
+    assert rows(b.read()) == {
+        ("c1", 0, "base"), ("c2", 0, "first"), ("c3", 0, "second")
+    }
+    t.fast_forward("b")
+    assert rows(t.read()) == {
+        ("c1", 0, "base"), ("c2", 0, "first"), ("c3", 0, "second")
+    }
+
+
+def test_fast_forward_resumes_after_mid_publish_crash(spark, tmp_path):
+    """Main ahead of the recorded fork with our own :ff-tagged commits
+    is a crashed publish, not divergence — the next call rolls the fork
+    forward over the published prefix and publishes the rest."""
+    import json
+    import time as _time
+
+    t = make(spark, tmp_path)
+    b = t.create_branch("b")
+    b.merge(spark.createDataFrame([("c2", 0, "two")], SCHEMA))    # v2
+    b.merge(spark.createDataFrame([("c3", 0, "three")], SCHEMA))  # v3
+    # simulate a crash AFTER snap-2 landed on main, BEFORE the branch-side
+    # cleanup: main copy exists (tagged), branch copy remains, fork stale
+    bdir = t._branch_dir("b")
+    src = os.path.join(bdir, "snap-%012d.json" % 2)
+    with open(src) as fh:
+        d = json.load(fh)
+    d["op"] += ":ff(b)"
+    d["ts"] = _time.time()
+    with open(t._snap_path(2), "w") as fh:
+        json.dump(d, fh)
+    assert t.branches()["b"]["fork"] == 1
+    snap = t.fast_forward("b")  # must NOT raise CommitConflict
+    assert snap.version == 3
+    assert rows(t.read()) == {
+        ("c1", 0, "base"), ("c2", 0, "two"), ("c3", 0, "three")
+    }
+    assert t.branches()["b"]["fork"] == 3
+
+    # crash variant: branch copy already removed, only the fork is stale
+    b2 = t.branch("b")
+    b2.merge(spark.createDataFrame([("c4", 0, "four")], SCHEMA))  # v4
+    t.fast_forward("b")
+    meta = os.path.join(bdir, "branch.json")
+    with open(meta) as fh:
+        m = json.load(fh)
+    m["fork"] = 3  # roll back: crashed after os.remove, before advance
+    with open(meta, "w") as fh:
+        json.dump(m, fh)
+    snap = t.fast_forward("b")  # nothing pending; reconciles fork only
+    assert snap.version == 4
+    assert t.branches()["b"]["fork"] == 4
+
+
 def test_branch_from_old_version_not_fast_forwardable(spark, tmp_path):
     t = make(spark, tmp_path)
     t.merge(spark.createDataFrame([("c1", 0, "v2")], SCHEMA))

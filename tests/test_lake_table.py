@@ -168,6 +168,77 @@ def test_compact_and_expire(spark, tmp_path):
     assert t.read().count() == 3
 
 
+def test_atomic_create_complete_on_visibility_and_race_loses(tmp_path):
+    """Commit files are COMPLETE the instant they are visible (write+
+    fsync a temp, hard-link into place): a losing racer gets
+    FileExistsError, changes nothing, and leaves no temp residue — so a
+    crash can never wedge the chain behind an empty snapshot head."""
+    import os
+
+    from etl_spark.lake.table import _atomic_create
+
+    d = tmp_path / "m"
+    d.mkdir()
+    p = str(d / "snap.json")
+    _atomic_create(p, '{"v": 1}')
+    assert open(p).read() == '{"v": 1}'
+    with pytest.raises(FileExistsError):
+        _atomic_create(p, '{"v": 2}')
+    assert open(p).read() == '{"v": 1}'
+    assert os.listdir(str(d)) == ["snap.json"]
+
+
+def test_create_ref_expire_race_converges(spark, tmp_path, monkeypatch):
+    """create_ref validates after its write; expire re-checks refs
+    before each delete. Either the version survives (ref visible in
+    time) or the ref rolls back loudly — never a dangling ref."""
+    import json
+    import os
+
+    import etl_spark.lake.table as lt
+
+    t = make(spark, tmp_path)
+    for i in range(3):
+        t.append(spark.createDataFrame([(f"c{i}", 0, "x")], SCHEMA))
+
+    # ref loses: the snapshot vanishes between ref write and validation
+    real = lt._atomic_create
+
+    def sabotage(path, payload):
+        real(path, payload)
+        os.remove(t._snap_path(1))  # concurrent expire deleted it
+
+    monkeypatch.setattr(lt, "_atomic_create", sabotage)
+    with pytest.raises(FileNotFoundError, match="expired while tagging"):
+        t.create_ref("audit", 1)
+    monkeypatch.setattr(lt, "_atomic_create", real)
+    assert t.refs() == {}  # rolled back, not dangling
+
+    # ref wins: created after expire computed its keep-set but before
+    # the per-version delete — the pre-delete recheck retains it
+    state = {"injected": False}
+    real_refs = lt.LakeTable.refs
+
+    def racy_refs(self):
+        out = real_refs(self)
+        if not state["injected"]:
+            state["injected"] = True
+            os.makedirs(self._refs_dir(), exist_ok=True)
+            real(
+                os.path.join(self._refs_dir(), "late.json"),
+                json.dumps({"name": "late", "version": 2, "ts": 0}),
+            )
+            out.pop("late", None)  # keep-set pass does not see it yet
+        return out
+
+    monkeypatch.setattr(lt.LakeTable, "refs", racy_refs)
+    t.expire_snapshots(keep_last=1)
+    monkeypatch.setattr(lt.LakeTable, "refs", real_refs)
+    assert os.path.exists(t._snap_path(2))  # pinned version survived
+    assert not os.path.exists(t._snap_path(1))  # unpinned one expired
+    assert rows(t.read(ref="late")) == rows(t.read(version=2))
+
+
 def test_expire_snapshots_age_based_retention(spark, tmp_path):
     """older_than_s keeps every snapshot younger than the horizon (beyond
     keep_last) and expires only aged-out ones — Iceberg's retention
