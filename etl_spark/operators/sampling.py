@@ -73,7 +73,19 @@ def hash_split(
         raise ValueError(f"fractions must sum to 1, got {total}")
     if not fractions:
         raise ValueError("fractions must be non-empty")
-    bucket = content_hash_bucket(on, n_buckets)
+    # md5(NULL) is NULL: every when-branch would be NULL and the row
+    # would silently fall through to the LAST split, concentrating all
+    # NULL-keyed rows there and breaking the fractions contract. Fail
+    # loudly instead — inline, no extra validation action at scale.
+    bucket = F.when(
+        F.col(on).isNull(),
+        F.raise_error(
+            F.lit(
+                f"hash_split: NULL {on!r} has no deterministic split — "
+                "filter NULL keys out or fill them first"
+            )
+        ).cast("long"),
+    ).otherwise(content_hash_bucket(on, n_buckets))
     expr: Column | None = None
     hi = 0
     names = list(fractions)
@@ -136,8 +148,11 @@ def quota_sample(
     below the cutoff pass with NO sort; only the boundary bucket
     (expected ~rows/B per stratum) goes through the rank window. Range
     buckets preserve hash order (bucket i < bucket i+1 ⇒ hash order), so
-    the output is IDENTICAL to the plain path for any B. Strata columns
-    must be non-null on the two-phase path (they become join keys).
+    the output is IDENTICAL to the plain path for any B — including
+    NULL-valued strata: the plain path's partitionBy groups NULLs as
+    their own stratum, so the cutoff join uses null-safe equality
+    (``eqNullSafe``, still a broadcast hash join) rather than silently
+    dropping NULL-keyed rows.
 
     The two-phase path reads the corpus three times (stats, pass filter,
     boundary rank) — all fully parallel scans, the right trade against
@@ -189,12 +204,33 @@ def quota_sample(
         else:
             cutoff, below = B, cum
         cutoff_rows.append(key + (cutoff, below))
+    # explicit schema: a stratum whose every cutoff row is NULL would
+    # otherwise fail createDataFrame type inference
+    from pyspark.sql import types as T
+
+    cuts_schema = T.StructType(
+        [df.schema[c] for c in strata]
+        + [
+            T.StructField("__cutoff", T.LongType(), False),
+            T.StructField("__below", T.LongType(), False),
+        ]
+    )
     cuts = F.broadcast(
         staged.sparkSession.createDataFrame(
-            cutoff_rows, strata + ["__cutoff", "__below"]
+            [tuple(r[:-2]) + (int(r[-2]), int(r[-1])) for r in cutoff_rows],
+            cuts_schema,
         )
+    ).alias("__cuts")
+    lhs = staged.alias("__staged")
+    cond = None
+    for c in strata:
+        # null-safe: NULL strata are a stratum, exactly as the plain
+        # path's window partitioning treats them
+        eq = F.col(f"__staged.{c}").eqNullSafe(F.col(f"__cuts.{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = lhs.join(cuts, cond, "inner").select(
+        "__staged.*", "__cuts.__cutoff", "__cuts.__below"
     )
-    joined = staged.join(cuts, on=strata, how="inner")
     passed = joined.filter(F.col("__bkt") < F.col("__cutoff"))
     boundary = joined.filter(F.col("__bkt") == F.col("__cutoff"))
     w = Window.partitionBy(*strata).orderBy(*_rank_order(hash_on))

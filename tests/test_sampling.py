@@ -42,6 +42,21 @@ class TestHashSplit:
         assert 20 <= counts.get("val", 0) <= 120
         assert 20 <= counts.get("test", 0) <= 120
 
+    def test_null_key_raises_not_silently_skews(self, spark):
+        """md5(NULL) is NULL: the old behavior dumped every NULL-keyed
+        row into the LAST split. Must fail loudly instead."""
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None)], ["doc_id", "text"]
+        )
+        out = hash_split(df, "text", {"train": 0.9, "test": 0.1})
+        with pytest.raises(Exception, match="deterministic split"):
+            out.collect()
+        # NULL-free input is unaffected
+        clean = hash_split(
+            df.filter("text is not null"), "text", {"train": 0.9, "test": 0.1}
+        )
+        assert clean.count() == 1
+
     def test_stable_under_growth(self, corpus):
         """A doc's split must not change when the corpus doubles."""
         small = hash_split(corpus.filter("doc_id < 300"), "text",
@@ -80,6 +95,28 @@ class TestQuotaSample:
         a = sorted(tuple(r) for r in plain.collect())
         b = sorted(tuple(r) for r in two.collect())
         assert a == b
+
+    def test_two_phase_keeps_null_strata(self, spark):
+        """NULL-valued strata are a stratum of their own on BOTH paths
+        (window partitionBy groups NULLs; the cutoff join is null-safe)
+        — two-phase must not silently drop them."""
+        rows = [
+            (i, f"text {i}", None if i % 3 == 0 else "en") for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+        plain = quota_sample(df, ["lang"], k=7, hash_on="text")
+        two = quota_sample(df, ["lang"], k=7, hash_on="text",
+                           n_prefilter_buckets=16)
+        a = sorted(tuple(r) for r in plain.collect())
+        b = sorted(tuple(r) for r in two.collect())
+        assert a == b
+        assert sum(1 for r in a if r[2] is None) == 7  # NULL stratum kept
+
+        # all-NULL stratum column: createDataFrame inference edge
+        all_null = df.withColumn("lang", F.lit(None).cast("string"))
+        out = quota_sample(all_null, ["lang"], k=5, hash_on="text",
+                           n_prefilter_buckets=8)
+        assert out.count() == 5
 
     def test_sample_is_prefix_stable(self, corpus):
         """k=10 sample must be a subset of the k=20 sample (hash-order
