@@ -106,6 +106,89 @@ def _stat_key(v: Any):
     return v
 
 
+def _split_top_and(s: str) -> list[str]:
+    """Split a SQL predicate on top-level ``AND`` (quote/paren aware)."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    q: str | None = None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if q is not None:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            q = ch
+            cur.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and s[i : i + 5].upper() == " AND ":
+            parts.append("".join(cur))
+            cur = []
+            i += 5
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _where_zone_filters(
+    where: Any, schema: T.StructType, stats_cols: list[str] | None
+) -> list[tuple[str, str, Any]]:
+    """Zone-map filters implied by a WHERE string: top-level AND
+    conjuncts of the form ``<stats_col> <op> <literal>`` (op in
+    < <= > >= =), literals coerced to the column type. Every matching
+    row satisfies each top-level conjunct, so pruning files on any
+    subset of them is exact; unparsable conjuncts (ORs, functions,
+    reversed operands, non-stats columns) simply contribute nothing.
+    Returns [] when no conjunct is prunable (caller falls back to a
+    full probe)."""
+    import datetime as _dt
+    from decimal import Decimal, InvalidOperation
+
+    if not isinstance(where, str) or not stats_cols:
+        return []
+    rx = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|=|<|>)\s*(.+?)\s*$")
+    types = {f.name: f.dataType.typeName() for f in schema.fields}
+    out: list[tuple[str, str, Any]] = []
+    for conj in _split_top_and(where):
+        m = rx.match(conj)
+        if not m:
+            continue
+        col, op, lit = m.groups()
+        if col not in stats_cols or col not in types:
+            continue
+        raw = lit[1:-1] if lit[:1] in ("'", '"') and lit[-1:] == lit[:1] else lit
+        t = types[col]
+        try:
+            v: Any
+            if t in ("byte", "short", "integer", "long"):
+                v = int(raw)
+            elif t in ("float", "double"):
+                v = float(raw)
+            elif t.startswith("decimal"):
+                v = Decimal(raw)
+            elif t == "date":
+                v = _dt.date.fromisoformat(raw)
+            elif t == "timestamp":
+                v = _dt.datetime.fromisoformat(raw)
+            else:
+                continue
+        except (ValueError, InvalidOperation):
+            continue
+        out.append((col, op, v))
+    return out
+
+
 def _atomic_create(path: str, payload: str) -> None:
     """Durably publish ``payload`` at ``path`` with create-if-absent
     semantics: write + fsync a unique temp file, then hard-link it into
@@ -2171,11 +2254,20 @@ class LakeTable:
             if isinstance(where, str)
             else (where if where is not None else F.lit(True))
         )
-        full = self.read().withColumn(_BUCKET_COL, self._bucket_expr(base))
         if base.n_buckets > 0 and where is not None:
+            # zone-map-pruned match probe: files whose min/max exclude a
+            # top-level conjunct never become input splits (scan), so a
+            # routine targeted UPDATE costs O(overlapping files), not a
+            # table scan; exactness is unchanged — the full predicate is
+            # re-applied below.
+            zf = _where_zone_filters(where, base.schema, base.stats_cols)
+            probe_src = (
+                self.scan(zf, version=base.version) if zf else self.read()
+            )
+            probe = probe_src.withColumn(_BUCKET_COL, self._bucket_expr(base))
             affected = {
                 r[_BUCKET_COL]
-                for r in full.filter(cond).select(_BUCKET_COL).distinct().collect()
+                for r in probe.filter(cond).select(_BUCKET_COL).distinct().collect()
             }
         else:
             affected = {f["bucket"] for f in base.files}
@@ -2241,7 +2333,12 @@ class LakeTable:
         job."""
         base = self.snapshot()
         cond = F.expr(where) if isinstance(where, str) else where
-        df = self.read().withColumn(_BUCKET_COL, self._bucket_expr(base))
+        # zone-map-pruned match probe (see update): a TTL delete over an
+        # ingest-ordered table probes only the files whose min/max
+        # overlap the predicate, not every live file
+        zf = _where_zone_filters(where, base.schema, base.stats_cols)
+        probe_src = self.scan(zf, version=base.version) if zf else self.read()
+        df = probe_src.withColumn(_BUCKET_COL, self._bucket_expr(base))
         match_counts = (
             df.filter(cond).groupBy(_BUCKET_COL)
             .agg(F.count("*").alias("n")).collect()

@@ -601,6 +601,68 @@ def test_zone_map_files_without_stats_kept_conservatively(spark, tmp_path):
     assert t.scan([("v", "=", 42.0)]).count() == 0
 
 
+def test_where_zone_filters_parser(spark, tmp_path):
+    import datetime as dt
+
+    from etl_spark.lake.table import _where_zone_filters
+
+    t = _zm_table(spark, tmp_path)
+    sch, sc = t.schema, ["ts", "v"]
+    assert _where_zone_filters("ts < '2024-01-16'", sch, sc) == [
+        ("ts", "<", dt.datetime(2024, 1, 16))
+    ]
+    got = _where_zone_filters(
+        "v >= 100 AND ts < '2024-01-16' AND name = 'x'", sch, sc
+    )
+    assert got == [("v", ">=", 100.0), ("ts", "<", dt.datetime(2024, 1, 16))]
+    # a top-level OR is one unparsable conjunct: no pruning, never wrong
+    assert _where_zone_filters("v >= 100 OR v < 5", sch, sc) == []
+    # parenthesized OR inside an AND: the other conjunct still prunes
+    assert _where_zone_filters(
+        "(name = 'a' OR name = 'b') AND v >= 100", sch, sc
+    ) == [("v", ">=", 100.0)]
+    # quoted ' AND ' must not split; non-string WHEREs contribute nothing
+    assert _where_zone_filters("name = 'x AND y'", sch, sc) == []
+    assert _where_zone_filters(None, sch, sc) == []
+    assert _where_zone_filters(F.col("v") > 1, sch, sc) == []
+
+
+def test_delete_and_update_probe_zone_pruned(spark, tmp_path, monkeypatch):
+    """The match probe of DELETE WHERE / UPDATE goes through the
+    zone-pruned scan when the predicate has prunable conjuncts — a TTL
+    delete must not plan every live file — with identical results."""
+    import datetime as dt
+
+    import etl_spark.lake.table as lt
+
+    t = _zm_table(spark, tmp_path)
+    calls = []
+    real_scan = lt.LakeTable.scan
+
+    def spy(self, filters, version=None):
+        calls.append(list(filters))
+        return real_scan(self, filters, version)
+
+    monkeypatch.setattr(lt.LakeTable, "scan", spy)
+    # the predicate only overlaps the jan 1-5 commit's files
+    kept, total = t.files_matching([("ts", "<", dt.datetime(2024, 1, 6))])
+    assert len(kept) < total
+    snap, stats = t.delete_where("ts < '2024-01-06'")
+    assert stats["rows_deleted"] == 50
+    assert calls and calls[0] == [("ts", "<", dt.datetime(2024, 1, 6))]
+    assert t.read().count() == 100
+
+    calls.clear()
+    snap, stats = t.update({"name": "'hot'"}, where="v >= 200.0")
+    assert stats["rows_updated"] == 50
+    assert calls and calls[0] == [("v", ">=", 200.0)]
+    assert t.read().filter("name = 'hot'").count() == 50
+    # unprunable predicate falls back to the full probe (scan not called)
+    calls.clear()
+    snap, stats = t.delete_where("name = 'hot'")
+    assert calls == [] and stats["rows_deleted"] == 50
+
+
 def test_zone_map_rejects_string_stats_col(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], "id long, name string")
     with pytest.raises(ValueError, match="non-prunable"):
