@@ -371,9 +371,17 @@ class IncrementalAggView:
             if n_groups == 0:
                 self.table.tag(f"refresh:{cur}")
                 return {"groups_updated": 0, "groups_deleted": 0}
-            keys = self._broadcast_if_small(delta.select(*gb), n_groups)
-            # map-side prune of the view: only affected groups are read
-            state = self.table.read().join(keys, on=gb, how="left_semi")
+            # bucket-AND-key-pruned view read: only the affected buckets'
+            # FILES become input splits (per_bucket is already the merge's
+            # affected set), and within them a broadcast left-semi join
+            # keeps only affected groups — refresh cost stays O(delta),
+            # independent of total view size
+            state = self.table.read_for_key_frame(
+                delta.select(*gb),
+                buckets=set(per_bucket),
+                broadcast=n_groups <= self.broadcast_threshold,
+                distinct=False,  # delta is one row per group already
+            )
             # after the prune the state side is <= n_groups rows — ship it
             # broadcast too, so the combine never shuffles either side
             j = delta.join(
