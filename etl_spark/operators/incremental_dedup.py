@@ -143,7 +143,8 @@ class MinHashIndex:
         # ONE action sizes the broadcast guard AND pre-counts the index
         # merge's per-bucket accounting (driver actions are the per-batch
         # serial floor — same discipline as apply_batch / view refresh)
-        bexpr = self.table._bucket_expr(self.table.snapshot())
+        # header-only: only n_buckets/bucket_by feed the expression
+        bexpr = self.table._bucket_expr(self.table.snapshot(buckets=set()))
         per_bucket = {
             r["__b"]: r["__n"]
             for r in bands.groupBy(bexpr.alias("__b"))
