@@ -59,8 +59,13 @@ from etl_spark.lake.table import LakeTable
 _REFRESH_RE = re.compile(r"^(?:merge:|overwrite:)?refresh:(\d+)$")
 
 # maintenance-only window detection is shared with the change-feed
-# exporter — one definition of "provably empty diff" (lake.table)
+# exporter — one definition of "provably empty diff" (lake.table),
+# and the retraction-weight / watermark-scan helpers are shared with
+# the fingerprint sync views for the same single-definition reason
 from etl_spark.lake.table import maintenance_only as _maintenance_only  # noqa: E402
+from etl_spark.lake.table import last_note_match as _last_note_match  # noqa: E402
+from etl_spark.lake.table import retraction_weight  # noqa: E402
+from etl_spark.lake.table import SchemaEvolutionError, _widen  # noqa: E402
 
 # decimal accumulator for float sums: exact addition makes the
 # incremental (batch-at-a-time) total bit-identical to a one-shot
@@ -73,12 +78,9 @@ _DELTA_KINDS = {"count", "sum", "avg"}
 _KINDS = _DELTA_KINDS | {"min", "max", "expr"}
 
 
-def _w(col: str = "_change_type"):
-    """Retraction weight of a pre-image change-feed row."""
-    return (
-        F.when(F.col(col).isin("insert", "update_postimage"), F.lit(1))
-        .otherwise(F.lit(-1))
-    )
+# retraction weight of a pre-image change-feed row — single definition
+# in lake.table next to the label producer
+_w = retraction_weight
 
 
 def _any_null(cols: list[str]) -> Column:
@@ -232,15 +234,8 @@ class IncrementalAggView:
         """Source version this view has applied through — read from the
         view's own commit history (newest first), so it is exactly as
         durable as the data it describes."""
-        v = self.table.current_version()
-        if v is None:
-            return None
-        for i in range(v, -1, -1):
-            # header-only read: .op needs no bucket manifests
-            m = _REFRESH_RE.match(self.table.snapshot(i, buckets=set()).op)
-            if m:
-                return int(m.group(1))
-        return None
+        m = _last_note_match(self.table, _REFRESH_RE)
+        return int(m.group(1)) if m else None
 
     def _broadcast_if_small(self, df: DataFrame, n: int) -> DataFrame:
         return F.broadcast(df) if n <= self.broadcast_threshold else df
@@ -550,17 +545,36 @@ class IncrementalRowView:
             spark, path, out_schema, key=list(source.key),
             n_buckets=n_buckets, if_not_exists=True,
         )
+        # same redefinition guard as the agg view: create(if_not_exists)
+        # returns an existing table without comparing schemas, and a
+        # refresh under a changed transform would silently merge
+        # new-definition rows into old-definition state. Legitimate
+        # SOURCE evolution must still reopen: new output columns are
+        # allowed (refresh evolves the view schema through the merge)
+        # and a stored column may have been widened upstream — so the
+        # check is "every stored column exists in the new output with an
+        # equal or legally-widened type", not name-list equality.
+        wanted_by_name = {f.name: f for f in out_schema.fields}
+        for f in self.table.schema.fields:
+            w = wanted_by_name.get(f.name)
+            compatible = False
+            if w is not None:
+                try:
+                    compatible = _widen(f.dataType, w.dataType) == w.dataType
+                except SchemaEvolutionError:
+                    compatible = False
+            if not compatible:
+                have = f"{f.name}:{f.dataType.simpleString()}"
+                got = "absent" if w is None else w.dataType.simpleString()
+                raise ValueError(
+                    f"view at {path} was materialized with a different "
+                    f"transform (stored column {have} is {got} in the new "
+                    "output); point the new definition at a fresh path"
+                )
 
     def last_applied(self) -> int | None:
-        v = self.table.current_version()
-        if v is None:
-            return None
-        for i in range(v, -1, -1):
-            # header-only read: .op needs no bucket manifests
-            m = _REFRESH_RE.match(self.table.snapshot(i, buckets=set()).op)
-            if m:
-                return int(m.group(1))
-        return None
+        m = _last_note_match(self.table, _REFRESH_RE)
+        return int(m.group(1)) if m else None
 
     def refresh(self) -> dict:
         cur = self.source.current_version()

@@ -41,7 +41,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etl_spark.lake.table import LakeTable, align_to_schema, maintenance_only
+from etl_spark.lake.table import (
+    LakeTable,
+    align_to_schema,
+    last_note_match,
+    maintenance_only,
+    retraction_weight,
+)
 
 _OP_COL = "__op"
 
@@ -150,15 +156,8 @@ class FingerprintView:
 
     # ------------------------------------------------------------ watermark
     def last_applied(self) -> tuple[int, str] | None:
-        v = self.table.current_version()
-        if v is None:
-            return None
-        for i in range(v, -1, -1):
-            # header-only read: .op needs no bucket manifests
-            m = _FP_NOTE_RE.search(self.table.snapshot(i, buckets=set()).op)
-            if m:
-                return int(m.group(1)), m.group(2)
-        return None
+        m = last_note_match(self.table, _FP_NOTE_RE)
+        return (int(m.group(1)), m.group(2)) if m else None
 
     def _note(self, cur: int) -> str:
         snap = self.source.snapshot(cur, buckets=set())
@@ -200,12 +199,9 @@ class FingerprintView:
             # retention outran the view -> one bounded self-heal
             return self.rebuild(cur)
         bexpr = self.source._bucket_expr(snap)
-        w = (
-            F.when(
-                F.col("_change_type").isin("insert", "update_postimage"),
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        )
+        # +1/-1 fold weights come from the single definition next to the
+        # change-feed label producer (lake.table.retraction_weight)
+        w = retraction_weight()
         fp = _row_fingerprint(cols)
         delta = (
             changes.select(
@@ -342,21 +338,38 @@ def diff_tables(
     if replica_fps is not None and replica_version is not None:
         raise ValueError("replica_fps implies the current version")
 
-    if primary_fps is not None:
-        pf = _view_fps(primary, primary_fps, "primary")
-    else:
-        pf = bucket_fingerprints(
-            primary.read(primary_version), bexpr, cols
-        ).collect()
     # r_full opens every replica bucket manifest at plan-build time —
     # construct it only on the paths that actually scan the replica
     # (never on the advertised zero-read converged-pair path)
     r_full: DataFrame | None = None
-    if replica_fps is not None:
-        rf = _view_fps(replica, replica_fps, "replica")
-    else:
+    if primary_fps is None and replica_fps is None:
+        # both sides need full detection scans: union them under a side
+        # tag and collect ONCE, so wall-clock is max(scan_p, scan_r) —
+        # the two scans schedule as one job — instead of scan_p + scan_r
         r_full = align_to_schema(replica.read(replica_version), schema)
-        rf = bucket_fingerprints(r_full, bexpr, cols).collect()
+        both = (
+            bucket_fingerprints(primary.read(primary_version), bexpr, cols)
+            .withColumn("__side", F.lit("p"))
+            .unionByName(
+                bucket_fingerprints(r_full, bexpr, cols)
+                .withColumn("__side", F.lit("r"))
+            )
+            .collect()
+        )
+        pf = [r for r in both if r["__side"] == "p"]
+        rf = [r for r in both if r["__side"] == "r"]
+    else:
+        if primary_fps is not None:
+            pf = _view_fps(primary, primary_fps, "primary")
+        else:
+            pf = bucket_fingerprints(
+                primary.read(primary_version), bexpr, cols
+            ).collect()
+        if replica_fps is not None:
+            rf = _view_fps(replica, replica_fps, "replica")
+        else:
+            r_full = align_to_schema(replica.read(replica_version), schema)
+            rf = bucket_fingerprints(r_full, bexpr, cols).collect()
     pmap = {r["bucket"]: (r["n_rows"], r["xor_fp"], r["sum_fp"]) for r in pf}
     rmap = {r["bucket"]: (r["n_rows"], r["xor_fp"], r["sum_fp"]) for r in rf}
     divergent = {

@@ -3405,3 +3405,32 @@ def maintenance_only(table: LakeTable, last: int, cur: int) -> bool:
         )
     except FileNotFoundError:
         return False
+
+
+def retraction_weight(col: str = "_change_type") -> Column:
+    """Retraction weight of a change-feed row: +1 for a row entering the
+    state (insert / update post-image), -1 for one leaving it (delete /
+    update pre-image). The labels are produced in exactly one place
+    (``table_changes``); every consumer that folds the feed into
+    incremental state (derived views, fingerprint sync) must weight rows
+    through THIS expression so a label change has one definition to
+    update."""
+    return (
+        F.when(F.col(col).isin("insert", "update_postimage"), F.lit(1))
+        .otherwise(F.lit(-1))
+    )
+
+
+def last_note_match(table: LakeTable, pattern: re.Pattern):
+    """Newest snapshot whose op note matches ``pattern``, scanning the
+    commit history newest-first with header-only snapshot reads (no
+    bucket manifests). The shared watermark scan for refresh-tagged
+    views; returns the ``re.Match`` (None when no commit matches)."""
+    v = table.current_version()
+    if v is None:
+        return None
+    for i in range(v, -1, -1):
+        m = pattern.search(table.snapshot(i, buckets=set()).op)
+        if m:
+            return m
+    return None

@@ -280,6 +280,58 @@ def test_row_view_requires_key_preserving_transform(spark, tmp_path):
         )
 
 
+def test_row_view_rejects_redefinition_at_same_path(spark, tmp_path):
+    """Reopening a materialized row view with a transform that changes
+    the output columns must raise, never silently mix two definitions'
+    rows in one state table (same guard as the agg view)."""
+    src = make_source(spark, tmp_path)
+    IncrementalRowView(
+        spark, str(tmp_path / "rv"), src,
+        lambda df: df.select("id", "grp", (F.col("val") * 2).alias("d")),
+    ).refresh()
+    with pytest.raises(ValueError, match="different transform"):
+        IncrementalRowView(
+            spark, str(tmp_path / "rv"), src,
+            lambda df: df.select("id", "grp", (F.col("val") * 2).alias("e")),
+        )
+    # same names but an incompatible type change is also a redefinition
+    with pytest.raises(ValueError, match="different transform"):
+        IncrementalRowView(
+            spark, str(tmp_path / "rv"), src,
+            lambda df: df.select("id", "grp", F.col("grp").alias("d")),
+        )
+    # identical definition reopens fine and is a refresh no-op
+    again = IncrementalRowView(
+        spark, str(tmp_path / "rv"), src,
+        lambda df: df.select("id", "grp", (F.col("val") * 2).alias("d")),
+    )
+    assert again.refresh()["no_op"]
+
+
+def test_row_view_reopens_after_source_evolution(spark, tmp_path):
+    """Source schema evolution (appended column) must NOT trip the
+    redefinition guard on a restart: the identity-ish transform's output
+    gains the column, the stored view schema doesn't have it yet, and
+    refresh() evolves the view through the merge."""
+    src = make_source(spark, tmp_path)
+    transform = lambda df: df  # noqa: E731
+    IncrementalRowView(spark, str(tmp_path / "rv"), src, transform).refresh()
+    evolved = T.StructType(
+        list(SRC_SCHEMA.fields) + [T.StructField("note", T.StringType())]
+    )
+    src.append(
+        spark.createDataFrame([(900, "g9", 1.5, "hello")], evolved)
+    )
+    # fresh construction (process restart): stored cols are a strict
+    # subset of the new output — allowed, and refresh converges
+    view = IncrementalRowView(spark, str(tmp_path / "rv"), src, transform)
+    r = view.refresh()
+    assert not r["no_op"]
+    got = view.read()
+    assert "note" in got.columns
+    assert got.filter(F.col("id") == 900).first()["note"] == "hello"
+
+
 def test_view_self_heals_after_source_snapshot_expiry(spark, tmp_path):
     """A view lagging past the source's snapshot retention cannot diff
     incrementally — refresh must fall back to ONE bounded full rebuild
