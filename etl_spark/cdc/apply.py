@@ -61,6 +61,13 @@ def dedup_last_writer_wins(
     """
     key = list(key)
     order_by = [c for c in order_by if c in df.columns]
+    if not order_by:
+        raise ValueError(
+            "dedup_last_writer_wins needs at least one order_by column "
+            "present in the frame — with none, the 'last writer' would "
+            "be whichever payload sorts highest (same guard as "
+            "fold_patches)"
+        )
     payload = [c for c in df.columns if c not in key and c not in order_by]
     packed = F.struct(*[F.col(c) for c in order_by + payload]).alias("_lw")
 
@@ -191,6 +198,14 @@ def apply_batch(
             raise ValueError(
                 "merge_mode='mor_patch' requires patch_touched_col"
             )
+        if transform is not None and transform_stage == "post":
+            # deterministic config error: fail fast here, before any fold
+            # is built/persisted and before retry_with_backoff can burn
+            # attempts on it
+            raise ValueError(
+                "transform_stage='post' is not supported with "
+                "merge_mode='mor_patch' (rows are partial)"
+            )
         if merge_lww_by:
             raise ValueError(
                 "merge_mode='mor_patch' does not support merge_lww_by: "
@@ -260,6 +275,12 @@ def apply_batch(
             valid_pred = vals[0][1]
             for _, p in vals[1:]:
                 valid_pred = valid_pred & p
+            # three-valued logic totality: a predicate that evaluates to
+            # NULL (e.g. op IS NULL through isin) must land in the FAILED
+            # split — without the coalesce such rows pass neither filter
+            # nor ~filter and vanish from the batch with no dead-letter
+            # record and no accounting
+            valid_pred = F.coalesce(valid_pred, F.lit(False))
             valid = df.filter(valid_pred)
         else:
             valid_pred = F.lit(True)
@@ -272,7 +293,10 @@ def apply_batch(
         # per-bucket count — per-micro-batch driver actions (scheduling,
         # planning, codegen) are the serial floor that caps streaming
         # throughput and scaling, so each extra job per batch is real money.
-        tsnap = table.snapshot()
+        # header-only snapshot: only bucket_by/n_buckets/schema are needed
+        # here — loading every per-bucket manifest would be pure driver
+        # overhead on the per-batch serial floor
+        tsnap = table.snapshot(buckets=set())
         group = [
             F.col("source_partition")
             if "source_partition" in stats_df.columns
@@ -316,8 +340,13 @@ def apply_batch(
         part_rows = list(parts.values())
         rows_failed = sum(r["rows_failed"] for r in part_rows)
         if vals and dead_letter_dir is not None and rows_failed:
+            # NULL-safe labels: a NULL validator verdict is a failure
             err = F.coalesce(
-                *[F.when(~p, F.lit(name)) for name, p in vals], F.lit("unknown")
+                *[
+                    F.when(~F.coalesce(p, F.lit(False)), F.lit(name))
+                    for name, p in vals
+                ],
+                F.lit("unknown"),
             )
             # one subdir per batch, overwritten: a batch retry (merge
             # failure after this write) re-writes the same rows instead of
@@ -332,10 +361,39 @@ def apply_batch(
             stats["rows_failed"] = rows_failed
         rows_in = sum(r["rows_in"] for r in part_rows)
         stats["rows_in"] = rows_in
+
+        def _record_metrics() -> None:
+            if metrics is None or not part_rows:
+                return
+            metrics.record(
+                spark,
+                [
+                    {
+                        "source": source,
+                        "batch_id": batch_id,
+                        "source_partition": r["source_partition"],
+                        "rows_in": r["rows_in"],
+                        # Applied counts exist only at batch grain (dedup
+                        # crosses partitions); a per-partition number here
+                        # would be the pre-dedup rows_in mislabeled.
+                        "rows_applied": None,
+                        "rows_failed": r["rows_failed"],
+                        "low_lsn": r["low_lsn"],
+                        "high_lsn": r["high_lsn"],
+                        "latency_ms": stats["latency_ms"],
+                    }
+                    for r in part_rows
+                ],
+            )
+
         if rows_in == 0:
             stats["rows_applied"] = 0
             if commit_log is not None:
                 commit_log.commit(source, batch_id, stats)
+            # an all-rows-failed batch is the spike monitoring most needs
+            # to see — record per-partition rows_failed before returning
+            stats["latency_ms"] = int((time.time() - t0) * 1000)
+            _record_metrics()
             return stats
 
         # guard order columns must survive into the merge (and hence the
@@ -363,11 +421,8 @@ def apply_batch(
             if merge_mode == "mor_patch":
                 # deferred resolution: the fold commits AS patch deltas —
                 # no stored-row read per batch, the read gate folds
-                if post_transform:
-                    raise ValueError(
-                        "transform_stage='post' is not supported with "
-                        "merge_mode='mor_patch' (rows are partial)"
-                    )
+                # (post_transform incompatibility already rejected at the
+                # top-of-function precondition checks)
                 patch_delta = True
                 merge_src = folded_to_patch_rows(
                     fold_cache, key=table.key, op_col=op_col,
@@ -464,27 +519,7 @@ def apply_batch(
             commit_log.commit(source, batch_id, stats)
 
         stats["latency_ms"] = int((time.time() - t0) * 1000)
-        if metrics is not None:
-            metrics.record(
-                spark,
-                [
-                    {
-                        "source": source,
-                        "batch_id": batch_id,
-                        "source_partition": r["source_partition"],
-                        "rows_in": r["rows_in"],
-                        # Applied counts exist only at batch grain (dedup
-                        # crosses partitions); a per-partition number here
-                        # would be the pre-dedup rows_in mislabeled.
-                        "rows_applied": None,
-                        "rows_failed": r["rows_failed"],
-                        "low_lsn": r["low_lsn"],
-                        "high_lsn": r["high_lsn"],
-                        "latency_ms": stats["latency_ms"],
-                    }
-                    for r in part_rows
-                ],
-            )
+        _record_metrics()
         return stats
     finally:
         pass  # no cached state to release (see note above)
@@ -550,6 +585,11 @@ def replay_dead_letters(
     pred = vals[0][1]
     for _, p in vals[1:]:
         pred = pred & p
+    # totality under three-valued logic: a NULL verdict (op IS NULL, or a
+    # fix() that nulls a checked column) must stay in the still-failed
+    # split — otherwise the row passes neither filter nor ~filter, and
+    # purge then deletes its only copy
+    pred = F.coalesce(pred, F.lit(False))
     df.persist()
     try:
         rows_read = df.count()
@@ -570,7 +610,11 @@ def replay_dead_letters(
             import uuid as _uuid
 
             err = F.coalesce(
-                *[F.when(~p, F.lit(name)) for name, p in vals], F.lit("unknown")
+                *[
+                    F.when(~F.coalesce(p, F.lit(False)), F.lit(name))
+                    for name, p in vals
+                ],
+                F.lit("unknown"),
             )
             # stage still-failed rows OUTSIDE the batch=* namespace, then
             # rename in BEFORE deleting the recovered batches: a crash in

@@ -123,7 +123,12 @@ class CdcStream:
     # table after the primary (reference re-runs the whole ETL per
     # destination, /root/reference/etl.go:463-477; here the batch is
     # persisted once and each sink has its own commit-log stream so a
-    # crash between sinks replays only the unapplied ones).
+    # crash between sinks replays only the unapplied ones). Each extra
+    # destination also gets its OWN watermark store: sharing the
+    # primary's would drop whole batches under crash-replay (the primary
+    # advances it before the extras run), while no store at all would
+    # let intra-batch stale re-emissions from an at-least-once producer
+    # overwrite newer state in the secondaries.
     extra_tables: list[LakeTable] = field(default_factory=list)
     retry_attempts: int = 3
     # Maintenance cadence: every N applied batches, rewrite each bucket's
@@ -200,6 +205,12 @@ class CdcStream:
         os.makedirs(self.state_dir, exist_ok=True)
         self.commit_log = CommitLog(os.path.join(self.state_dir, "commits"))
         self.watermarks = WatermarkStore(os.path.join(self.state_dir, "watermarks"))
+        self.extra_watermarks = [
+            WatermarkStore(
+                os.path.join(self.state_dir, f"watermarks_dest{i + 1}")
+            )
+            for i in range(len(self.extra_tables))
+        ]
         self.metrics = MetricsTable(os.path.join(self.state_dir, "metrics"))
         self.checkpoint_dir = os.path.join(self.state_dir, "checkpoint")
         self.dead_letter_dir = (
@@ -245,6 +256,7 @@ class CdcStream:
                     transform=self.transform,
                     transform_stage=self.transform_stage,
                     commit_log=self.commit_log,
+                    watermark_store=self.extra_watermarks[i],
                     salted_dedup=self.salted_dedup,
                     merge_lww_by=self.merge_lww_by,
                     merge_mode=self.merge_mode,
@@ -356,20 +368,55 @@ class CdcStream:
         keys re-ingest under the SAME doc id (xxhash64 of the key), so a
         hot conversation never multiplies docs; its superseded band rows
         remain as extra candidates, which the downstream exact verify
-        filters (append-only index contract, documented)."""
+        filters (append-only index contract — intra-batch stale
+        re-emissions an at-least-once producer replays land under the
+        same contract: old text for a doc id the index already carries).
+
+        The indexed frame mirrors the table apply's pipeline — transform
+        (at its configured stage) and the validator split — so the index
+        describes the text the table actually STORES: with a
+        normalization transform configured, indexing raw text would
+        compute signatures over different strings than the stored rows,
+        and dead-lettered rows must never enter the index at all."""
         from pyspark.sql import functions as F
 
-        from etl_spark.cdc.apply import dedup_last_writer_wins
+        from etl_spark.cdc.apply import (
+            DEFAULT_ORDER,
+            META_COLS,
+            dedup_last_writer_wins,
+            default_patch_validators,
+            default_validators,
+        )
         from etl_spark.operators.incremental_dedup import MinHashIndex
 
         src = f"{self.source_name}:dedup"
         if self.commit_log.is_committed(src, batch_id):
             return 0
         key = self.table.key
-        rows = batch_df.filter(
+        raw = batch_df
+        if self.transform is not None and self.transform_stage == "pre":
+            raw = self.transform(raw)
+        if self.patch_touched_col is not None:
+            payload_cols = [
+                c for c in raw.columns
+                if c not in key and c not in DEFAULT_ORDER
+                and c not in META_COLS
+                and c not in ("op", self.patch_touched_col)
+            ]
+            vals = default_patch_validators(
+                "op", self.patch_touched_col, payload_cols
+            )
+        else:
+            vals = default_validators("op")
+        pred = vals[0][1]
+        for _, p in vals[1:]:
+            pred = pred & p
+        rows = raw.filter(F.coalesce(pred, F.lit(False))).filter(
             (F.col("op") != "D") & F.col(self.dedup_text_col).isNotNull()
         )
         rows = dedup_last_writer_wins(rows, key=key, salted=self.salted_dedup)
+        if self.transform is not None and self.transform_stage == "post":
+            rows = self.transform(rows)
         docs = rows.select(
             F.xxhash64(*key).alias("__doc_id"),
             F.col(self.dedup_text_col).alias("__text"),

@@ -303,3 +303,84 @@ def test_replay_dead_letters_recovers_fixed_rows(spark, tmp_path):
     assert r2["rows_read"] == 2
     assert r2["rows_recovered"] == 0
     assert r2["rows_still_failed"] == 2
+
+
+def test_null_pred_rows_dead_letter_not_vanish(spark, tmp_path):
+    """A row whose validator predicate evaluates to NULL (op IS NULL
+    through isin's three-valued logic) must land in the FAILED split with
+    accounting and a dead-letter record — without the totality coalesce
+    it passes neither filter nor ~filter and silently vanishes."""
+    pdf = generate_changelog(SPEC)
+    bad = pdf.head(2).copy()
+    bad["op"] = None  # op IS NULL -> op_known evaluates to NULL
+    mixed = pd.concat([pdf, bad], ignore_index=True)
+    table = make_target(spark, tmp_path)
+    dl_dir = str(tmp_path / "dead")
+    stats = apply_batch(
+        spark, changelog_sdf(spark, mixed), table, batch_id=0,
+        dead_letter_dir=dl_dir,
+    )
+    assert stats["rows_failed"] == 2
+    assert stats["rows_in"] == len(pdf)
+    dead = spark.read.parquet(dl_dir)
+    assert dead.count() == 2
+    assert set(dead.toPandas()["error"]) == {"op_known"}
+    assert_state_equals_oracle(table, expected_final_state(pdf))
+
+
+def test_replay_dead_letters_null_pred_rows_survive_purge(spark, tmp_path):
+    """Rows still failing with a NULL verdict after fix() must be
+    requeued by the purge, never deleted with the recovered batches."""
+    from etl_spark.cdc.apply import replay_dead_letters
+
+    pdf = generate_changelog(SPEC)
+    bad = pdf.head(3).copy()
+    bad["op"] = None
+    mixed = pd.concat([pdf, bad], ignore_index=True)
+    table = make_target(spark, tmp_path)
+    dl_dir = str(tmp_path / "dead")
+    apply_batch(
+        spark, changelog_sdf(spark, mixed), table, batch_id=0,
+        dead_letter_dir=dl_dir,
+    )
+    # no fix: the NULL-op rows still fail — purge must requeue all 3
+    r = replay_dead_letters(spark, dl_dir, table)
+    assert r["rows_read"] == 3
+    assert r["rows_recovered"] == 0
+    assert r["rows_still_failed"] == 3
+    dead = spark.read.parquet(dl_dir)
+    assert dead.count() == 3
+    assert set(dead.toPandas()["error"]) == {"op_known"}
+
+
+def test_all_failed_batch_records_metrics(spark, tmp_path):
+    """A batch where every row fails validation must still write its
+    per-partition rows_failed to the metrics table — that spike is
+    exactly what monitoring needs to see."""
+    from etl_spark.cdc.metrics import MetricsTable
+
+    pdf = generate_changelog(SPEC).head(20).copy()
+    pdf["op"] = "X"
+    table = make_target(spark, tmp_path)
+    metrics = MetricsTable(str(tmp_path / "metrics"))
+    stats = apply_batch(
+        spark, changelog_sdf(spark, pdf), table, batch_id=0,
+        metrics=metrics, dead_letter_dir=str(tmp_path / "dead"),
+    )
+    assert stats["rows_in"] == 0 and stats["rows_failed"] == 20
+    m = metrics.to_df(spark).toPandas()
+    assert m["rows_failed"].sum() == 20
+    assert (m["rows_in"] == 0).all()
+
+
+def test_dedup_lww_requires_an_order_column(spark):
+    """A frame carrying none of the order columns has no 'last writer' —
+    must raise, not silently pick the lexicographically-max payload."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "a"), ("c1", 0, "user", "b")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    with pytest.raises(ValueError, match="order_by"):
+        dedup_last_writer_wins(df, key=["conv_id", "turn_idx"])

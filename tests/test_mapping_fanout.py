@@ -128,3 +128,71 @@ def test_fanout_applies_to_all_destinations(spark, tmp_path):
     b = mirror.read().orderBy("conv_id", "turn_idx").toPandas()
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_fanout_watermark_guards_stale_redelivery(spark, tmp_path):
+    """An at-least-once producer re-emits ALREADY-APPLIED events (same
+    old LSNs) in a new WAL segment. The primary's per-partition watermark
+    filters them; each extra destination must filter through its OWN
+    watermark store too — without it the unguarded merge would overwrite
+    the mirrors' newer state with the stale payloads."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.cdc.changelog import expected_final_state
+
+    spec = ChangelogSpec(n_conversations=30, seed=7, churn=2.0)
+    pdf = generate_changelog(spec)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, spec)
+
+    def mk(name):
+        return LakeTable.create(
+            spark, str(tmp_path / name), TRANSCRIPTS_SCHEMA,
+            key=["conv_id", "turn_idx"], n_buckets=4,
+        )
+
+    primary, mirror = mk("primary"), mk("mirror")
+    state = str(tmp_path / "state")
+    CdcStream(
+        spark, wal, primary, state, extra_tables=[mirror]
+    ).run_to_completion()
+
+    # redeliver each key's FIRST event verbatim — old ts AND old lsn, so
+    # only the watermark (not the commit log) can reject it
+    stale = (
+        pdf.sort_values("_seq").groupby(["conv_id", "turn_idx"]).head(1).copy()
+    )
+    stale["text"] = "STALE " + stale["text"].fillna("")
+    for p, part in stale.groupby("source_partition", sort=True):
+        cols = ["op", "lsn", "ts", "conv_id", "turn_idx", "role", "text"]
+        t = pa.Table.from_pandas(part[cols], preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("op", pa.string()), ("lsn", pa.int64()),
+                    ("ts", pa.timestamp("us")), ("conv_id", pa.string()),
+                    ("turn_idx", pa.int32()), ("role", pa.string()),
+                    ("text", pa.string()),
+                ]
+            )
+        )
+        pq.write_table(
+            t, os.path.join(wal, f"source_partition={int(p)}", "seg-99999.parquet")
+        )
+    CdcStream(
+        spark, wal, primary, state, extra_tables=[mirror]
+    ).run_to_completion()
+
+    exp = expected_final_state(pdf)
+    for tbl in (primary, mirror):
+        got = (
+            tbl.read().orderBy("conv_id", "turn_idx")
+            .toPandas()[["conv_id", "turn_idx", "role", "text"]]
+            .reset_index(drop=True)
+        )
+        assert not got["text"].fillna("").str.startswith("STALE").any()
+        pd.testing.assert_frame_equal(
+            got, exp[["conv_id", "turn_idx", "role", "text"]].reset_index(drop=True)
+        )

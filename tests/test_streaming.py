@@ -713,3 +713,45 @@ def test_stream_maintenance_age_retention_and_vacuum(spark, tmp_path):
         os.path.exists(table._snap_path(i)) for i in range(v + 1)
     )
     assert table.read(version=0).count() == 0
+
+
+def test_dedup_index_sees_transformed_text(spark, tmp_path):
+    """The ingest-time near-dup index must describe the text the table
+    STORES — i.e. the post-transform text. Two conversations whose texts
+    are identical only AFTER whitespace normalization must surface as a
+    candidate pair; with the index fed raw text their signatures differ
+    and the pair is missed. Invalid rows must never enter the index."""
+    spec = ChangelogSpec(n_conversations=24, seed=11, churn=1.5)
+    pdf = generate_changelog(spec)
+    body = "the same long duplicated transcript body repeated words " * 3
+    # doc A: clean body; doc B: same body under messy whitespace — equal
+    # only after normalize_transcripts_expr
+    messy = body.replace(" ", "   \t ")
+    for conv, text in (("conv000001", body), ("conv000010", messy)):
+        key_mask = (pdf["conv_id"] == conv) & (pdf["turn_idx"] == 0)
+        assert key_mask.any()
+        pdf.loc[key_mask & (pdf["op"] == "D"), "op"] = "U"
+        pdf.loc[key_mask, "text"] = text
+        pdf.loc[key_mask, "role"] = "user"
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, spec)
+    table = make_target(spark, tmp_path)
+    state = str(tmp_path / "state")
+    CdcStream(
+        spark, wal, table, state,
+        transform=normalize_transcripts_expr,
+        dedup_index=True, dedup_threshold=0.8,
+    ).run_to_completion()
+    pairs = spark.read.parquet(os.path.join(state, "dedup", "pairs")).toPandas()
+    keys = spark.read.parquet(os.path.join(state, "dedup", "keys")).toPandas()
+    ids = (
+        keys.drop_duplicates("__doc_id")
+        .set_index("__doc_id")[["conv_id", "turn_idx"]]
+    )
+    flat = {
+        frozenset(
+            (tuple(ids.loc[r["new_id"]]), tuple(ids.loc[r["match_id"]]))
+        )
+        for _, r in pairs.iterrows()
+    }
+    assert frozenset({("conv000001", 0), ("conv000010", 0)}) in flat
