@@ -138,3 +138,51 @@ def profile_approx(
             )
         )
     return row.select(F.inline(F.array(*structs)))
+
+
+def turn_integrity(
+    df: DataFrame,
+    key_cols: list[str],
+    idx_col: str,
+) -> DataFrame:
+    """Per-conversation turn-index integrity report — the convergence
+    audit for a CDC-maintained transcript table keyed on
+    ``(conv_id, turn_idx)``: after any replay, every conversation should
+    hold exactly one row per turn index with no duplicates and no gaps
+    (an out-of-order delete that lost its tombstone, or a double-applied
+    insert, shows up here before it shows up in training data).
+
+    Output, one row per key: ``n_turns`` (rows), ``n_distinct_idx``,
+    ``min_idx`` / ``max_idx``, ``n_dup_idx`` (rows minus distinct — >0
+    means a duplicated turn index survived dedup), ``has_gaps``
+    (the index range is wider than the distinct count — a turn is
+    missing), ``contiguous`` (no duplicates, no gaps: the healthy
+    state).
+
+    ONE hash aggregation (map-side combinable except the exact distinct,
+    which Catalyst plans as a single Expand over the key shuffle — at
+    audit cadence, the exactness is the point; NULL indexes count toward
+    ``n_turns`` but not ``n_distinct_idx``, so they surface as
+    duplicates/gaps rather than vanishing).
+    """
+    idx = F.col(idx_col)
+    agg = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count_distinct(idx).alias("n_distinct_idx"),
+        F.min(idx).alias("min_idx"),
+        F.max(idx).alias("max_idx"),
+    )
+    span = F.col("max_idx") - F.col("min_idx") + F.lit(1)
+    return agg.select(
+        *key_cols,
+        "n_turns",
+        "n_distinct_idx",
+        "min_idx",
+        "max_idx",
+        (F.col("n_turns") - F.col("n_distinct_idx")).alias("n_dup_idx"),
+        (span != F.col("n_distinct_idx")).alias("has_gaps"),
+        (
+            (F.col("n_turns") == F.col("n_distinct_idx"))
+            & (span == F.col("n_distinct_idx"))
+        ).alias("contiguous"),
+    )

@@ -168,3 +168,44 @@ def repetition_signals(
     return word_stats.join(bg_stats, on=id_col, how="left").select(
         id_col, "n_words", "dup_word_frac", "top_bigram_frac"
     )
+
+
+def truncate_to_budget(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    tokens_col,
+    budget: int,
+) -> DataFrame:
+    """Keep the longest SUFFIX of rows per partition whose token total
+    fits ``budget`` — context-window trimming for transcripts: the most
+    recent turns survive, the oldest are dropped first (the standard
+    prompt-assembly truncation before packing turns into a model
+    context). A row whose own token count already exceeds the remaining
+    budget is dropped along with everything older than it.
+
+    Shape at scale: ONE reverse running-sum window per partition key (a
+    single key-equality shuffle; a partition is one conversation — never
+    the table), pure codegen, no Python. The result is a deterministic
+    function of the data for any physical partitioning because
+    ``order_by`` must totally order rows within a partition (pass the
+    turn index / event id as the tiebreaker, exactly like
+    ``with_context_window``).
+
+    ``tokens_col`` is a column name or Column expression (e.g.
+    ``token_count(text_col)``); token totals accumulate as BIGINT.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    w = (
+        W.partitionBy(*partition_by)
+        .orderBy(*[F.col(c).desc() for c in order_by])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    staged = df.withColumn("__tok", toks.cast("long"))
+    return (
+        staged.withColumn("__rev_cum", F.sum("__tok").over(w))
+        .filter(F.col("__rev_cum") <= budget)
+        .drop("__tok", "__rev_cum")
+    )

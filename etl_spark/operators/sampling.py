@@ -34,7 +34,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["content_hash_bucket", "hash_split", "quota_sample", "pack_sequences"]
+__all__ = [
+    "apportion",
+    "content_hash_bucket",
+    "hash_split",
+    "mixture_sample",
+    "pack_sequences",
+    "quota_sample",
+]
 
 #: md5-derived hash space: first 12 hex chars = 48 bits, fits a BIGINT in
 #: every engine with no sign/overflow edge (Spark ANSI mode throws on
@@ -128,7 +135,7 @@ def _rank_order(hash_on: str) -> list[Column]:
 def quota_sample(
     df: DataFrame,
     strata: list[str],
-    k: int,
+    k: int | dict[str, int],
     hash_on: str,
     n_prefilter_buckets: int | None = None,
 ) -> DataFrame:
@@ -136,6 +143,11 @@ def quota_sample(
     chosen deterministically: the k smallest ``(hash48(hash_on),
     hash_on)`` in each stratum. Frequency capping / quota balancing for
     corpus composition control.
+
+    ``k`` may be a per-stratum dict (single stratum column only):
+    ``{stratum_value: quota}`` — strata absent from the dict get quota 0
+    (dropped). This is the primitive under ``mixture_sample``; both the
+    plain and the two-phase path honor it identically.
 
     Plain path: one rank window partitioned by ``strata`` — exact, one
     shuffle, but a hot stratum sorts on a single partition.
@@ -159,11 +171,26 @@ def quota_sample(
     the plain path's single scan that funnels a hot stratum through one
     reducer's sort.
     """
+    if isinstance(k, dict) and len(strata) != 1:
+        raise ValueError("per-stratum quotas require exactly one stratum column")
+
+    def _k_expr() -> Column:
+        if not isinstance(k, dict):
+            return F.lit(k)
+        # tiny dict -> literal CASE chain: pure codegen, no join
+        expr = F.lit(0)
+        for val, kk in sorted(k.items()):
+            expr = F.when(F.col(strata[0]) == F.lit(val), F.lit(int(kk))).otherwise(expr)
+        return expr
+
+    def _k_for(key: tuple) -> int:
+        return int(k) if not isinstance(k, dict) else int(k.get(key[0], 0))
+
     if n_prefilter_buckets is None:
         w = Window.partitionBy(*strata).orderBy(*_rank_order(hash_on))
         return (
             df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
+            .filter(F.col("__rn") <= _k_expr())
             .drop("__rn")
         )
 
@@ -195,9 +222,10 @@ def quota_sample(
     for key, lst in per_stratum.items():
         lst.sort()
         cum = 0
+        kk = _k_for(key)
         cutoff, below = B, 0  # default: whole stratum fits under k
         for bkt, n in lst:
-            if cum + n >= k:
+            if cum + n >= kk:
                 cutoff, below = bkt, cum
                 break
             cum += n
@@ -236,7 +264,7 @@ def quota_sample(
     w = Window.partitionBy(*strata).orderBy(*_rank_order(hash_on))
     ranked = (
         boundary.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") + F.col("__below") <= k)
+        .filter(F.col("__rn") + F.col("__below") <= _k_expr())
         .drop("__rn")
     )
     drop = ["__bkt", "__cutoff", "__below"]
@@ -289,4 +317,61 @@ def pack_sequences(
     # straddles a budget boundary belongs to the pack it started in
     return out.withColumn(
         pack_col, F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("long")
+    )
+
+
+def apportion(weights: dict[str, float], total: int) -> dict[str, int]:
+    """Largest-remainder (Hamilton) integer apportionment of ``total``
+    over ``weights`` — the deterministic quota computation under
+    ``mixture_sample``. Quotas sum to exactly ``total``; ties in the
+    fractional remainder break by domain name (ascending), so the result
+    is a pure function of (weights, total) on every host."""
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    wsum = float(sum(weights.values()))
+    if not weights or wsum <= 0:
+        raise ValueError("weights must be a non-empty map with positive sum")
+    shares = {d: total * (w / wsum) for d, w in weights.items()}
+    quotas = {d: int(s) for d, s in shares.items()}
+    leftover = total - sum(quotas.values())
+    by_remainder = sorted(
+        weights, key=lambda d: (-(shares[d] - quotas[d]), d)
+    )
+    for d in by_remainder[:leftover]:
+        quotas[d] += 1
+    return quotas
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    total: int,
+    hash_on: str,
+    n_prefilter_buckets: int | None = None,
+) -> DataFrame:
+    """Domain-weighted corpus mixture — the data-mixing stage of a
+    pretraining pipeline ("50% web, 30% code, 20% papers"): draw
+    ``total`` rows split across ``domain_col`` values in proportion to
+    ``weights``, each domain's rows chosen as its smallest content
+    hashes (deterministic, stable under corpus growth — adding documents
+    never evicts a previously-sampled one unless it hashes below the
+    domain's cutoff).
+
+    Quotas come from :func:`apportion` (largest-remainder, sums to
+    exactly ``total``); domains not in ``weights`` are excluded. A
+    domain with fewer rows than its quota yields what it has — there is
+    NO redistribution, by design: redistribution would make every
+    domain's sample depend on every other domain's row count, breaking
+    both growth stability and the per-domain oracle.
+
+    Scale shape: one IN-list scan filter plus :func:`quota_sample` with
+    per-stratum quotas — with ``n_prefilter_buckets`` the skew-proof
+    two-phase path (a hot domain at 40% of the web never funnels through
+    one reducer's sort)."""
+    quotas = apportion(weights, total)
+    sub = df.filter(F.col(domain_col).isin(*quotas.keys()))
+    return quota_sample(
+        sub, [domain_col], quotas, hash_on,
+        n_prefilter_buckets=n_prefilter_buckets,
     )

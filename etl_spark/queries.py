@@ -2060,6 +2060,114 @@ WINDOW w AS (PARTITION BY shard ORDER BY doc_id
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted corpus mixture: 397 docs apportioned over langs
+    (en .5 / zh .2 / es .15 / de .1 / fr .05 → largest-remainder quotas
+    198/79/60/40/20), each domain's rows its smallest content hashes.
+    Runs the skew-proof two-phase path; zh holds only ~75 docs at this
+    sf, so the quota shortfall (no redistribution, by contract) is
+    exercised too. Oracle = plain per-domain rank with the same CASE
+    quotas."""
+    from etl_spark.operators.sampling import apportion, mixture_sample
+
+    weights = {"en": 0.5, "zh": 0.2, "es": 0.15, "de": 0.1, "fr": 0.05}
+    assert apportion(weights, 397) == {
+        "en": 198, "zh": 79, "es": 60, "de": 40, "fr": 20,
+    }  # the oracle SQL inlines these constants
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "lang", weights, total=397, hash_on="text",
+        n_prefilter_buckets=64,
+    ).select("doc_id", "lang")
+
+
+_ORACLE_MIXTURE_SAMPLE = r"""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(text), 1, 12))::BIGINT, text
+         ) AS rn
+  FROM documents
+  WHERE lang IN ('en', 'zh', 'es', 'de', 'fr'))
+WHERE rn <= CASE lang WHEN 'en' THEN 198 WHEN 'zh' THEN 79
+                      WHEN 'es' THEN 60 WHEN 'de' THEN 40
+                      WHEN 'fr' THEN 20 ELSE 0 END
+"""
+
+
+def q_truncate_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation: per user, keep the longest SUFFIX of
+    events (most recent first) whose summed token estimate fits a
+    40-token budget — the prompt-assembly trim before packing turns into
+    a model context. One reverse running-sum window, pure codegen."""
+    from etl_spark.functions.text import token_count
+    from etl_spark.operators.reshape import truncate_to_budget
+
+    ev = _t(spark, sf_dir, "events")
+    return truncate_to_budget(
+        ev, ["user_id"], ["ts", "event_id"], token_count("props"), budget=40
+    ).select("event_id", "user_id", "event_type")
+
+
+_ORACLE_TRUNCATE = r"""
+SELECT event_id, user_id, event_type
+FROM (
+  SELECT event_id, user_id, event_type,
+         SUM(CAST(len(regexp_extract_all(props, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))
+                  AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
+  FROM events)
+WHERE rc <= 40
+"""
+
+
+def q_turn_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-index integrity audit over a deterministically-corrupted
+    transcript stand-in: lineitem keyed (l_orderkey, l_linenumber) with
+    line 2 dropped from every 5th order (gaps) and line 1 duplicated in
+    every 7th (dup indexes). The report flags exactly the damaged
+    conversations — the post-replay convergence check a CDC transcript
+    table runs before training data ships."""
+    from etl_spark.operators.profile import turn_integrity
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    corrupted = li.filter(
+        ~((F.col("l_orderkey") % 5 == 0) & (F.col("l_linenumber") == 2))
+    ).unionAll(
+        li.filter((F.col("l_orderkey") % 7 == 0) & (F.col("l_linenumber") == 1))
+    )
+    return turn_integrity(corrupted, ["l_orderkey"], "l_linenumber").filter(
+        ~F.col("contiguous")
+    )
+
+
+_ORACLE_TURN_INTEGRITY = r"""
+WITH corrupted AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  WHERE NOT (l_orderkey % 5 = 0 AND l_linenumber = 2)
+  UNION ALL
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  WHERE l_orderkey % 7 = 0 AND l_linenumber = 1),
+rep AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_turns,
+         COUNT(DISTINCT l_linenumber) AS n_distinct_idx,
+         MIN(l_linenumber) AS min_idx,
+         MAX(l_linenumber) AS max_idx,
+         COUNT(*) - COUNT(DISTINCT l_linenumber) AS n_dup_idx,
+         (MAX(l_linenumber) - MIN(l_linenumber) + 1)
+           <> COUNT(DISTINCT l_linenumber) AS has_gaps,
+         COUNT(*) = COUNT(DISTINCT l_linenumber)
+           AND (MAX(l_linenumber) - MIN(l_linenumber) + 1)
+             = COUNT(DISTINCT l_linenumber) AS contiguous
+  FROM corrupted GROUP BY l_orderkey)
+SELECT * FROM rep WHERE NOT contiguous
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: the 64-bit content fingerprint must be a
     bijection onto distinct normalized texts (no collisions at this
@@ -2993,8 +3101,11 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "lm_quality_score": q_lm_quality_score,
     "hash_split": q_hash_split,
+    "mixture_sample": q_mixture_sample,
     "quota_sample": q_quota_sample,
     "sequence_packing": q_sequence_packing,
+    "truncate_to_budget": q_truncate_to_budget,
+    "turn_integrity": q_turn_integrity,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_overlap": q_winnow_overlap,
     "winnow_overlap_full": q_winnow_overlap_full,
@@ -3076,8 +3187,11 @@ ORACLE_SQL = {
     "decontaminate": _ORACLE_DECONTAMINATE,
     "lm_quality_score": _ORACLE_LM_SCORE,
     "hash_split": _ORACLE_HASH_SPLIT,
+    "mixture_sample": _ORACLE_MIXTURE_SAMPLE,
     "quota_sample": _ORACLE_QUOTA_SAMPLE,
     "sequence_packing": _ORACLE_SEQUENCE_PACKING,
+    "truncate_to_budget": _ORACLE_TRUNCATE,
+    "turn_integrity": _ORACLE_TURN_INTEGRITY,
     "asof_join": _ORACLE_ASOF,
     "interval_join": _ORACLE_INTERVAL,
     "scd2": _ORACLE_SCD2,

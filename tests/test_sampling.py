@@ -158,3 +158,85 @@ class TestPackSequences:
         ka = sorted((r["doc_id"], r["shard"], r["pack_id"]) for r in a.collect())
         kb = sorted((r["doc_id"], r["shard"], r["pack_id"]) for r in b.collect())
         assert ka == kb
+
+
+class TestMixtureSample:
+    def test_apportion_sums_and_largest_remainder(self):
+        from etl_spark.operators.sampling import apportion
+
+        w = {"en": 0.5, "zh": 0.2, "es": 0.15, "de": 0.1, "fr": 0.05}
+        assert apportion(w, 397) == {
+            "en": 198, "zh": 79, "es": 60, "de": 40, "fr": 20,
+        }
+        for total in (0, 1, 7, 100, 9973):
+            q = apportion(w, total)
+            assert sum(q.values()) == total
+            assert all(v >= 0 for v in q.values())
+        # unnormalized weights apportion identically
+        assert apportion({"a": 2, "b": 1}, 10) == {"a": 7, "b": 3}
+        with pytest.raises(ValueError):
+            apportion({}, 10)
+        with pytest.raises(ValueError):
+            apportion({"a": 0.0}, 10)
+
+    def test_quotas_and_domain_exclusion(self, corpus):
+        from etl_spark.operators.sampling import mixture_sample
+
+        out = mixture_sample(
+            corpus, "lang", {"en": 0.6, "de": 0.4}, total=100, hash_on="text"
+        )
+        counts = {r["lang"]: r["n"] for r in
+                  out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"en": 60, "de": 40}  # fr excluded entirely
+
+    def test_shortfall_yields_available_no_redistribution(self, spark):
+        from etl_spark.operators.sampling import mixture_sample
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}", "big" if i < 90 else "small") for i in range(100)],
+            ["doc_id", "text", "lang"],
+        )
+        out = mixture_sample(
+            df, "lang", {"big": 0.5, "small": 0.5}, total=60, hash_on="text"
+        )
+        counts = {r["lang"]: r["n"] for r in
+                  out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        # small has 10 < its 30-quota: yields 10, big stays at 30
+        assert counts == {"big": 30, "small": 10}
+
+    @pytest.mark.parametrize("buckets", [1, 16, 512])
+    def test_two_phase_equals_plain_per_stratum_quotas(self, corpus, buckets):
+        from etl_spark.operators.sampling import mixture_sample
+
+        w = {"en": 0.45, "de": 0.35, "fr": 0.2}
+        plain = mixture_sample(corpus, "lang", w, 150, "text")
+        two = mixture_sample(
+            corpus, "lang", w, 150, "text", n_prefilter_buckets=buckets
+        )
+        assert sorted(plain.collect()) == sorted(two.collect())
+
+    def test_growth_stability_per_domain(self, corpus):
+        """Adding documents never evicts a sampled doc unless a new doc
+        hashes below the domain cutoff — with quotas filled, the sample
+        of the original corpus restricted to surviving docs is a subset
+        relation on hash order. Weaker, testable form: re-running on a
+        superset keeps every original pick whose rank didn't shift."""
+        from etl_spark.operators.sampling import mixture_sample
+
+        w = {"en": 0.5, "de": 0.5}
+        base = mixture_sample(corpus, "lang", w, 40, "text")
+        grown = corpus.unionByName(
+            corpus.sparkSession.createDataFrame(
+                [(10_000 + i, f"zz new doc {i}", ["en", "de"][i % 2], "web")
+                 for i in range(50)],
+                corpus.schema,
+            )
+        )
+        regrown = mixture_sample(grown, "lang", w, 40, "text")
+        base_ids = {r["doc_id"] for r in base.collect()}
+        new_ids = {r["doc_id"] for r in regrown.collect()}
+        # every evicted original was displaced by a smaller-hash newcomer:
+        # count(evicted) == count(newcomers admitted)
+        evicted = base_ids - new_ids
+        admitted = {i for i in new_ids if i >= 10_000}
+        assert len(evicted) == len(admitted)

@@ -211,3 +211,79 @@ class TestOrderedAssembly:
             for c in range(10)
         }
         assert a == exp
+
+
+class TestTruncateToBudget:
+    def _conv(self, spark):
+        # one conversation, turns 1..6 with token costs 5,5,5,5,5,100
+        rows = [("c1", i, "w " * 4 + "w") for i in range(1, 6)]
+        rows.append(("c1", 6, "x " * 99 + "x"))
+        return spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+
+    def test_keeps_longest_suffix_within_budget(self, spark):
+        from etl_spark.functions.text import token_count
+        from etl_spark.operators.reshape import truncate_to_budget
+
+        df = spark.createDataFrame(
+            [("c1", i, "w w w w w") for i in range(1, 7)],
+            ["conv_id", "turn_idx", "text"],
+        )
+        out = truncate_to_budget(
+            df, ["conv_id"], ["turn_idx"], token_count("text"), budget=17
+        )
+        kept = sorted(r["turn_idx"] for r in out.collect())
+        assert kept == [4, 5, 6]  # 3 * 5 = 15 <= 17; a 4th turn would hit 20
+
+    def test_oversized_newest_turn_blocks_everything_older(self, spark):
+        from etl_spark.functions.text import token_count
+        from etl_spark.operators.reshape import truncate_to_budget
+
+        out = truncate_to_budget(
+            self._conv(spark), ["conv_id"], ["turn_idx"],
+            token_count("text"), budget=20,
+        )
+        # turn 6 costs 100 > 20: it and everything older is dropped —
+        # the suffix contract (never skip the newest to keep older turns)
+        assert out.count() == 0
+
+    def test_partitions_independent_and_schema_preserved(self, spark):
+        from etl_spark.operators.reshape import truncate_to_budget
+
+        df = spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 10), ("b", 1, 3), ("b", 2, 3), ("b", 3, 3)],
+            ["conv_id", "turn_idx", "cost"],
+        )
+        out = truncate_to_budget(df, ["conv_id"], ["turn_idx"], "cost", budget=9)
+        assert out.columns == df.columns
+        got = {(r["conv_id"], r["turn_idx"]) for r in out.collect()}
+        assert got == {("b", 1), ("b", 2), ("b", 3)}  # a: any one turn is 10 > 9
+
+
+class TestTurnIntegrity:
+    def test_flags_exactly_the_damage_classes(self, spark):
+        from etl_spark.operators.profile import turn_integrity
+
+        rows = (
+            [("ok", i) for i in range(1, 4)]
+            + [("dup", 1), ("dup", 1), ("dup", 2)]
+            + [("gap", 1), ("gap", 3)]
+            + [("offset", 5), ("offset", 6)]  # contiguous, just not 1-based
+        )
+        df = spark.createDataFrame(rows, ["conv_id", "turn_idx"])
+        rep = {r["conv_id"]: r for r in
+               turn_integrity(df, ["conv_id"], "turn_idx").collect()}
+        assert rep["ok"]["contiguous"] and not rep["ok"]["has_gaps"]
+        assert rep["dup"]["n_dup_idx"] == 1 and not rep["dup"]["contiguous"]
+        assert rep["gap"]["has_gaps"] and not rep["gap"]["contiguous"]
+        assert rep["offset"]["contiguous"]  # range-contiguity, not 1-based
+
+    def test_null_indexes_surface_as_non_contiguous(self, spark):
+        from etl_spark.operators.profile import turn_integrity
+
+        df = spark.createDataFrame(
+            [("c", 1), ("c", None), ("c", 2)], ["conv_id", "turn_idx"]
+        )
+        rep = turn_integrity(df, ["conv_id"], "turn_idx").first()
+        assert rep["n_turns"] == 3 and rep["n_distinct_idx"] == 2
+        assert rep["n_dup_idx"] == 1  # the NULL counts as a duplicate row
+        assert not rep["contiguous"]
