@@ -152,20 +152,35 @@ def _where_zone_filters(
     reversed operands, non-stats columns) simply contribute nothing.
     Returns [] when no conjunct is prunable (caller falls back to a
     full probe)."""
+    return _parse_zone_conjuncts(where, schema, stats_cols)[0]
+
+
+def _parse_zone_conjuncts(
+    where: Any, schema: T.StructType, stats_cols: list[str] | None
+) -> tuple[list[tuple[str, str, Any]], bool]:
+    """``_where_zone_filters`` plus a COMPLETENESS flag: True iff every
+    top-level conjunct parsed, i.e. the predicate is exactly the AND of
+    the returned filters. May-match pruning is sound on any parsed
+    subset; ALL-match proving (metadata-only deletes) additionally needs
+    completeness — a file can zone-all-match a subset yet hold rows the
+    unparsed remainder rejects."""
     import datetime as _dt
     from decimal import Decimal, InvalidOperation
 
     if not isinstance(where, str) or not stats_cols:
-        return []
+        return [], False
     rx = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|=|<|>)\s*(.+?)\s*$")
     types = {f.name: f.dataType.typeName() for f in schema.fields}
     out: list[tuple[str, str, Any]] = []
+    complete = True
     for conj in _split_top_and(where):
         m = rx.match(conj)
         if not m:
+            complete = False
             continue
         col, op, lit = m.groups()
         if col not in stats_cols or col not in types:
+            complete = False
             continue
         raw = lit[1:-1] if lit[:1] in ("'", '"') and lit[-1:] == lit[:1] else lit
         t = types[col]
@@ -182,11 +197,13 @@ def _where_zone_filters(
             elif t == "timestamp":
                 v = _dt.datetime.fromisoformat(raw)
             else:
+                complete = False
                 continue
         except (ValueError, InvalidOperation):
+            complete = False
             continue
         out.append((col, op, v))
-    return out
+    return out, complete and bool(out)
 
 
 def _atomic_create(path: str, payload: str) -> None:
@@ -1240,11 +1257,13 @@ class LakeTable:
                 # read that already yields the row count — zero extra IO
                 idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
                 stats: dict[str, list[Any]] = {}
+                nulls: dict[str, int] = {}
                 for c in stats_cols:
                     j = idx.get(c)
                     if j is None:
                         continue
                     lo = hi = None
+                    nc: int | None = 0
                     ok = md.num_row_groups > 0
                     for g in range(md.num_row_groups):
                         s = md.row_group(g).column(j).statistics
@@ -1254,10 +1273,21 @@ class LakeTable:
                         mn, mx = _stat_encode(s.min), _stat_encode(s.max)
                         lo = mn if lo is None or _stat_key(mn) < _stat_key(lo) else lo
                         hi = mx if hi is None or _stat_key(mx) > _stat_key(hi) else hi
+                        # null counts ride the same footer read: the
+                        # ALL-match prover (metadata-only deletes) needs
+                        # "no NULLs in this file" — a NULL never satisfies
+                        # a deletion predicate, so a file with NULLs can
+                        # never be dropped wholesale
+                        gnc = s.null_count
+                        nc = None if (nc is None or gnc is None) else nc + gnc
                     if ok and lo is not None:
                         stats[c] = [lo, hi]
+                        if nc is not None:
+                            nulls[c] = int(nc)
                 if stats:
                     e["stats"] = stats
+                if nulls:
+                    e["nulls"] = nulls
             return e
 
         # footer reads are tiny but latency-bound; a commit lists O(buckets)
@@ -2322,31 +2352,106 @@ class LakeTable:
         }
 
     def delete_where(self, where: Any) -> tuple[Snapshot | None, dict[str, int]]:
-        """Row-level DELETE WHERE as a bucket-pruned copy-on-write
-        rewrite — the retention/TTL workhorse (``delete_where("ts <
-        '2020-01-01'")``). Unlike ``purge`` this is an ordinary snapshot
-        commit: prior versions stay time-travelable and the bytes remain
-        until ``expire_snapshots``; use ``purge`` when the bytes must
-        physically disappear (RTBF). Only buckets containing matches are
-        rewritten; survivors are the non-matching rows; deleted counts
-        come from footer arithmetic on the rewritten buckets — no extra
-        job."""
+        """Row-level DELETE WHERE — the retention/TTL workhorse
+        (``delete_where("ts < '2020-01-01'")``). Unlike ``purge`` this is
+        an ordinary snapshot commit: prior versions stay time-travelable
+        and the bytes remain until ``expire_snapshots``; use ``purge``
+        when the bytes must physically disappear (RTBF).
+
+        Three file dispositions, decided driver-side from zone maps (the
+        Iceberg metadata-delete shape — at 10^10 rows a retention sweep
+        over an ingest-ordered table must not rewrite the table):
+
+        - **dropped**: every row provably matches (predicate parsed
+          COMPLETELY into stats-column conjuncts, file min/max inside
+          each, zero NULLs in the tested columns, bucket free of
+          mor/patch backlog) — the entry leaves the manifest with ZERO
+          data I/O;
+        - **kept verbatim**: some parsed conjunct's range excludes the
+          file — never read, never rewritten (same path in the new
+          manifest);
+        - **boundary**: everything else — probed for matches, and the
+          affected buckets' boundary files are rewritten copy-on-write
+          (survivors = non-matching rows). Buckets with mor/patch
+          backlog are always boundary (fold first, then filter).
+
+        Deleted counts come from footer arithmetic on dropped files plus
+        one match-probe aggregation over boundary files only."""
         base = self.snapshot()
         cond = F.expr(where) if isinstance(where, str) else where
-        # zone-map-pruned match probe (see update): a TTL delete over an
-        # ingest-ordered table probes only the files whose min/max
-        # overlap the predicate, not every live file
-        zf = _where_zone_filters(where, base.schema, base.stats_cols)
-        probe_src = self.scan(zf, version=base.version) if zf else self.read()
-        df = probe_src.withColumn(_BUCKET_COL, self._bucket_expr(base))
-        match_counts = (
-            df.filter(cond).groupBy(_BUCKET_COL)
-            .agg(F.count("*").alias("n")).collect()
+        zf, complete = _parse_zone_conjuncts(where, base.schema, base.stats_cols)
+        backlog = {
+            f["bucket"] for f in base.files
+            if f.get("delta") or f.get("kind") in ("eqdel", "patch")
+        }
+
+        def classify(e: dict[str, Any]) -> str:
+            if e["bucket"] in backlog:
+                # fold-first, whole bucket: per-file dispositions are
+                # meaningless under mor/patch shadowing — a delta can move
+                # a row OUT of a base file's zone range, and the rewrite
+                # must read every data entry of the bucket (deltas carry
+                # live rows) or none
+                return "boundary"
+            st = e.get("stats") or {}
+            nulls = e.get("nulls") or {}
+            provable = complete
+            for col, op, v in zf:
+                if col not in st:
+                    provable = False
+                    continue
+                lo, hi = _stat_key(st[col][0]), _stat_key(st[col][1])
+                w = _stat_key(_stat_encode(v))
+                # none-match: sound on ANY parsed conjunct (each is
+                # implied by the full predicate)
+                if op == "=" and not (lo <= w <= hi):
+                    return "none"
+                if op in ("<", "<=") and not (lo < w or (op == "<=" and lo == w)):
+                    return "none"
+                if op in (">", ">=") and not (hi > w or (op == ">=" and hi == w)):
+                    return "none"
+                # all-match accumulation: needs the COMPLETE predicate,
+                # a NULL-free file, and the whole range inside the bound
+                if provable:
+                    proven = nulls.get(col) == 0 and (
+                        (op == "<" and hi < w)
+                        or (op == "<=" and hi <= w)
+                        or (op == ">" and lo > w)
+                        or (op == ">=" and lo >= w)
+                        or (op == "=" and lo == w == hi)
+                    )
+                    if not proven:
+                        provable = False
+            return "all" if provable else "boundary"
+
+        drops: list[dict[str, Any]] = []
+        verbatim: list[dict[str, Any]] = []
+        boundary: list[dict[str, Any]] = []
+        for e in base.data_files:
+            {"all": drops, "none": verbatim, "boundary": boundary}[classify(e)].append(e)
+
+        per_bucket_matches: dict[int, int] = {}
+        if boundary:
+            probe = self._read_files(
+                base, boundary, buckets={e["bucket"] for e in boundary}
+            ).withColumn(_BUCKET_COL, self._bucket_expr(base))
+            per_bucket_matches = {
+                r[_BUCKET_COL]: r["n"]
+                for r in probe.filter(cond).groupBy(_BUCKET_COL)
+                .agg(F.count("*").alias("n")).collect()
+            }
+        affected = set(per_bucket_matches) | {e["bucket"] for e in drops}
+        rows_deleted = sum(per_bucket_matches.values()) + sum(
+            e["rows"] for e in drops
         )
-        affected = {r[_BUCKET_COL] for r in match_counts}
-        rows_deleted = sum(r["n"] for r in match_counts)
         if not affected:
-            return None, {"rows_deleted": 0, "rewritten_buckets": 0}
+            return None, {
+                "rows_deleted": 0, "rewritten_buckets": 0, "dropped_files": 0,
+            }
+        drop_paths = {e["path"] for e in drops}
+        rewrite_paths = {
+            e["path"] for e in boundary if e["bucket"] in affected
+        }
         keep_files = []
         for f in base.files:
             if f["bucket"] not in affected:
@@ -2354,23 +2459,28 @@ class LakeTable:
             elif f.get("kind") == "tomb":
                 # rewritten bucket = mor backlog consumed; guard role kept
                 keep_files.append({k: v for k, v in f.items() if k != "delta"})
-        # file-level pruning for the rewrite: only the affected buckets'
-        # entries become input splits (df above was just the match probe)
-        read_entries = [f for f in base.data_files if f["bucket"] in affected]
-        survivors = self._read_files(
-            base, read_entries, buckets=affected
-        ).filter(~cond | cond.isNull()).withColumn(
-            _BUCKET_COL, self._bucket_expr(base)
-        )
-        written = self._write_data_files(
-            base.version + 1, survivors, base.n_buckets,
-            stats_cols=base.stats_cols,
-            bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
-        )
+            elif f.get("kind") in ("eqdel", "patch") or f.get("delta"):
+                pass  # backlog of an affected bucket: folded into the rewrite
+            elif f["path"] not in drop_paths and f["path"] not in rewrite_paths:
+                keep_files.append(f)  # zone-proven no-match: verbatim
+        read_entries = [e for e in boundary if e["bucket"] in affected]
+        written: list[dict[str, Any]] = []
+        if read_entries:
+            survivors = self._read_files(
+                base, read_entries, buckets={e["bucket"] for e in read_entries}
+            ).filter(~cond | cond.isNull()).withColumn(
+                _BUCKET_COL, self._bucket_expr(base)
+            )
+            written = self._write_data_files(
+                base.version + 1, survivors, base.n_buckets,
+                stats_cols=base.stats_cols,
+                bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
+            )
         snap = self._commit(base, keep_files, written, base.schema, "delete")
         return snap, {
             "rows_deleted": rows_deleted,
-            "rewritten_buckets": len(affected),
+            "rewritten_buckets": len({e["bucket"] for e in read_entries}),
+            "dropped_files": len(drops),
             "rows_after": snap.total_rows,
         }
 

@@ -649,7 +649,12 @@ def test_delete_and_update_probe_zone_pruned(spark, tmp_path, monkeypatch):
     assert len(kept) < total
     snap, stats = t.delete_where("ts < '2024-01-06'")
     assert stats["rows_deleted"] == 50
-    assert calls and calls[0] == [("ts", "<", dt.datetime(2024, 1, 6))]
+    # the TTL delete resolves ENTIRELY from zone maps: the jan 1-5 files
+    # are dropped metadata-only, later files excluded driver-side — no
+    # scan, no probe job over pruned files
+    assert stats["dropped_files"] == len(kept)
+    assert stats["rewritten_buckets"] == 0
+    assert calls == []
     assert t.read().count() == 100
 
     calls.clear()
