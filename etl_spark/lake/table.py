@@ -206,6 +206,26 @@ def _parse_zone_conjuncts(
     return out, complete and bool(out)
 
 
+def _zone_none_match(e: dict[str, Any], zf: list[tuple[str, str, Any]]) -> bool:
+    """True when some parsed conjunct's range excludes the file — no row
+    can match the full predicate (each conjunct is implied by it), so the
+    file may be kept verbatim by DELETE/UPDATE. Sound on ANY parsed
+    subset; files without stats for a column are conservatively kept."""
+    st = e.get("stats") or {}
+    for col, op, v in zf:
+        if col not in st:
+            continue
+        lo, hi = _stat_key(st[col][0]), _stat_key(st[col][1])
+        w = _stat_key(_stat_encode(v))
+        if op == "=" and not (lo <= w <= hi):
+            return True
+        if op in ("<", "<=") and not (lo < w or (op == "<=" and lo == w)):
+            return True
+        if op in (">", ">=") and not (hi > w or (op == ">=" and hi == w)):
+            return True
+    return False
+
+
 def _atomic_create(path: str, payload: str) -> None:
     """Durably publish ``payload`` at ``path`` with create-if-absent
     semantics: write + fsync a unique temp file, then hard-link it into
@@ -2284,6 +2304,7 @@ class LakeTable:
             if isinstance(where, str)
             else (where if where is not None else F.lit(True))
         )
+        zf: list[tuple[str, str, Any]] = []
         if base.n_buckets > 0 and where is not None:
             # zone-map-pruned match probe: files whose min/max exclude a
             # top-level conjunct never become input splits (scan), so a
@@ -2303,6 +2324,10 @@ class LakeTable:
             affected = {f["bucket"] for f in base.files}
         if not affected:
             return None, {"rows_updated": 0, "rewritten_buckets": 0}
+        backlog = {
+            f["bucket"] for f in base.files
+            if f.get("delta") or f.get("kind") in ("eqdel", "patch")
+        }
         keep_files = []
         for f in base.files:
             if f["bucket"] not in affected:
@@ -2311,7 +2336,20 @@ class LakeTable:
                 # rewritten bucket = mor backlog consumed; the tombstone
                 # keeps its guard role, drops its delete-source role
                 keep_files.append({k: v for k, v in f.items() if k != "delta"})
-        read_entries = [f for f in base.data_files if f["bucket"] in affected]
+        # file-level pruning inside affected buckets: a zone-proven
+        # no-match file is kept VERBATIM (never read, never rewritten) —
+        # a targeted UPDATE over an ingest-ordered table touches the few
+        # overlapping files, not every file sharing a bucket. Backlog
+        # buckets fold whole (a delta can move a row out of a base
+        # file's zone range, and the rewrite consumes the backlog).
+        read_entries = []
+        for f in base.data_files:
+            if f["bucket"] not in affected:
+                continue
+            if zf and f["bucket"] not in backlog and _zone_none_match(f, zf):
+                keep_files.append(f)
+            else:
+                read_entries.append(f)
         tgt = self._read_files(
             base, read_entries, buckets=affected
         ).withColumn(
@@ -2393,35 +2431,28 @@ class LakeTable:
                 # must read every data entry of the bucket (deltas carry
                 # live rows) or none
                 return "boundary"
+            if _zone_none_match(e, zf):
+                return "none"
             st = e.get("stats") or {}
             nulls = e.get("nulls") or {}
+            # all-match: needs the COMPLETE predicate, a NULL-free file,
+            # and every conjunct's bound containing the whole range
             provable = complete
             for col, op, v in zf:
+                if not provable:
+                    break
                 if col not in st:
                     provable = False
                     continue
                 lo, hi = _stat_key(st[col][0]), _stat_key(st[col][1])
                 w = _stat_key(_stat_encode(v))
-                # none-match: sound on ANY parsed conjunct (each is
-                # implied by the full predicate)
-                if op == "=" and not (lo <= w <= hi):
-                    return "none"
-                if op in ("<", "<=") and not (lo < w or (op == "<=" and lo == w)):
-                    return "none"
-                if op in (">", ">=") and not (hi > w or (op == ">=" and hi == w)):
-                    return "none"
-                # all-match accumulation: needs the COMPLETE predicate,
-                # a NULL-free file, and the whole range inside the bound
-                if provable:
-                    proven = nulls.get(col) == 0 and (
-                        (op == "<" and hi < w)
-                        or (op == "<=" and hi <= w)
-                        or (op == ">" and lo > w)
-                        or (op == ">=" and lo >= w)
-                        or (op == "=" and lo == w == hi)
-                    )
-                    if not proven:
-                        provable = False
+                provable = nulls.get(col) == 0 and (
+                    (op == "<" and hi < w)
+                    or (op == "<=" and hi <= w)
+                    or (op == ">" and lo > w)
+                    or (op == ">=" and lo >= w)
+                    or (op == "=" and lo == w == hi)
+                )
             return "all" if provable else "boundary"
 
         drops: list[dict[str, Any]] = []

@@ -134,3 +134,21 @@ def test_drop_only_delete_commits_without_a_write_job(spark, tmp_path):
     assert stats["rewritten_buckets"] == 0  # no boundary bucket at all
     assert {e["path"] for e in snap.data_files} == base_new
     assert t.read().count() == 50
+
+
+def test_update_keeps_no_match_files_verbatim(spark, tmp_path):
+    t = make(spark, tmp_path)
+    for lo in (0, 100, 200):
+        t.append(batch(spark, lo))
+    base = t.snapshot()
+    untouched = {e["path"] for e in base.data_files
+                 if e["stats"]["ts"][0] >= 100}
+    snap, stats = t.update({"text": "'aged'"}, where="ts < 50")
+    assert stats["rows_updated"] == 50
+    after = {e["path"] for e in snap.data_files}
+    # files whose range excludes the predicate share the affected buckets
+    # but keep their exact paths — never read, never rewritten
+    assert untouched <= after
+    got = {r.ts for r in t.read().filter("text = 'aged'").collect()}
+    assert got == set(range(50))
+    assert t.read().count() == 150
