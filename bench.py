@@ -435,6 +435,46 @@ def run_anti_entropy(spark, wal_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_ttl_delete(spark, sf_dir: str, work_dir: str) -> dict:
+    """Retention-sweep headline: the metadata-only TTL delete (zone maps
+    drop whole files, zero data I/O) vs the same logical delete forced
+    through the full probe-and-rewrite path (an OR-wrapped but
+    semantically identical predicate defeats the conjunct parser). Same
+    ingest-ordered lineitem table (600k rows at sf0.1, 4 ship-date
+    window commits), same horizon — the delta is what zone-map file
+    dispositions save, and it widens linearly with table size."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.lake import LakeTable
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    b = li.agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi")).first()
+    lo, hi = b["lo"], b["hi"]
+    span = (hi - lo) / 4
+    horizon = (lo + 2 * span).isoformat()
+    out: dict = {}
+    for label, where in (
+        ("metadata", f"l_shipdate < '{horizon}'"),
+        ("rewrite", f"l_shipdate < '{horizon}' OR l_shipdate < '{horizon}'"),
+    ):
+        path = os.path.join(work_dir, f"ttl_{label}")
+        t = LakeTable.create(
+            spark, path, li.schema, key=["l_orderkey", "l_linenumber"],
+            n_buckets=16, bucket_by=["l_orderkey"], stats_cols=["l_shipdate"],
+        )
+        for w in range(4):
+            w_lo = lo + w * span
+            cond = (F.col("l_shipdate") >= F.lit(w_lo)) & (
+                F.col("l_shipdate") <= F.lit(hi)
+                if w == 3 else F.col("l_shipdate") < F.lit(lo + (w + 1) * span)
+            )
+            t.append(li.filter(cond))
+        t0 = time.time()
+        _snap, stats = t.delete_where(where)
+        out[label] = {"sec": round(time.time() - t0, 3), **stats}
+    return out
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -892,6 +932,9 @@ def main() -> None:
         queries["anti_entropy_repair"] = ae["repair_sec"]
         derived = run_derived_refresh(spark, sf_dir)
         queries["derived_view_refresh"] = derived["refresh_sec"]
+        ttl = run_ttl_delete(spark, sf_dir, work_dir)
+        queries["ttl_delete_metadata"] = ttl["metadata"]["sec"]
+        queries["ttl_delete_rewrite"] = ttl["rewrite"]["sec"]
         cdc = run_cdc_replay(
             spark, os.path.join(work_dir, f"run{cpus}"), wal_dir, n_events
         )
@@ -913,6 +956,7 @@ def main() -> None:
             "skew": skew,
             "anti_entropy": ae,
             "derived": derived,
+            "ttl_delete": ttl,
         }
         if scaling:
             # Default N=2 vs 4N=8: both levels sit inside this sandbox VM's
