@@ -412,3 +412,67 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 2,
+    idf: str = "log",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the keyword/topic-tag
+    stage of a corpus pipeline. Tokens are lowercase alphanumeric runs;
+    tokens appearing in fewer than ``min_df`` documents are dropped
+    (hapaxes are noise at corpus scale).
+
+    ``idf`` picks the weighting:
+    - ``"log"`` (production): score = tf · (ln((N+1)/(df+1)) + 1), the
+      standard smoothed form. Transcendental — NOT bit-portable across
+      engines (libm vs JVM ``Math.log`` may differ in the last ulp), so
+      oracle comparisons use the rational form instead.
+    - ``"rational"``: score = (tf · 1_000_000) div (df + 1) — integer
+      arithmetic only, identical in every engine; same ranking intent
+      (rarer ⇒ higher), the oracle-gated config.
+
+    ``n_docs`` avoids a full count() action when the caller already
+    knows the corpus size (lake tables track total_rows in metadata).
+
+    Scale shape: explode → two map-side-combinable hash groupBys
+    ((doc, token) tf and token df) → key-equality join on token → one
+    rank window per doc. No Python, no higher-order functions.
+    """
+    if idf not in ("log", "rational"):
+        raise ValueError("idf must be 'log' or 'rational'")
+    from pyspark.sql import Window as W
+
+    # N only weights the log form; the rational form never scans for it
+    N = 0
+    if idf == "log":
+        N = int(n_docs) if n_docs is not None else df.count()
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, on="token").filter(F.col("df") >= min_df)
+    if idf == "log":
+        score = F.col("tf") * (
+            F.log((F.lit(N) + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0)
+        )
+    else:
+        score = F.expr("(tf * 1000000) div (df + 1)")
+    scored = scored.withColumn("score", score)
+    w = W.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "token", "tf", "df", "score", "rnk")
+    )

@@ -2168,6 +2168,39 @@ SELECT * FROM rep WHERE NOT contiguous
 """
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document at the integer-exact rational
+    weighting (the bit-portable config; the transcendental log form is
+    pytest-covered — libm vs JVM log differ in the last ulp). min_df=2
+    drops hapax noise; ties break on token, so ranks are total."""
+    from etl_spark.functions.text import tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=5, min_df=2, idf="rational")
+
+
+_ORACLE_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id, u.t AS token
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE u.t <> ''),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         (tf.tf * 1000000) // (dfreq.df + 1) AS score
+  FROM tf JOIN dfreq USING (token)
+  WHERE dfreq.df >= 2)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score, rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: the 64-bit content fingerprint must be a
     bijection onto distinct normalized texts (no collisions at this
@@ -3104,6 +3137,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "quota_sample": q_quota_sample,
     "sequence_packing": q_sequence_packing,
+    "tfidf_keywords": q_tfidf_keywords,
     "truncate_to_budget": q_truncate_to_budget,
     "turn_integrity": q_turn_integrity,
     "doc_fingerprint": q_doc_fingerprint,
@@ -3190,6 +3224,7 @@ ORACLE_SQL = {
     "mixture_sample": _ORACLE_MIXTURE_SAMPLE,
     "quota_sample": _ORACLE_QUOTA_SAMPLE,
     "sequence_packing": _ORACLE_SEQUENCE_PACKING,
+    "tfidf_keywords": _ORACLE_TFIDF,
     "truncate_to_budget": _ORACLE_TRUNCATE,
     "turn_integrity": _ORACLE_TURN_INTEGRITY,
     "asof_join": _ORACLE_ASOF,

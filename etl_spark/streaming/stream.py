@@ -151,6 +151,17 @@ class CdcStream:
     # mtime age guard. None disables — vacuum walks the table's data
     # dir, so it belongs on the compaction cadence, never per batch.
     vacuum_older_than_s: float | None = None
+    # Row-level data-age retention (TTL) on the same maintenance tick:
+    # delete rows whose `ttl_col` falls more than `ttl_age_s` behind the
+    # table's own maximum — computed from manifest zone-map maxima (zero
+    # I/O) so the horizon is DATA time, not wall-clock: a paused-and-
+    # resumed replay deletes exactly the same rows. Runs BEFORE the
+    # compaction so expired whole files leave the manifest metadata-only
+    # instead of being rewritten first (delete_where's three file
+    # dispositions). Requires `ttl_col` in the table's stats_cols;
+    # timestamp and integral columns supported. None disables.
+    ttl_col: str | None = None
+    ttl_age_s: float | None = None
     # range-cluster each bucket on these columns during the periodic
     # compaction (tight parquet row-group stats for time-range reads of
     # the ingest table); None keeps arrival order
@@ -313,6 +324,8 @@ class CdcStream:
             backlog_buckets = {f["bucket"] for f in shadow}
             stats["delta_backlog_rows"] = backlog
             backlog_due = backlog >= self.compact_when_delta_rows
+        if (cadence_due or backlog_due) and self.ttl_col is not None:
+            stats["ttl"] = self._ttl_tick()
         if cadence_due:
             self.table.compact(sort_by=self.compact_sort_by)
         elif backlog_due:
@@ -355,6 +368,47 @@ class CdcStream:
             # batch's window never mixes a compaction/rebucket with real
             # changes — a mixed window cannot bucket-prune its diff
             stats["export_after_maintenance"] = self.exporter.export_once()
+
+    def _ttl_tick(self) -> dict:
+        """One retention sweep: horizon = manifest max(ttl_col) −
+        ttl_age_s, applied through ``delete_where`` (zone-map file
+        dispositions — on an ingest-time-ordered table the sweep drops
+        whole expired files with zero data I/O). No-op (no commit) when
+        nothing is expired."""
+        import datetime as dt
+
+        from etl_spark.lake.table import _stat_key
+
+        snap = self.table.snapshot()
+        col = self.ttl_col
+        if self.ttl_age_s is None:
+            raise ValueError("ttl_col requires ttl_age_s")
+        his = [
+            e["stats"][col][1]
+            for e in snap.data_files
+            if (e.get("stats") or {}).get(col) is not None
+        ]
+        if not his:
+            return {"rows_deleted": 0, "skipped": "no zone stats"}
+        hi = max(_stat_key(x) for x in his)
+        t = snap.schema[col].dataType.typeName()
+        if t == "timestamp":
+            horizon = (
+                dt.datetime(1970, 1, 1)
+                + dt.timedelta(microseconds=int(hi))
+                - dt.timedelta(seconds=self.ttl_age_s)
+            )
+            where = f"{col} < '{horizon.isoformat()}'"
+        elif t in ("byte", "short", "integer", "long"):
+            where = f"{col} < {int(hi - self.ttl_age_s)}"
+        else:
+            raise ValueError(
+                f"ttl_col must be a timestamp or integral column; {col!r} "
+                f"is {t} (string/date stats cannot express an age horizon)"
+            )
+        _snap, dstats = self.table.delete_where(where)
+        dstats["horizon"] = where
+        return dstats
 
     def _dedup_ingest(self, batch_df: DataFrame, batch_id: int) -> int:
         """Probe + extend the persisted near-dup index with this batch's

@@ -201,3 +201,49 @@ def test_whole_engine_converges_on_random_changelogs(
         ["conv_id", "turn_idx", "role", "text"]
     ].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 60),
+                  st.one_of(st.none(), st.integers(-8, 8))),
+        min_size=1, max_size=40, unique_by=lambda r: r[0],
+    ),
+    horizon=st.integers(-7, 7),
+    chunks=st.integers(1, 3),
+)
+def test_delete_where_dispositions_match_filter_model(
+    spark, tmp_path_factory, rows, horizon, chunks
+):
+    """delete_where == the NOT-matching filter over the pre-delete state
+    for ANY mix of file dispositions. Rows arrive value-sorted in several
+    commits (tight, disjoint zone ranges per file) with NULLs sprinkled
+    in, the predicate parses completely into stats conjuncts — so across
+    examples the three dispositions (metadata drop / verbatim keep /
+    boundary rewrite) all occur, and each must be invisible in the
+    result."""
+    from etl_spark.lake import LakeTable
+
+    path = str(tmp_path_factory.mktemp("dw") / "t")
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    table = LakeTable.create(
+        spark, path, schema, key=["k"], n_buckets=2, stats_cols=["v"],
+    )
+    ordered = sorted(rows, key=lambda r: (r[1] is None, r[1] or 0, r[0]))
+    step = -(-len(ordered) // chunks)
+    for i in range(0, len(ordered), step):
+        table.append(spark.createDataFrame(ordered[i:i + step], schema))
+    _snap, stats = table.delete_where(f"v < {horizon}")
+    got = sorted(
+        (r["k"], r["v"]) for r in table.read().collect()
+    )
+    exp = sorted(
+        (k, v) for k, v in rows if v is None or v >= horizon
+    )
+    assert got == exp
+    assert stats["rows_deleted"] == len(rows) - len(exp)

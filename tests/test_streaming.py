@@ -755,3 +755,56 @@ def test_dedup_index_sees_transformed_text(spark, tmp_path):
         for _, r in pairs.iterrows()
     }
     assert frozenset({("conv000001", 0), ("conv000010", 0)}) in flat
+
+
+def test_stream_ttl_retention_deletes_aged_rows(spark, tmp_path):
+    """The maintenance tick's TTL sweep: rows whose event time falls more
+    than ttl_age_s behind the table's own manifest maximum leave the
+    table through the metadata-delete path. The horizon is DATA time
+    (zone-map max − age), so the converged state is a pure function of
+    the changelog — asserted against the pandas oracle filtered by the
+    same horizon."""
+    pdf = generate_changelog(SPEC)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+    table = LakeTable.create(
+        spark, str(tmp_path / "transcripts"), TRANSCRIPTS_SCHEMA,
+        key=["conv_id", "turn_idx"], n_buckets=8, bucket_by=["conv_id"],
+        stats_cols=["ts"],
+    )
+    exp = expected_final_state(pdf)
+    span_s = (exp["ts"].max() - exp["ts"].min()).total_seconds()
+    age_s = int(span_s // 2)  # whole seconds: boundary-exact on both sides
+    stats = CdcStream(
+        spark, wal, table, str(tmp_path / "state"),
+        max_files_per_trigger=2, compact_every=1,
+        ttl_col="ts", ttl_age_s=age_s,
+    ).run_to_completion()
+    assert any("ttl" in s for s in stats if not s.get("skipped"))
+    horizon = exp["ts"].max() - pd.Timedelta(seconds=age_s)
+    kept = (
+        exp[exp["ts"] >= horizon]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert 0 < len(kept) < len(exp)  # the sweep really removed something
+    got = (
+        table.read().orderBy("conv_id", "turn_idx").toPandas()
+        [["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, kept[list(got.columns)], check_dtype=False
+    )
+    # a second run over the same WAL applies nothing and deletes nothing
+    stats2 = CdcStream(
+        spark, wal, table, str(tmp_path / "state"),
+        max_files_per_trigger=2, compact_every=1,
+        ttl_col="ts", ttl_age_s=age_s,
+    ).run_to_completion()
+    assert all(s.get("skipped") for s in stats2)
+    pd.testing.assert_frame_equal(
+        table.read().orderBy("conv_id", "turn_idx").toPandas()
+        [list(got.columns)].reset_index(drop=True),
+        kept[list(got.columns)], check_dtype=False,
+    )

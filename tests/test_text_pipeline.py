@@ -287,3 +287,49 @@ class TestTurnIntegrity:
         assert rep["n_turns"] == 3 and rep["n_distinct_idx"] == 2
         assert rep["n_dup_idx"] == 1  # the NULL counts as a duplicate row
         assert not rep["contiguous"]
+
+
+class TestTfidfKeywords:
+    def _corpus(self, spark):
+        rows = [
+            (1, "spark shuffle spark partition spark"),   # spark dominates
+            (2, "shuffle partition shuffle join"),
+            (3, "partition join quantum"),                # quantum is rare
+            (4, "the the the shuffle"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_log_ranking_prefers_rare_over_common(self, spark):
+        from etl_spark.functions.text import tfidf_keywords
+
+        out = tfidf_keywords(
+            self._corpus(spark), k=2, min_df=1, idf="log"
+        ).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["token"]))
+        # doc 3: quantum (df=1) outranks partition (df=3) and join (df=2)
+        assert sorted(by_doc[3])[0][1] == "quantum"
+        # doc 1: tf=3 rare-ish 'spark' (df=1) is the top keyword
+        assert sorted(by_doc[1])[0][1] == "spark"
+
+    def test_min_df_drops_hapaxes_and_rational_matches_log_order(self, spark):
+        from etl_spark.functions.text import tfidf_keywords
+
+        corpus = self._corpus(spark)
+        rational = tfidf_keywords(corpus, k=3, min_df=2, idf="rational")
+        assert rational.filter("token = 'quantum'").count() == 0  # df=1 dropped
+        # same (doc, rank) -> token assignment under both weightings here:
+        # both are monotone in tf and antitone in df on this corpus
+        log = tfidf_keywords(corpus, k=3, min_df=2, idf="log")
+        r = {(x["doc_id"], x["rnk"]): x["token"] for x in rational.collect()}
+        l = {(x["doc_id"], x["rnk"]): x["token"] for x in log.collect()}
+        assert r == l
+
+    def test_n_docs_param_equals_derived_count(self, spark):
+        from etl_spark.functions.text import tfidf_keywords
+
+        corpus = self._corpus(spark)
+        a = tfidf_keywords(corpus, k=2, min_df=2, idf="log")
+        b = tfidf_keywords(corpus, k=2, min_df=2, idf="log", n_docs=4)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
