@@ -1492,6 +1492,75 @@ FROM q WHERE quality >= 0.5 AND n_tokens >= 20
 """
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus pipeline as ONE composed plan — the
+    "switch your pipeline to this engine" flagship for the training-data
+    family: quality gate (score >= 0.5, >= 20 tokens) -> exact dedup on
+    normalized content (min-id survivor, duplicate count carried) ->
+    deterministic content-hash train/val/test split. Every stage is the
+    already-oracle-checked operator; this entry proves they COMPOSE
+    bit-exactly (one oracle SQL = the three oracle CTEs chained). The
+    whole pipeline is three map-side-combinable shuffles (quality gate is
+    shuffle-free codegen, dedup one groupBy, survivor join key-equality,
+    split pure expression) — no Python anywhere."""
+    from etl_spark.operators.dedup import exact_dedup
+    from etl_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.select(
+        "doc_id", "text",
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+    ).filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
+    survivors = gated.join(
+        exact_dedup(gated, "text", "doc_id"), on="doc_id"
+    )
+    return hash_split(
+        survivors, "text", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select(
+        "doc_id", "split", F.round("quality", 6).alias("quality"),
+        "n_tokens", "n_dups",
+    )
+
+
+_ORACLE_CORPUS_PIPELINE = r"""
+WITH h AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+         CAST(len(regexp_extract_all(lower(text),
+              '\b(the|and|of|to|in|is|for|that|with|a)\b')) AS DOUBLE) AS stop_hits,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS INTEGER)
+           AS n_tokens
+  FROM documents),
+gated AS (
+  SELECT doc_id, text, n_tokens,
+         greatest(least(
+           0.3 * least(n / 500.0, 1.0)
+           + 0.35 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
+           + 0.25 * least(stop_hits / 8.0, 1.0)
+           - 0.1 * (CASE WHEN n > 0 THEN least(punct / n * 5.0, 1.0) ELSE 0.0 END),
+           1.0), 0.0) AS quality
+  FROM h),
+gq AS (SELECT * FROM gated WHERE quality >= 0.5 AND n_tokens >= 20),
+d AS (
+  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+  FROM gq
+  GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))),
+s AS (SELECT gq.doc_id, gq.text, gq.quality, gq.n_tokens, d.n_dups
+      FROM gq JOIN d USING (doc_id))
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(text), 1, 12))::BIGINT % 1000000 < 900000
+              THEN 'train'
+            WHEN ('0x' || substr(md5(text), 1, 12))::BIGINT % 1000000 < 950000
+              THEN 'val'
+            ELSE 'test' END AS split,
+       round(quality, 6) AS quality, n_tokens, n_dups
+FROM s
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup candidates, verified with exact Jaccard.
     No SQL oracle: band bucketing depends on engine hashing; recall vs the
@@ -2409,6 +2478,85 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARKED tumbling-window streaming aggregation — the classic
+    Structured Streaming late-data shape (withWatermark + window + agg,
+    append mode): hourly (window, event_type) counts and DECIMAL-routed
+    value sums over the events stream, flushed with a far-future
+    sentinel so the final no-data micro-batch emits every real window
+    (append mode only releases a window once the watermark passes its
+    end). The emitted set must equal the one-shot GROUP BY
+    date_trunc('hour') aggregate — bit-exact, since the source files are
+    event-time-ordered so nothing is ever late-dropped. Exercises
+    watermark advance across micro-batches, windowed state store, and
+    append-mode emission end-to-end."""
+    import datetime
+    import shutil
+
+    events = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="etl_spark_winagg_q_")
+    src = os.path.join(tmp, "src")
+    # batch 1: every real event; batch 2: the sentinel. Pin the real
+    # file's mtime into the past so the sentinel can never process first
+    # (which would advance the watermark and late-drop everything).
+    events.coalesce(1).write.parquet(src)
+    for root, _d, names in os.walk(src):
+        for n in names:
+            os.utime(os.path.join(root, n), (1_000_000, 1_000_000))
+    max_ts = events.agg(F.max("ts")).first()[0]
+    sent = spark.createDataFrame(
+        [("__sentinel__", max_ts + datetime.timedelta(days=30), 0.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    sent.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
+    out_dir = os.path.join(tmp, "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            # DECIMAL-routed sum (order-independent), double on the wire
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+    )
+    out = out.cache()
+    out.count()  # materialize before tmp cleanup
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_ORACLE_STREAM_WINDOW_AGG = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 _ORACLE_STREAM_SESSIONIZE = """
 WITH g AS (
   SELECT user_id, ts,
@@ -2759,6 +2907,114 @@ def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_streaming_cdc_replay_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming engine path made ORACLE-CHECKABLE: the change
+    stream is derived from the shared ``events`` table by pure
+    expressions (op/key/payload all deterministic functions of
+    event_id/user_id), written as a per-partition LSN-ordered parquet
+    WAL, tailed by the real ``CdcStream`` (micro-batches, exactly-once
+    commit log, LWW dedup, bucket-pruned MERGE), and the CONVERGED table
+    is compared bit-exactly against a DuckDB window over ``events``
+    computing last-writer-wins per (conv_id, turn_idx) with trailing
+    deletes absent. `ts` is strictly increasing with event_id in the
+    testdata (verified at every SF) and a key's events all land in one
+    source partition (user_id % 4), so per-key order equals per-partition
+    LSN order and the plain time-ordered merge is exact — the same
+    contract the synthetic-changelog replay exercises rows-only with
+    adversarial ts collisions."""
+    import shutil
+
+    from etl_spark.cdc.changelog import TRANSCRIPTS_SCHEMA
+    from etl_spark.streaming.stream import run_stream
+
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        F.when(F.col("event_id") % 11 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_id").alias("lsn"),
+        (F.col("user_id") % 4).cast("int").alias("source_partition"),
+        "ts",
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.col("event_id") % 7).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("search")).alias("tool"),
+    ).toPandas()  # bounded: the WAL is written driver-side like a real
+    #               binlog tap; the REPLAY below is fully distributed
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="etl_spark_stream_ev_q_")
+    wal = os.path.join(tmp, "wal")
+    arrow_schema = pa.schema(
+        [
+            ("op", pa.string()),
+            ("lsn", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+        ]
+    )
+    cols = [f.name for f in arrow_schema]
+    for p, part in ch.groupby("source_partition", sort=True):
+        pdir = os.path.join(wal, f"source_partition={int(p)}")
+        os.makedirs(pdir, exist_ok=True)
+        part = part.sort_values("lsn")
+        for i, idx in enumerate(np.array_split(np.arange(len(part)), 4)):
+            if idx.size == 0:
+                continue
+            path = os.path.join(pdir, f"seg-{i:05d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(
+                    part.iloc[idx][cols], preserve_index=False
+                ).cast(arrow_schema),
+                path,
+            )
+            # FileStreamSource orders by mtime: segment index IS batch
+            # order (per-partition LSN order — the WAL contract)
+            os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    table = LakeTable.create(
+        spark,
+        os.path.join(tmp, "table"),
+        TRANSCRIPTS_SCHEMA,
+        key=["conv_id", "turn_idx"],
+        n_buckets=8,
+    )
+    run_stream(spark, wal, table, os.path.join(tmp, "state"),
+               max_files_per_trigger=4)
+    out = table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    out = out.cache()
+    out.count()  # materialize before the temp WAL/state dirs go away
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_ORACLE_STREAMING_REPLAY = r"""
+WITH ch AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 7 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+         event_id AS lsn, ts,
+         event_type AS role, props AS text,
+         CASE WHEN event_id % 3 = 0 THEN 'search' END AS tool
+  FROM events),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ch)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op = 'U'
+"""
+
+
 def q_streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """History-preserving streaming CDC: the same transcript WAL tailed
     into an SCD2 lake table (Scd2Stream -> apply_scd2 per micro-batch,
@@ -2793,6 +3049,81 @@ def q_streaming_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = table.read().select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
         "valid_from", "valid_to", "is_current", "version",
+    )
+    out = out.cache()
+    out.count()  # materialize before the temp WAL/state dirs go away
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_streaming_scd2_replay_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING SCD2 target made oracle-checkable, same recipe as
+    ``streaming_cdc_replay_oracle``: the op-tagged events changelog
+    (``_events_with_op`` — 'error' = delete, same derivation as the
+    oracle-checked ``scd2_deletes``/``scd2_incremental_deletes``) is
+    written as a per-partition chronologically-segmented parquet WAL and
+    tailed by the real ``Scd2Stream`` (micro-batches, commit log,
+    per-key last_seen guard, version continuation across commits); the
+    converged history table must equal the one-shot SCD2 window DuckDB
+    computes over ``events`` — bit-exact. Validity axis is ``ts`` with
+    ``event_id`` tiebreak (ts is strictly monotone with event_id in the
+    testdata, and a key's events all land in one source partition, so
+    per-partition segment order is per-key chronological order — the
+    WAL contract)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark.cdc.scd2 import create_scd2_table
+    from etl_spark.streaming import Scd2Stream
+
+    ev = _events_with_op(spark, sf_dir)
+    ch = ev.withColumn(
+        "source_partition", (F.col("user_id") % 4).cast("int")
+    ).toPandas()
+
+    tmp = tempfile.mkdtemp(prefix="etl_spark_scd2_stream_ev_q_")
+    wal = os.path.join(tmp, "wal")
+    arrow_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("op", pa.string()),
+        ]
+    )
+    cols = [f.name for f in arrow_schema]
+    for p, part in ch.groupby("source_partition", sort=True):
+        pdir = os.path.join(wal, f"source_partition={int(p)}")
+        os.makedirs(pdir, exist_ok=True)
+        part = part.sort_values("event_id")
+        for i, idx in enumerate(np.array_split(np.arange(len(part)), 4)):
+            if idx.size == 0:
+                continue
+            path = os.path.join(pdir, f"seg-{i:05d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(
+                    part.iloc[idx][cols], preserve_index=False
+                ).cast(arrow_schema),
+                path,
+            )
+            # segment index IS batch order (FileStreamSource mtime sort)
+            os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    table = create_scd2_table(
+        spark, os.path.join(tmp, "t"), ev.schema, ["user_id"], "ts",
+        payload_cols=["event_type"], n_buckets=8,
+    )
+    Scd2Stream(
+        spark, wal, table, os.path.join(tmp, "state"),
+        time_col="ts", tiebreak=["event_id"], carry_cols=[],
+        max_files_per_trigger=4,
+    ).run_to_completion()
+    out = table.read().select(
+        "user_id", "event_type", "valid_from", "valid_to",
+        "is_current", "version",
     )
     out = out.cache()
     out.count()  # materialize before the temp WAL/state dirs go away
@@ -3111,6 +3442,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
     "quality_filter": q_quality_filter,
+    "corpus_pipeline": q_corpus_pipeline,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_lsh_verified": q_dedup_minhash_lsh_verified,
     "dedup_simhash": q_dedup_simhash,
@@ -3154,8 +3486,11 @@ QUERIES = {
     "enrich_history": q_enrich_history,
     "scd2_incremental_deletes": q_scd2_incremental_deletes,
     "stream_sessionize": q_stream_sessionize,
+    "stream_window_agg": q_stream_window_agg,
     "streaming_cdc_replay": q_streaming_cdc_replay,
+    "streaming_cdc_replay_oracle": q_streaming_cdc_replay_oracle,
     "streaming_scd2_replay": q_streaming_scd2_replay,
+    "streaming_scd2_replay_oracle": q_streaming_scd2_replay_oracle,
     "derived_agg_incremental": q_derived_agg_incremental,
     "derived_minmax_rescan": q_derived_minmax_rescan,
     "derived_row_view": q_derived_row_view,
@@ -3207,6 +3542,7 @@ ORACLE_SQL = {
     "dedup_clusters": _ORACLE_CLUSTERS,
     "dedup_survivors": _ORACLE_SURVIVORS,
     "quality_filter": _ORACLE_QUALITY_FILTER,
+    "corpus_pipeline": _ORACLE_CORPUS_PIPELINE,
     "similarity_topk": _ORACLE_TOPK,
     "similarity_lsh_full": _ORACLE_TOPK,
     "similarity_ivf_full": _ORACLE_TOPK,
@@ -3238,6 +3574,9 @@ ORACLE_SQL = {
     "winnow_overlap_full": _ORACLE_WINNOW_FULL,
     "embedding_clusters_fixed": _ORACLE_CLUSTERS_FIXED,
     "stream_sessionize": _ORACLE_STREAM_SESSIONIZE,
+    "stream_window_agg": _ORACLE_STREAM_WINDOW_AGG,
+    "streaming_cdc_replay_oracle": _ORACLE_STREAMING_REPLAY,
+    "streaming_scd2_replay_oracle": _ORACLE_SCD2_DELETES,
     "derived_agg_incremental": _ORACLE_DERIVED_AGG,
     "derived_minmax_rescan": _ORACLE_DERIVED_MINMAX,
     "derived_row_view": _ORACLE_DERIVED_ROW,
