@@ -440,9 +440,12 @@ def tfidf_keywords(
     ``n_docs`` avoids a full count() action when the caller already
     knows the corpus size (lake tables track total_rows in metadata).
 
-    Scale shape: explode → two map-side-combinable hash groupBys
-    ((doc, token) tf and token df) → key-equality join on token → one
-    rank window per doc. No Python, no higher-order functions.
+    Scale shape: explode → ONE map-side-combinable (doc, token) groupBy
+    → window count over token for df → rank window per doc: one scan,
+    one explode, three shuffles. (A tf-self-join for df would make
+    Catalyst evaluate the explode+groupBy subtree TWICE — an inlined
+    subtree re-evaluates per reference — so df is a window over the
+    single tf pass instead.) No Python, no higher-order functions.
     """
     if idf not in ("log", "rational"):
         raise ValueError("idf must be 'log' or 'rational'")
@@ -459,8 +462,9 @@ def tfidf_keywords(
         ).alias("token"),
     ).filter(F.col("token") != "")
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, on="token").filter(F.col("df") >= min_df)
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("token"))
+    ).filter(F.col("df") >= min_df)
     if idf == "log":
         score = F.col("tf") * (
             F.log((F.lit(N) + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0)
