@@ -194,6 +194,7 @@ def unigram_lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     add_k: int = 1,
+    totals: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Per-document mean token log-probability under the corpus's OWN
     unigram distribution with add-k smoothing — the cheap KenLM-style
@@ -202,35 +203,50 @@ def unigram_lm_score(
     prose). Returns (id_col, n_tokens, avg_logprob).
 
     Plan shape at scale: per-(doc, token) counts FIRST (map-side combine
-    collapses repeats, so the token join carries distinct doc-token pairs,
-    not every token occurrence), vocab derived from those counts, corpus
-    totals broadcast as a 1-row crossJoin — three shuffles total
-    (doc-token agg, vocab agg, token join), never a driver-side vocab.
-    Hot-token join skew (every doc contains "the") is one-row-per-key on
-    the vocab side, which AQE skew-split handles.
+    collapses repeats, so downstream stages carry distinct doc-token
+    pairs, not every token occurrence), per-token corpus counts as a
+    WINDOW sum over that single tf pass — a tf-self-join for the vocab
+    would make Catalyst evaluate the explode+groupBy subtree twice (an
+    inlined subtree re-evaluates per reference). Corpus totals (N total
+    tokens, V vocab size) broadcast as a 1-row crossJoin, which costs
+    one extra subtree evaluation; pass ``totals=(N, V)`` (from a prior
+    profile pass or lake metadata) to skip it and get a SINGLE-SCAN
+    plan — the 100-TB shape.
 
     Determinism vs the DuckDB oracle: ``ln`` differs between the JVM and
     libm by 1 ulp on ~2% of inputs, so each token's log-prob is cast to
     DECIMAL(24,12) BEFORE the weighted sum — decimal aggregation is exact
     and order-independent, making the parallel result bit-equal to the
     sequential one."""
+    from pyspark.sql import Window as W
+
     norm = F.lower(normalize_text(F.col(text_col)))
     toks = df.select(
         F.col(id_col), F.explode(F.split(norm, " ")).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
-    vocab = tf.groupBy("tok").agg(F.sum("c").alias("n_t"))
-    totals = vocab.agg(
-        F.sum("n_t").alias("N"), F.count("*").alias("V")
+    enriched = tf.withColumn(
+        "n_t", F.sum("c").over(W.partitionBy("tok"))
     )
+    if totals is not None:
+        enriched = enriched.withColumn(
+            "N", F.lit(int(totals[0]))
+        ).withColumn("V", F.lit(int(totals[1])))
+    else:
+        enriched = enriched.crossJoin(
+            F.broadcast(
+                tf.agg(
+                    F.sum("c").alias("N"),
+                    F.count_distinct("tok").alias("V"),
+                )
+            )
+        )
     lp = F.log(
         (F.col("n_t") + F.lit(add_k))
         / (F.col("N") + F.lit(add_k) * F.col("V"))
     ).cast("decimal(24,12)")
     return (
-        tf.join(vocab, "tok")
-        .crossJoin(F.broadcast(totals))
-        .groupBy(id_col)
+        enriched.groupBy(id_col)
         .agg(
             F.sum("c").alias("n_tokens"),
             # c as DECIMAL(12,0): c(bigint) * DECIMAL(24,12) would exceed

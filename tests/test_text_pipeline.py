@@ -141,6 +141,14 @@ def test_unigram_lm_score_ranks_fluent_above_gibberish(spark):
     assert all(out[i].avg_logprob > out[100].avg_logprob for i in range(20))
     # smoothed probabilities are proper: logprob strictly negative
     assert all(r.avg_logprob < 0 for r in out.values())
+    # known corpus totals (N tokens, V vocab) -> single-scan plan, SAME
+    # scores bit-for-bit (20*10 + 5 = 205 tokens, 13 distinct)
+    with_totals = {
+        r.doc_id: r for r in unigram_lm_score(df, totals=(205, 13)).collect()
+    }
+    assert {k: (v.n_tokens, v.avg_logprob) for k, v in out.items()} == {
+        k: (v.n_tokens, v.avg_logprob) for k, v in with_totals.items()
+    }
 
 
 def test_repetition_signals_flags_degenerate_docs(spark):
