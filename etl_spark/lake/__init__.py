@@ -1,3 +1,10 @@
 from etl_spark.lake.table import CommitConflict, LakeTable, SchemaEvolutionError
+from etl_spark.lake.catalog import Catalog, CatalogTransaction
 
-__all__ = ["LakeTable", "CommitConflict", "SchemaEvolutionError"]
+__all__ = [
+    "LakeTable",
+    "CommitConflict",
+    "SchemaEvolutionError",
+    "Catalog",
+    "CatalogTransaction",
+]

@@ -792,6 +792,63 @@ def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic cross-table transactions (``lake.catalog.Catalog`` —
+    Nessie/Iceberg-REST multi-table commit semantics): the flagship
+    changelog replays in FOUR (ts, lsn)-ordered batches; each batch is
+    ONE catalog transaction routing its even-user rows to table ``even``
+    and its odd-user rows to table ``odd`` (the A/B-split / target+
+    derived-tables shape), staged on writable branches and flipped
+    visible by a single catalog link-create. In-query invariants: the
+    catalog head advances exactly once per batch, and the two tables'
+    pinned reads stay a CONSISTENT pair at every catalog version. Final
+    answer = the union of the two catalog-pinned reads, which must equal
+    the flagship full-log LWW oracle bit-exactly — proof the split
+    transactional replay is the same replay."""
+    from pyspark.sql.window import Window
+
+    from etl_spark.lake.catalog import Catalog
+
+    chg = _events_changelog(spark, sf_dir).withColumn(
+        "__q",
+        F.ntile(4).over(Window.orderBy(F.col("ts"), F.col("lsn"))),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_cat_q_")
+    cat = Catalog.create(spark, os.path.join(tmp, "cat"))
+    for name in ("even", "odd"):
+        cat.register(
+            name,
+            LakeTable.create(
+                spark, os.path.join(tmp, name), schema,
+                key=["user_id"], n_buckets=16,
+            ),
+        )
+    parity = (F.col("user_id") % 2 == 0)
+    for q in range(1, 5):
+        batch = chg.filter(F.col("__q") == q).drop("__q")
+        base = cat.current_version()
+        txn = cat.transaction()
+        replay(spark, batch.filter(parity), txn.table("even"))
+        replay(spark, batch.filter(~parity), txn.table("odd"))
+        v = txn.commit()
+        assert v == base + 1, "one catalog commit per transaction"
+    union = cat.read("even").unionByName(cat.read("odd"))
+    return union.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
 def q_replica_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-entropy repair (``lake.sync``): a replica of the flagship
     table is corrupted out-of-band in every class the fingerprints must
@@ -3409,6 +3466,7 @@ QUERIES = {
     "cdc_apply_patch_mor": q_cdc_apply_patch_mor,
     "wap_publish": q_wap_publish,
     "branch_backfill": q_branch_backfill,
+    "catalog_txn": q_catalog_txn,
     "replica_repair": q_replica_repair,
     "change_feed_replicate": q_change_feed_replicate,
     "merge_out_of_order": q_merge_out_of_order,
@@ -3507,6 +3565,7 @@ ORACLE_SQL = {
     "cdc_apply_patch_mor": _ORACLE_CDC_PATCH,
     "wap_publish": _ORACLE_CDC_FINAL,
     "branch_backfill": _ORACLE_CDC_FINAL,
+    "catalog_txn": _ORACLE_CDC_FINAL,
     "replica_repair": _ORACLE_CDC_FINAL,
     "change_feed_replicate": _ORACLE_CDC_FINAL,
     "merge_out_of_order": _ORACLE_OOO_MERGE,

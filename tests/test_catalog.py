@@ -1,0 +1,253 @@
+"""Versioned catalog + atomic cross-table transactions (lake.catalog).
+
+Semantics under test: the catalog version is the visibility root —
+writes on member tables (even committed table-level) appear to catalog
+readers only when a catalog commit points at them; a transaction's
+writes across several tables flip visibility in ONE catalog commit;
+losers of any race compensate and raise CommitConflict with nothing
+partially visible; catalog history gives consistent cross-table time
+travel; catalog pins protect table snapshots from expiry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.lake import Catalog, CommitConflict, LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def mk_table(spark, tmp_path, name, rows=()):
+    t = LakeTable.create(
+        spark, str(tmp_path / name), SCHEMA, key=["conv_id", "turn_idx"],
+        n_buckets=4, bucket_by=["conv_id"],
+    )
+    if rows:
+        t.append(spark.createDataFrame(list(rows), SCHEMA))
+    return t
+
+
+def rows(df):
+    return {(r.conv_id, r.turn_idx, r.text) for r in df.collect()}
+
+
+def mk_cat(spark, tmp_path, tables):
+    cat = Catalog.create(spark, str(tmp_path / "cat"))
+    for name, t in tables.items():
+        cat.register(name, t)
+    return cat
+
+
+def test_register_publish_and_pinned_reads(spark, tmp_path):
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi")])
+    cat = mk_cat(spark, tmp_path, {"a": a})
+    assert rows(cat.read("a")) == {("c1", 0, "hi")}
+    # a DIRECT table write is invisible through the catalog until publish
+    a.append(spark.createDataFrame([("c2", 0, "yo")], SCHEMA))
+    assert rows(cat.read("a")) == {("c1", 0, "hi")}
+    assert rows(a.read()) == {("c1", 0, "hi"), ("c2", 0, "yo")}
+    v = cat.publish("a")
+    assert rows(cat.read("a")) == {("c1", 0, "hi"), ("c2", 0, "yo")}
+    # old catalog version still reads the old pin
+    assert rows(cat.read("a", catalog_version=v - 1)) == {("c1", 0, "hi")}
+    with pytest.raises(FileExistsError):
+        cat.register("a", a)
+    with pytest.raises(FileNotFoundError):
+        cat.read("nope")
+    cat.drop("a")
+    with pytest.raises(FileNotFoundError):
+        cat.read("a")
+    # history retains the dropped pointer for time travel
+    assert rows(cat.read("a", catalog_version=v)) == {
+        ("c1", 0, "hi"), ("c2", 0, "yo"),
+    }
+
+
+def test_txn_two_tables_flip_visibility_atomically(spark, tmp_path):
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "keep"), ("c2", 0, "move")])
+    b = mk_table(spark, tmp_path, "b")
+    cat = mk_cat(spark, tmp_path, {"a": a, "b": b})
+    base = cat.current_version()
+
+    txn = cat.transaction()
+    ta, tb = txn.table("a"), txn.table("b")
+    ta.delete_where(F.col("conv_id") == "c2")
+    tb.append(spark.createDataFrame([("c2", 0, "move")], SCHEMA))
+    # staged: neither main chains nor the catalog see anything
+    assert rows(a.read()) == {("c1", 0, "keep"), ("c2", 0, "move")}
+    assert rows(b.read()) == set()
+    assert rows(cat.read("a")) == {("c1", 0, "keep"), ("c2", 0, "move")}
+    assert rows(cat.read("b")) == set()
+
+    v = txn.commit()
+    assert v == base + 1
+    assert rows(cat.read("a")) == {("c1", 0, "keep")}
+    assert rows(cat.read("b")) == {("c2", 0, "move")}
+    # cross-table consistency at EVERY catalog version: the row is in
+    # exactly one table, never zero or two
+    for cv in (base, v):
+        got = rows(cat.read("a", cv)) | rows(cat.read("b", cv))
+        assert ("c2", 0, "move") in got
+        assert len(rows(cat.read("a", cv)) & rows(cat.read("b", cv))) == 0
+
+
+def test_txn_abort_and_noop_commit(spark, tmp_path):
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi")])
+    cat = mk_cat(spark, tmp_path, {"a": a})
+    base = cat.current_version()
+
+    with cat.transaction() as txn:
+        txn.table("a").append(spark.createDataFrame([("c9", 9, "x")], SCHEMA))
+        txn.abort()
+    assert cat.current_version() == base
+    assert rows(cat.read("a")) == {("c1", 0, "hi")}
+    assert rows(a.read()) == {("c1", 0, "hi")}
+    assert a.branches() == {}
+
+    # context manager aborts on exception
+    with pytest.raises(RuntimeError, match="boom"):
+        with cat.transaction() as txn:
+            txn.table("a").append(
+                spark.createDataFrame([("c9", 9, "x")], SCHEMA)
+            )
+            raise RuntimeError("boom")
+    assert cat.current_version() == base
+    assert a.branches() == {}
+
+    # touched-but-unwritten tables commit NOTHING
+    txn = cat.transaction()
+    txn.table("a")
+    assert txn.commit() is None
+    assert cat.current_version() == base
+
+
+def test_same_table_txn_race_compensates_and_conflicts(spark, tmp_path):
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi")])
+    b = mk_table(spark, tmp_path, "b")
+    cat = mk_cat(spark, tmp_path, {"a": a, "b": b})
+
+    t1, t2 = cat.transaction(), cat.transaction()
+    # t2 stages b FIRST so its commit fast-forwards b before hitting the
+    # contended a — exercising the compensation path
+    t2.table("b").append(spark.createDataFrame([("b1", 0, "t2")], SCHEMA))
+    t2.table("a").append(spark.createDataFrame([("a1", 0, "t2")], SCHEMA))
+    t1.table("a").append(spark.createDataFrame([("a1", 0, "t1")], SCHEMA))
+
+    v = t1.commit()
+    assert v is not None
+    with pytest.raises(CommitConflict):
+        t2.commit()
+    # nothing of t2 is visible — b's fast-forwarded write was compensated
+    assert rows(cat.read("a")) == {("c1", 0, "hi"), ("a1", 0, "t1")}
+    assert rows(cat.read("b")) == set()
+    # and the compensated chain is reusable: a fresh txn on b succeeds
+    # (the rollback head is recognized, not refused as divergence)
+    t3 = cat.transaction()
+    t3.table("b").append(spark.createDataFrame([("b1", 0, "t3")], SCHEMA))
+    assert t3.commit() is not None
+    assert rows(cat.read("b")) == {("b1", 0, "t3")}
+
+
+def test_disjoint_txns_rebase_both_land(spark, tmp_path):
+    a = mk_table(spark, tmp_path, "a")
+    b = mk_table(spark, tmp_path, "b")
+    cat = mk_cat(spark, tmp_path, {"a": a, "b": b})
+
+    t1, t2 = cat.transaction(), cat.transaction()
+    t1.table("a").append(spark.createDataFrame([("a1", 0, "x")], SCHEMA))
+    t2.table("b").append(spark.createDataFrame([("b1", 0, "y")], SCHEMA))
+    v1 = t1.commit()
+    v2 = t2.commit()  # rebases onto t1's pointer set internally
+    assert v2 == v1 + 1
+    assert rows(cat.read("a")) == {("a1", 0, "x")}
+    assert rows(cat.read("b")) == {("b1", 0, "y")}
+
+
+def test_diverged_chain_refused_then_repaired_or_published(spark, tmp_path):
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi")])
+    cat = mk_cat(spark, tmp_path, {"a": a})
+    # a stranded commit above the pointer (crash between fast_forward and
+    # the catalog commit, or an out-of-band writer)
+    a.append(spark.createDataFrame([("c9", 9, "stray")], SCHEMA))
+
+    txn = cat.transaction()
+    with pytest.raises(RuntimeError, match="diverged"):
+        txn.table("a")
+    txn.abort()
+
+    # repair() compensates; txns work again and the stray row is gone
+    assert cat.repair("a") is not None
+    assert cat.repair("a") is None  # idempotent: already clean
+    txn = cat.transaction()
+    txn.table("a").append(spark.createDataFrame([("c2", 0, "ok")], SCHEMA))
+    txn.commit()
+    assert rows(cat.read("a")) == {("c1", 0, "hi"), ("c2", 0, "ok")}
+
+    # ... or publish() adopts the stray commits instead
+    a.append(spark.createDataFrame([("c3", 3, "adopt")], SCHEMA))
+    cat.publish("a")
+    assert ("c3", 3, "adopt") in rows(cat.read("a"))
+
+
+def test_catalog_pins_survive_table_expiry_until_catalog_expire(
+    spark, tmp_path
+):
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "v0")])
+    cat = mk_cat(spark, tmp_path, {"a": a})
+    v0 = cat.current_version()
+    for i in (1, 2):
+        txn = cat.transaction()
+        txn.table("a").overwrite(
+            spark.createDataFrame([("c1", 0, f"v{i}")], SCHEMA)
+        )
+        txn.commit()
+    # aggressive TABLE-side expiry: catalog-pinned versions must survive
+    a.expire_snapshots(keep_last=1)
+    assert rows(cat.read("a", catalog_version=v0)) == {("c1", 0, "v0")}
+    assert rows(cat.read("a")) == {("c1", 0, "v2")}
+    # catalog expiry releases the old pins; table expiry then reclaims
+    out = cat.expire(keep_last=1)
+    assert out["removed_versions"] >= 1 and out["dropped_refs"] >= 1
+    a.expire_snapshots(keep_last=1)
+    assert rows(cat.read("a")) == {("c1", 0, "v2")}
+    with pytest.raises(FileNotFoundError):
+        cat.read("a", catalog_version=v0)
+
+
+def test_txn_merge_through_branch_handle(spark, tmp_path):
+    """The full MERGE surface works on a staged handle (the CDC shape:
+    per-batch data + metrics committed as one transaction)."""
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "old"), ("c2", 0, "gone")])
+    m = LakeTable.create(
+        spark, str(tmp_path / "m"),
+        T.StructType(
+            [
+                T.StructField("batch", T.IntegerType()),
+                T.StructField("rows_applied", T.IntegerType()),
+            ]
+        ),
+        key=["batch"], n_buckets=2,
+    )
+    cat = mk_cat(spark, tmp_path, {"a": a, "metrics": m})
+
+    txn = cat.transaction()
+    src = spark.createDataFrame(
+        [("c1", 0, "new", "U"), ("c2", 0, None, "D"), ("c3", 1, "ins", "U")],
+        T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())]),
+    )
+    _, stats = txn.table("a").merge(src, op_col="op")
+    txn.table("metrics").append(
+        spark.createDataFrame([(1, int(stats["rows_applied"]))], m.schema)
+    )
+    txn.commit()
+    assert rows(cat.read("a")) == {("c1", 0, "new"), ("c3", 1, "ins")}
+    got = cat.read("metrics").collect()
+    assert len(got) == 1 and got[0].batch == 1
