@@ -210,6 +210,11 @@ class Catalog:
             raise FileNotFoundError(f"no table {name!r} in catalog")
         t = LakeTable.load(self.spark, e0[name]["path"])
         tv = t.current_version() if version is None else version
+        if int(e0[name]["version"]) == int(tv):
+            # pointer already there: no-op publishes commit NOTHING (the
+            # engine-wide no-op elision contract) — a publish CADENCE on
+            # a quiet stream never grows catalog history
+            return self.current_version()
         self._pin(t, tv)
 
         def _apply(e: dict[str, dict[str, Any]]) -> None:

@@ -210,6 +210,20 @@ class CdcStream:
     # advances ahead of expire_snapshots' retention floor. None disables.
     replicate_to: str | None = None
     replicate_every: int = 1
+    # Consumer-visibility checkpoints (lake.catalog): every N applied
+    # batches — and once more when the replay drains — advance the
+    # catalog's pointer for `catalog_name` to the table's newest snapshot
+    # (Catalog.publish: one driver-side JSON link-create, zero Spark
+    # jobs; no-op when the pointer is already current). Catalog readers
+    # then see CONSISTENT PUBLISHED CHECKPOINTS instead of every
+    # micro-batch commit — the visibility decoupling that lets a
+    # downstream join two streamed tables at matched points. A crash
+    # between table commit and publish just publishes a fresher version
+    # at the next cadence; catalog pins keep published versions safe
+    # from the expire tick. None disables.
+    catalog: object = None
+    catalog_name: str | None = None
+    publish_every: int = 1
     query: object = field(default=None, init=False)
 
     def __post_init__(self) -> None:
@@ -368,6 +382,18 @@ class CdcStream:
             # batch's window never mixes a compaction/rebucket with real
             # changes — a mixed window cannot bucket-prune its diff
             stats["export_after_maintenance"] = self.exporter.export_once()
+        if (
+            self.catalog is not None
+            and self.publish_every
+            and not stats.get("skipped")
+            and applied % self.publish_every == 0
+        ):
+            # AFTER maintenance so the published checkpoint includes any
+            # compaction/retention commits of this tick
+            stats["catalog_version"] = retry_with_backoff(
+                lambda: self.catalog.publish(self.catalog_name),
+                attempts=self.retry_attempts,
+            )
 
     def _ttl_tick(self) -> dict:
         """One retention sweep: horizon = manifest max(ttl_col) −
@@ -521,6 +547,10 @@ class CdcStream:
         commit log + watermarks making any replayed batch a no-op."""
         q = self.start()
         q.awaitTermination()
+        if self.catalog is not None:
+            # final checkpoint: a drained replay is never left with its
+            # tail batches unpublished (no-op when already current)
+            self.catalog.publish(self.catalog_name)
         return self.batch_stats
 
 

@@ -808,3 +808,57 @@ def test_stream_ttl_retention_deletes_aged_rows(spark, tmp_path):
         [list(got.columns)].reset_index(drop=True),
         kept[list(got.columns)], check_dtype=False,
     )
+
+
+def test_stream_publishes_catalog_checkpoints(spark, tmp_path):
+    """CdcStream(catalog=..., publish_every=2): catalog readers see only
+    PUBLISHED checkpoints — the pointer advances every second applied
+    batch plus a final publish on drain, each published version is a
+    prefix-consistent state, and a quiet re-run publishes nothing."""
+    from etl_spark.lake import Catalog
+
+    pdf = generate_changelog(SPEC)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+    table = make_target(spark, tmp_path)
+    cat = Catalog.create(spark, str(tmp_path / "cat"))
+    cat.register("transcripts", table)
+    base_cat = cat.current_version()
+
+    stream = CdcStream(
+        spark, wal, table, str(tmp_path / "state"),
+        max_files_per_trigger=2, catalog=cat,
+        catalog_name="transcripts", publish_every=2,
+    )
+    stats = stream.run_to_completion()
+    applied = [s for s in stats if not s.get("skipped")]
+    assert len(applied) >= 3  # odd tail exercises the final drain publish
+
+    # cadence: one catalog commit per 2 applied batches (+ drain publish)
+    mid_publishes = [s for s in applied if "catalog_version" in s]
+    assert len(mid_publishes) == len(applied) // 2
+    # the catalog head now points at the table head, and reads converge
+    assert cat.pinned_version("transcripts") == table.current_version()
+    from types import SimpleNamespace
+    assert_converged(
+        SimpleNamespace(read=lambda: cat.read("transcripts")), pdf
+    )
+    # every published checkpoint is a valid table version (readable,
+    # monotonic)
+    versions = [
+        e["tables"]["transcripts"]["version"]
+        for e in cat.history()
+        if "transcripts" in e["tables"]
+    ]
+    assert versions == sorted(versions)
+    for v in versions:
+        table.read(version=v).limit(1).collect()
+    # idempotent drain: re-running the finished stream publishes nothing
+    head = cat.current_version()
+    CdcStream(
+        spark, wal, table, str(tmp_path / "state"),
+        max_files_per_trigger=2, catalog=cat,
+        catalog_name="transcripts", publish_every=2,
+    ).run_to_completion()
+    assert cat.current_version() == head
+    assert head > base_cat
