@@ -270,6 +270,21 @@ class Catalog:
         t = LakeTable.load(self.spark, e[name]["path"])
         return t.read(version=int(e[name]["version"]))
 
+    def sql_views(
+        self, prefix: str = "", catalog_version: int | None = None
+    ) -> list[str]:
+        """Register every table's PINNED read as a temp view
+        (``<prefix><name>``) so ``spark.sql`` queries join the whole
+        catalog at ONE consistent point — the SQL face of cross-table
+        snapshot isolation. Returns the view names."""
+        e = self.entries(catalog_version)
+        names = []
+        for name in sorted(e):
+            vname = f"{prefix}{name}"
+            self.read(name, catalog_version).createOrReplaceTempView(vname)
+            names.append(vname)
+        return names
+
     # --------------------------------------------------------- transactions
     def transaction(self) -> "CatalogTransaction":
         return CatalogTransaction(self)

@@ -251,3 +251,25 @@ def test_txn_merge_through_branch_handle(spark, tmp_path):
     assert rows(cat.read("a")) == {("c1", 0, "new"), ("c3", 1, "ins")}
     got = cat.read("metrics").collect()
     assert len(got) == 1 and got[0].batch == 1
+
+
+def test_sql_views_join_at_one_consistent_point(spark, tmp_path):
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "x")])
+    b = mk_table(spark, tmp_path, "b", [("c1", 0, "y")])
+    cat = mk_cat(spark, tmp_path, {"a": a, "b": b})
+    v = cat.current_version()
+    # advance a AFTER capturing v: the pinned views must not see it
+    txn = cat.transaction()
+    txn.table("a").append(spark.createDataFrame([("c2", 0, "new")], SCHEMA))
+    txn.commit()
+    names = cat.sql_views(prefix="cat_", catalog_version=v)
+    assert names == ["cat_a", "cat_b"]
+    got = spark.sql(
+        "SELECT a.conv_id, a.text AS ta, b.text AS tb "
+        "FROM cat_a a JOIN cat_b b ON a.conv_id = b.conv_id"
+    ).collect()
+    assert [(r.conv_id, r.ta, r.tb) for r in got] == [("c1", "x", "y")]
+    assert spark.sql("SELECT count(*) c FROM cat_a").collect()[0].c == 1
+    # head views see the committed transaction
+    cat.sql_views(prefix="cat_")
+    assert spark.sql("SELECT count(*) c FROM cat_a").collect()[0].c == 2
