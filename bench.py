@@ -485,6 +485,86 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def run_catalog_txn(spark, sf_dir: str) -> dict:
+    """The SAME 4-batch even/odd-split replay twice — direct merges vs
+    staged catalog transactions (lake.catalog: branch fork + per-table
+    fast-forward + one pointer link-create per batch). The delta is the
+    transaction machinery, which is driver-side JSON metadata only — at
+    any data scale the overhead stays a per-batch CONSTANT, so this
+    measures the constant on this host."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from etl_spark.cdc.apply import replay
+    from etl_spark.lake import Catalog, LakeTable
+    from etl_spark.queries import _events_changelog
+
+    chg = _events_changelog(spark, sf_dir).withColumn(
+        "__q", F.ntile(4).over(Window.orderBy(F.col("ts"), F.col("lsn")))
+    ).persist()
+    chg.count()  # stage the input once so both variants read from cache
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    parity = F.col("user_id") % 2 == 0
+    machinery = [0.0]
+
+    def replay_split(with_catalog: bool) -> float:
+        tmp = tempfile.mkdtemp(prefix="etl_spark_cattx_")
+        tabs = {
+            name: LakeTable.create(
+                spark, os.path.join(tmp, name), schema,
+                key=["user_id"], n_buckets=16,
+            )
+            for name in ("even", "odd")
+        }
+        cat = None
+        if with_catalog:
+            cat = Catalog.create(spark, os.path.join(tmp, "cat"))
+            for n, t in tabs.items():
+                cat.register(n, t)
+        machinery[0] = 0.0
+        t0 = time.time()
+        for q in range(1, 5):
+            batch = chg.filter(F.col("__q") == q).drop("__q")
+            if with_catalog:
+                txn = cat.transaction()
+                replay(spark, batch.filter(parity), txn.table("even"))
+                replay(spark, batch.filter(~parity), txn.table("odd"))
+                tc = time.time()
+                txn.commit()  # fast-forwards + pins + pointer link-create
+                machinery[0] += time.time() - tc
+            else:
+                replay(spark, batch.filter(parity), tabs["even"])
+                replay(spark, batch.filter(~parity), tabs["odd"])
+        wall = time.time() - t0
+        shutil.rmtree(tmp, ignore_errors=True)
+        return wall
+
+    # warm-up discarded (codegen/JIT), then txn BEFORE direct so any
+    # residual warming favors direct — conservative for the overhead
+    # claim. The precise added cost is commit_machinery_sec: the summed
+    # wall inside txn.commit(), which launches ZERO Spark jobs (branch
+    # fast-forward + ref pins + catalog pointer are driver-side JSON).
+    replay_split(False)
+    txn = replay_split(True)
+    commit_machinery = machinery[0]
+    direct = replay_split(False)
+    chg.unpersist()
+    return {
+        "direct_sec": round(direct, 3),
+        "txn_sec": round(txn, 3),
+        "commit_machinery_sec": round(commit_machinery, 4),
+        "overhead_sec_per_batch": round((txn - direct) / 4, 3),
+    }
+
+
 def run_scd2_apply(spark, sf_dir: str, n_batches: int = 4) -> dict:
     """History-preserving CDC: the events changelog applied in
     ``n_batches`` chronological batches through cdc.scd2.apply_scd2
@@ -935,6 +1015,8 @@ def main() -> None:
         ttl = run_ttl_delete(spark, sf_dir, work_dir)
         queries["ttl_delete_metadata"] = ttl["metadata"]["sec"]
         queries["ttl_delete_rewrite"] = ttl["rewrite"]["sec"]
+        cattx = run_catalog_txn(spark, sf_dir)
+        queries["catalog_txn_4batch"] = cattx["txn_sec"]
         cdc = run_cdc_replay(
             spark, os.path.join(work_dir, f"run{cpus}"), wal_dir, n_events
         )
@@ -957,6 +1039,7 @@ def main() -> None:
             "anti_entropy": ae,
             "derived": derived,
             "ttl_delete": ttl,
+            "catalog_txn": cattx,
         }
         if scaling:
             # Default N=2 vs 4N=8: both levels sit inside this sandbox VM's
