@@ -321,6 +321,14 @@ class Catalog:
             if n.startswith("cat-v") and n.endswith(".json")
         )
         keep = set(versions[-max(1, keep_last):])
+        # reconcile the pins of EVERY path any version (retained OR about
+        # to be removed) references — a table dropped from all retained
+        # versions would otherwise keep its refs forever, blocking that
+        # table's expire_snapshots from ever reclaiming the snapshots
+        all_paths: set[str] = set()
+        for v in versions:
+            for ent in self._read_version(v)["tables"].values():
+                all_paths.add(ent["path"])
         removed = 0
         for v in versions:
             if v not in keep:
@@ -333,8 +341,12 @@ class Catalog:
                 needed.setdefault(ent["path"], set()).add(int(ent["version"]))
         dropped_refs = 0
         prefix = f"cat{self._tag}-v"
-        for path, versions_needed in needed.items():
-            t = LakeTable.load(self.spark, path)
+        for path in sorted(all_paths):
+            try:
+                t = LakeTable.load(self.spark, path)
+            except FileNotFoundError:
+                continue  # table deleted from disk — nothing left to unpin
+            versions_needed = needed.get(path, set())
             for ref, rv in t.refs().items():
                 if ref.startswith(prefix) and rv not in versions_needed:
                     t.drop_ref(ref)

@@ -222,6 +222,25 @@ def test_catalog_pins_survive_table_expiry_until_catalog_expire(
         cat.read("a", catalog_version=v0)
 
 
+def test_expire_releases_pins_of_dropped_tables(spark, tmp_path):
+    """A table dropped from the catalog appears in NO retained version
+    after enough expiry — its pins must still be released (leak fix)."""
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "v0")])
+    cat = mk_cat(spark, tmp_path, {"a": a})
+    prefix = f"cat{cat._tag}-v"
+    assert any(r.startswith(prefix) for r in a.refs())
+    cat.drop("a")
+    # push the drop (and the pre-drop versions) out of retained history
+    b = mk_table(spark, tmp_path, "b")
+    cat.register("b", b)
+    cat.expire(keep_last=1)
+    # no retained catalog version references table a, so its catalog
+    # pins are gone and table-side expiry can reclaim everything
+    assert not any(r.startswith(prefix) for r in a.refs())
+    # idempotent: a second expire finds nothing more to drop
+    assert cat.expire(keep_last=1)["dropped_refs"] == 0
+
+
 def test_txn_merge_through_branch_handle(spark, tmp_path):
     """The full MERGE surface works on a staged handle (the CDC shape:
     per-batch data + metrics committed as one transaction)."""
