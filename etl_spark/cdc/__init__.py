@@ -13,6 +13,7 @@ from etl_spark.cdc.patch import (
     folded_to_patch_rows,
     resolve_patches,
 )
+from etl_spark.cdc.router import RoutedCdcStream, route_batch
 from etl_spark.cdc.scd2 import apply_scd2, create_scd2_table, scd2_schema
 
 __all__ = [
@@ -29,6 +30,8 @@ __all__ = [
     "folded_to_patch_rows",
     "replay",
     "resolve_patches",
+    "RoutedCdcStream",
+    "route_batch",
     "apply_scd2",
     "create_scd2_table",
     "scd2_schema",

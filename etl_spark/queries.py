@@ -399,6 +399,85 @@ def q_cdc_apply_skip_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table WAL routing (``cdc.route_batch``): the events changelog
+    is labeled with a destination by user_id parity and split into two
+    (ts, lsn)-ordered batches; each heterogeneous batch routes through
+    ONE catalog transaction — per-destination LWW dedup + MERGE on
+    branch handles, a single catalog commit flipping both tables'
+    visibility together, exactly-once commit markers. The union of the
+    two converged tables (read through the catalog, so through the
+    atomic pointers) must equal the flagship's LWW oracle with the
+    parity label re-derived — proving routing loses nothing, duplicates
+    nothing, and leaks nothing across destinations."""
+    from pyspark.sql.window import Window
+
+    from etl_spark.cdc.router import route_batch
+    from etl_spark.cdc.state import CommitLog
+    from etl_spark.lake import Catalog
+
+    chg = _events_changelog(spark, sf_dir).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("dest_table"),
+        "*",
+    ).withColumn(
+        "__q", F.ntile(2).over(Window.orderBy(F.col("ts"), F.col("lsn")))
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_route_q_")
+    cat = Catalog.create(spark, os.path.join(tmp, "cat"))
+    # deliberately different bucket counts: the router's fused accounting
+    # pass computes each destination's histogram under its OWN spec
+    for name, nb in (("even", 32), ("odd", 16)):
+        cat.register(
+            name,
+            LakeTable.create(
+                spark, os.path.join(tmp, name), schema,
+                key=["user_id"], n_buckets=nb,
+            ),
+        )
+    log = CommitLog(os.path.join(tmp, "commits"))
+    for q in (1, 2):
+        route_batch(
+            spark, chg.filter(F.col("__q") == q).drop("__q"), cat,
+            batch_id=q, commit_log=log,
+        )
+    parts = [
+        cat.read(name).select(
+            F.lit(name).alias("dest"),
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+        for name in ("even", "odd")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+_ORACLE_MULTI_ROUTE = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS dest,
+       user_id,
+       event_type AS last_event_type,
+       value      AS last_value,
+       ts         AS last_ts
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def _run_patch_apply(
     spark: SparkSession, sf_dir: str, mode: str, compact_after: int | None
 ) -> DataFrame:
@@ -3461,6 +3540,7 @@ FROM final WHERE value > 50.0
 QUERIES = {
     "cdc_apply_final_state": q_cdc_apply_final_state,
     "cdc_apply_mor": q_cdc_apply_mor,
+    "multi_table_route": q_multi_table_route,
     "cdc_apply_skip_unchanged": q_cdc_apply_skip_unchanged,
     "cdc_apply_patch": q_cdc_apply_patch,
     "cdc_apply_patch_mor": q_cdc_apply_patch_mor,
@@ -3560,6 +3640,7 @@ QUERIES = {
 ORACLE_SQL = {
     "cdc_apply_final_state": _ORACLE_CDC_FINAL,
     "cdc_apply_mor": _ORACLE_CDC_FINAL,
+    "multi_table_route": _ORACLE_MULTI_ROUTE,
     "cdc_apply_skip_unchanged": _ORACLE_CDC_FINAL,
     "cdc_apply_patch": _ORACLE_CDC_PATCH,
     "cdc_apply_patch_mor": _ORACLE_CDC_PATCH,

@@ -1,0 +1,277 @@
+"""Multi-table WAL routing (cdc.router): one heterogeneous change
+stream applied to several catalog tables with per-batch atomic
+cross-table visibility and exactly-once replay.
+
+Semantics under test: rows route by the table column to each
+destination's own key/dedup/merge; ONE catalog commit per batch flips
+every destination together (readers never see table A at batch N and
+table B at batch N-1); a replayed batch is a commit-log no-op; unknown
+tables and invalid rows dead-letter with labels; destinations never
+absorb each other's payload columns from the union WAL schema unless
+evolution is explicitly requested; watermarks drop cross-batch stale
+re-sends; the streaming wrapper resumes from checkpoint.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.cdc import RoutedCdcStream, route_batch
+from etl_spark.cdc.state import CommitLog, WatermarkStore
+from etl_spark.lake import Catalog, LakeTable
+
+WAL_SCHEMA = T.StructType(
+    [
+        T.StructField("dest_table", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("source_partition", T.IntegerType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+TS = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def ev(table, op, lsn, part=0, conv=None, turn=None, role=None, text=None,
+       uid=None, name=None, ts=TS):
+    return (table, op, lsn, part, ts, conv, turn, role, text, uid, name)
+
+
+def mk_catalog(spark, tmp_path):
+    turns = LakeTable.create(
+        spark, str(tmp_path / "turns"),
+        T.StructType([
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]),
+        key=["conv_id", "turn_idx"], n_buckets=4, bucket_by=["conv_id"],
+    )
+    users = LakeTable.create(
+        spark, str(tmp_path / "users"),
+        T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]),
+        key=["user_id"], n_buckets=2,
+    )
+    cat = Catalog.create(spark, str(tmp_path / "cat"))
+    cat.register("turns", turns)
+    cat.register("users", users)
+    return cat, turns, users
+
+
+def turns_rows(df):
+    return {(r.conv_id, r.turn_idx, r.role, r.text) for r in df.collect()}
+
+
+def users_rows(df):
+    return {(r.user_id, r.name) for r in df.collect()}
+
+
+def test_route_two_batches_atomic_and_exactly_once(spark, tmp_path):
+    cat, turns, users = mk_catalog(spark, tmp_path)
+    log = CommitLog(str(tmp_path / "commits"))
+    base = cat.current_version()
+
+    b0 = spark.createDataFrame(
+        [
+            ev("turns", "I", 1, conv="c1", turn=0, role="user", text="hi"),
+            ev("turns", "I", 2, conv="c1", turn=1, role="assistant", text="yo"),
+            ev("users", "I", 3, uid=7, name="ada"),
+            ev("users", "I", 4, uid=8, name="bob"),
+            # in-batch LWW: the later lsn wins for the same key
+            ev("turns", "U", 5, conv="c1", turn=0, role="user", text="hi!"),
+        ],
+        WAL_SCHEMA,
+    )
+    s0 = route_batch(spark, b0, cat, batch_id=0, commit_log=log)
+    assert s0["rows_in"] == 5 and s0["rows_failed"] == 0
+    # ONE catalog commit for the whole batch
+    assert s0["catalog_version"] == base + 1
+    assert turns_rows(cat.read("turns")) == {
+        ("c1", 0, "user", "hi!"), ("c1", 1, "assistant", "yo"),
+    }
+    assert users_rows(cat.read("users")) == {(7, "ada"), (8, "bob")}
+
+    b1 = spark.createDataFrame(
+        [
+            ev("turns", "U", 6, conv="c1", turn=1, role="assistant", text="yo2"),
+            ev("users", "D", 7, uid=8),
+        ],
+        WAL_SCHEMA,
+    )
+    s1 = route_batch(spark, b1, cat, batch_id=1, commit_log=log)
+    assert s1["catalog_version"] == base + 2
+    assert turns_rows(cat.read("turns")) == {
+        ("c1", 0, "user", "hi!"), ("c1", 1, "assistant", "yo2"),
+    }
+    assert users_rows(cat.read("users")) == {(7, "ada")}
+    # cross-table consistency at every catalog version (time travel)
+    assert users_rows(cat.read("users", catalog_version=base + 1)) == {
+        (7, "ada"), (8, "bob"),
+    }
+
+    # exactly-once: a replayed batch is a marker no-op — no new catalog
+    # version, no table writes
+    s1b = route_batch(spark, b1, cat, batch_id=1, commit_log=log)
+    assert s1b["skipped"] is True
+    assert cat.current_version() == base + 2
+
+
+def test_unknown_table_and_invalid_rows_dead_letter(spark, tmp_path):
+    cat, turns, users = mk_catalog(spark, tmp_path)
+    dl = str(tmp_path / "dl")
+    batch = spark.createDataFrame(
+        [
+            ev("turns", "I", 1, conv="c1", turn=0, role="user", text="ok"),
+            ev("orders", "I", 2, conv="c9", turn=9),       # unregistered
+            ev(None, "I", 3, conv="c9", turn=9),           # NULL route
+            ev("users", "I", 4, uid=None, name="ghost"),   # NULL key
+            ev("users", "X", 5, uid=9, name="badop"),      # unknown op
+        ],
+        WAL_SCHEMA,
+    )
+    s = route_batch(spark, batch, cat, batch_id=0, dead_letter_dir=dl)
+    assert s["rows_in"] == 1 and s["rows_failed"] == 4
+    assert turns_rows(cat.read("turns")) == {("c1", 0, "user", "ok")}
+    assert users_rows(cat.read("users")) == set()
+    dead = spark.read.parquet(os.path.join(dl, "batch=0"))
+    got = {(r.dest_table, r.error) for r in dead.collect()}
+    assert got == {
+        ("orders", "unknown_table"),
+        (None, "unknown_table"),
+        ("users", "key_not_null"),
+        ("users", "op_unknown"),
+    }
+
+
+def test_schema_isolation_and_opt_in_evolution(spark, tmp_path):
+    cat, turns, users = mk_catalog(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [
+            ev("turns", "I", 1, conv="c1", turn=0, role="user", text="hi",
+               uid=999, name="leak"),
+            ev("users", "I", 2, uid=7, name="ada", text="leak"),
+        ],
+        WAL_SCHEMA,
+    )
+    route_batch(spark, batch, cat, batch_id=0)
+    # the union WAL schema must NOT leak across destinations
+    assert set(cat.table("turns").schema.fieldNames()) == {
+        "conv_id", "turn_idx", "role", "text",
+    }
+    assert set(cat.table("users").schema.fieldNames()) == {
+        "user_id", "name",
+    }
+    # explicit evolution carries a named column into ONE destination
+    route_batch(
+        spark,
+        spark.createDataFrame(
+            [ev("users", "U", 3, uid=7, name="ada", role="admin")], WAL_SCHEMA
+        ),
+        cat, batch_id=1, evolve={"users": ["role"]},
+    )
+    assert "role" in cat.table("users").schema.fieldNames()
+    assert {(r.user_id, r.name, r.role) for r in cat.read("users").collect()} == {
+        (7, "ada", "admin")
+    }
+    assert "user_id" not in cat.table("turns").schema.fieldNames()
+
+
+def test_watermarks_drop_cross_batch_stale_resend(spark, tmp_path):
+    cat, turns, users = mk_catalog(spark, tmp_path)
+    wm = WatermarkStore(str(tmp_path / "wm"))
+    b0 = spark.createDataFrame(
+        [ev("turns", "I", 10, conv="c1", turn=0, role="user", text="new")],
+        WAL_SCHEMA,
+    )
+    route_batch(spark, b0, cat, batch_id=0, watermark_store=wm)
+    base = cat.current_version()
+    # an at-least-once producer re-emits lsn<=10 in the next batch: the
+    # stale OLD text must not overwrite, and nothing commits at all
+    b1 = spark.createDataFrame(
+        [ev("turns", "I", 10, conv="c1", turn=0, role="user", text="stale")],
+        WAL_SCHEMA,
+    )
+    s = route_batch(spark, b1, cat, batch_id=1, watermark_store=wm)
+    assert s["rows_in"] == 0 and s["catalog_version"] is None
+    assert cat.current_version() == base
+    assert turns_rows(cat.read("turns")) == {("c1", 0, "user", "new")}
+
+
+def test_missing_key_column_is_a_loud_config_error(spark, tmp_path):
+    cat, _, _ = mk_catalog(spark, tmp_path)
+    bad = spark.createDataFrame(
+        [("turns", "I", 1)],
+        "dest_table string, op string, lsn long",
+    )
+    with pytest.raises(ValueError, match="key column"):
+        route_batch(spark, bad, cat, batch_id=0)
+
+
+def test_routed_stream_replay_and_resume(spark, tmp_path):
+    cat, turns, users = mk_catalog(spark, tmp_path)
+    wal = str(tmp_path / "wal" / "part=0")
+    os.makedirs(wal)
+
+    def seg(name, rows, mtime):
+        p = os.path.join(wal, name)
+        spark.createDataFrame(rows, WAL_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p + ".d")
+        part = [f for f in os.listdir(p + ".d") if f.endswith(".parquet")][0]
+        os.rename(os.path.join(p + ".d", part), p)
+        os.utime(p, (mtime, mtime))
+
+    seg("seg-0.parquet", [
+        ev("turns", "I", 1, conv="c1", turn=0, role="user", text="a"),
+        ev("users", "I", 2, uid=1, name="n1"),
+    ], 1_700_000_000)
+    seg("seg-1.parquet", [
+        ev("turns", "U", 3, conv="c1", turn=0, role="user", text="b"),
+        ev("users", "D", 4, uid=1),
+    ], 1_700_000_100)
+
+    state = str(tmp_path / "state")
+    stream = RoutedCdcStream(
+        spark, str(tmp_path / "wal"), cat, state,
+        max_files_per_trigger=1,
+    )
+    stats = stream.run_to_completion()
+    applied = [s for s in stats if not s.get("skipped")]
+    assert len(applied) == 2  # one file per trigger -> per-batch commits
+    assert turns_rows(cat.read("turns")) == {("c1", 0, "user", "b")}
+    assert users_rows(cat.read("users")) == set()
+    v = cat.current_version()
+
+    # resume: a fresh instance over the same state dir applies nothing
+    stats2 = RoutedCdcStream(
+        spark, str(tmp_path / "wal"), cat, state, max_files_per_trigger=1,
+    ).run_to_completion()
+    assert all(s.get("skipped") for s in stats2) or stats2 == []
+    assert cat.current_version() == v
+
+    # new segment arrives: only it is applied
+    seg("seg-2.parquet", [
+        ev("users", "I", 5, uid=2, name="n2"),
+    ], 1_700_000_200)
+    stats3 = RoutedCdcStream(
+        spark, str(tmp_path / "wal"), cat, state, max_files_per_trigger=1,
+    ).run_to_completion()
+    assert sum(1 for s in stats3 if not s.get("skipped")) == 1
+    assert users_rows(cat.read("users")) == {(2, "n2")}
+    assert turns_rows(cat.read("turns")) == {("c1", 0, "user", "b")}
