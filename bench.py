@@ -51,6 +51,10 @@ HEADLINE = [
     "quota_sample",
     "asof_join",
     "scd2",
+    # multi-table routing: two catalog-transactional destinations per
+    # batch — keeps the router's fused accounting + per-destination merge
+    # cost measured against the single-table flagship above
+    "multi_table_route",
 ]
 
 # Bench changelog: ~1.1M change events over ~450k (conv_id, turn_idx) keys,
