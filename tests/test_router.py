@@ -223,6 +223,72 @@ def test_missing_key_column_is_a_loud_config_error(spark, tmp_path):
         route_batch(spark, bad, cat, batch_id=0)
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_route_events = st.lists(
+    st.tuples(
+        st.sampled_from(["ta", "tb"]),      # destination
+        st.integers(0, 5),                  # key
+        st.sampled_from(["I", "U", "D"]),   # op
+        st.text(alphabet="xy", max_size=3), # payload
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_route_events, chunks=st.integers(1, 3))
+def test_router_converges_on_random_heterogeneous_streams(
+    spark, tmp_path_factory, rows, chunks
+):
+    """Fuzz: ANY interleaving of I/U/D events across two destinations,
+    split into ANY number of lsn-ordered batches, routed with commit log
+    + watermarks, must converge each table to the sequential-apply model
+    — deletes of absent keys, delete-then-reinsert, cross-destination
+    key collisions and empty batches included."""
+    # lsn = arrival order; ts coarsened but monotone with lsn (the WAL
+    # contract: LWW order == arrival order)
+    schema = ("dest_table string, op string, lsn long, source_partition int,"
+              " ts timestamp, k int, v string")
+    events = [
+        (t, op, i + 1, 0,
+         dt.datetime(2026, 1, 1) + dt.timedelta(seconds=(i + 1) // 2), k, v)
+        for i, (t, k, op, v) in enumerate(rows)
+    ]
+    base = tmp_path_factory.mktemp("route_fuzz")
+    cat = Catalog.create(spark, str(base / "cat"))
+    for name in ("ta", "tb"):
+        cat.register(name, LakeTable.create(
+            spark, str(base / name),
+            T.StructType([T.StructField("k", T.IntegerType()),
+                          T.StructField("v", T.StringType())]),
+            key=["k"], n_buckets=2,
+        ))
+    log = CommitLog(str(base / "commits"))
+    wm = WatermarkStore(str(base / "wm"))
+    size = -(-len(events) // chunks)
+    for b in range(chunks):
+        batch = events[b * size:(b + 1) * size]
+        route_batch(
+            spark, spark.createDataFrame(batch, schema), cat,
+            batch_id=b, commit_log=log, watermark_store=wm,
+        )
+    # sequential-apply model
+    state: dict[tuple, str] = {}
+    for t, op, _lsn, _p, _ts, k, v in events:
+        if op == "D":
+            state.pop((t, k), None)
+        else:
+            state[(t, k)] = v
+    for name in ("ta", "tb"):
+        got = {(r.k, r.v) for r in cat.read(name).collect()}
+        exp = {(k, v) for (t, k), v in state.items() if t == name}
+        assert got == exp, (name, got, exp)
+
+
 def test_routed_stream_replay_and_resume(spark, tmp_path):
     cat, turns, users = mk_catalog(spark, tmp_path)
     wal = str(tmp_path / "wal" / "part=0")
