@@ -1,10 +1,12 @@
 """Vector (embedding) column functions — pure Catalyst expressions over
-``array<float>`` columns; no Python in the hot path.
+``array<float>`` columns; no Python round-trips.
 
-Used by the similarity-search and embedding near-dup operators. At 100 TB
-these run inside whole-stage codegen on the JVM; the pandas/numpy variants
-in operators/similarity.py exist only where top-k heap semantics genuinely
-need them."""
+Used by the similarity-search and embedding near-dup operators for
+one-off / low-volume column math. NOTE: Spark's higher-order functions
+(zip_with/aggregate/transform) are CodegenFallback — interpreted per
+element, JVM-side but NOT codegen (see CLAUDE.md) — so the dense hot
+paths in operators/similarity.py use Arrow mapInPandas + numpy BLAS
+instead; these expressions are for plumbing, oracles and small frames."""
 
 from __future__ import annotations
 
