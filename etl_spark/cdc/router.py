@@ -125,6 +125,7 @@ def route_batch(
     dead_letter_dir: str | None = None,
     salted_dedup: bool = False,
     merge_lww_by: Sequence[str] | None = None,
+    merge_mode: str = "cow",
     repair_diverged: bool = False,
 ) -> dict:
     """Apply one heterogeneous changelog micro-batch: route rows by
@@ -320,6 +321,7 @@ def route_batch(
                 op_col=op_col,
                 per_bucket=per_table_buckets[name],
                 lww_by=list(merge_lww_by) if merge_lww_by else None,
+                mode=merge_mode,
             )
             stats["tables"][name] = mstats
         stats["catalog_version"] = txn.commit()
@@ -360,13 +362,28 @@ class RoutedCdcStream:
     max_files_per_trigger: int = 8
     salted_dedup: bool = False
     merge_lww_by: list[str] | None = None
+    # "mor" commits each destination's merge merge-on-read (O(batch)
+    # bytes per table per micro-batch — the high-frequency multi-table
+    # shape); pair with compact_every so every destination's delta
+    # backlog stays bounded.
+    merge_mode: str = "cow"
     dead_letter: bool = True
     retry_attempts: int = 3
     repair_diverged: bool = False
+    # Maintenance cadence: every N applied batches, compact + expire
+    # EVERY routed destination, then Catalog.publish the maintenance
+    # commit — maintenance advances the table chain past the catalog
+    # pointer, and an unadopted maintenance commit would make the next
+    # transaction refuse the chain as diverged. Publishing immediately
+    # (a driver-side no-data link-create; catalog pins keep published
+    # versions safe from the expire) closes that window. 0 disables.
+    compact_every: int = 0
+    expire_keep_last: int = 3
     query: object = field(default=None, init=False)
 
     def __post_init__(self) -> None:
         os.makedirs(self.state_dir, exist_ok=True)
+        self._applied = 0
         self.commit_log = CommitLog(os.path.join(self.state_dir, "commits"))
         self.watermarks = WatermarkStore(
             os.path.join(self.state_dir, "watermarks")
@@ -383,30 +400,53 @@ class RoutedCdcStream:
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         from etl_spark.streaming.stream import retry_with_backoff
 
-        self.batch_stats.append(
-            retry_with_backoff(
-                lambda: route_batch(
-                    self.spark,
-                    batch_df,
-                    self.catalog,
-                    table_col=self.table_col,
-                    batch_id=batch_id,
-                    source=self.source_name,
-                    op_col=self.op_col,
-                    tables=self.tables,
-                    transforms=self.transforms,
-                    evolve=self.evolve,
-                    commit_log=self.commit_log,
-                    watermark_store=self.watermarks,
-                    metrics=self.metrics,
-                    dead_letter_dir=self.dead_letter_dir,
-                    salted_dedup=self.salted_dedup,
-                    merge_lww_by=self.merge_lww_by,
-                    repair_diverged=self.repair_diverged,
-                ),
-                attempts=self.retry_attempts,
-            )
+        stats = retry_with_backoff(
+            lambda: route_batch(
+                self.spark,
+                batch_df,
+                self.catalog,
+                table_col=self.table_col,
+                batch_id=batch_id,
+                source=self.source_name,
+                op_col=self.op_col,
+                tables=self.tables,
+                transforms=self.transforms,
+                evolve=self.evolve,
+                commit_log=self.commit_log,
+                watermark_store=self.watermarks,
+                metrics=self.metrics,
+                dead_letter_dir=self.dead_letter_dir,
+                salted_dedup=self.salted_dedup,
+                merge_lww_by=self.merge_lww_by,
+                merge_mode=self.merge_mode,
+                repair_diverged=self.repair_diverged,
+            ),
+            attempts=self.retry_attempts,
         )
+        self.batch_stats.append(stats)
+        if not stats.get("skipped"):
+            self._applied += 1
+            if self.compact_every and self._applied % self.compact_every == 0:
+                stats["maintenance"] = self._maintenance_tick()
+
+    def _maintenance_tick(self) -> dict:
+        """Compact + expire every routed destination, adopting each
+        maintenance commit into the catalog immediately (see
+        compact_every comment). Folds any mor delta backlog; catalog
+        pins protect published/pinned versions from the expire."""
+        out: dict[str, int] = {}
+        names = (
+            list(self.tables)
+            if self.tables is not None
+            else sorted(self.catalog.entries())
+        )
+        for name in names:
+            t = self.catalog.table(name)
+            t.compact()
+            if self.expire_keep_last:
+                t.expire_snapshots(keep_last=self.expire_keep_last)
+            out[name] = self.catalog.publish(name)
+        return out
 
     def run_to_completion(self) -> list[dict]:
         from etl_spark.streaming.stream import discover_wal_schema

@@ -223,6 +223,61 @@ def test_missing_key_column_is_a_loud_config_error(spark, tmp_path):
         route_batch(spark, bad, cat, batch_id=0)
 
 
+def test_routed_stream_mor_with_maintenance_converges(spark, tmp_path):
+    """merge_mode='mor' + compact cadence: every destination commits
+    O(batch) deltas per micro-batch, the maintenance tick folds the
+    backlog and ADOPTS the compaction commit into the catalog (an
+    unpublished maintenance commit would make the next transaction
+    refuse the chain as diverged)."""
+    cat, turns, users = mk_catalog(spark, tmp_path)
+    wal = str(tmp_path / "wal" / "part=0")
+    os.makedirs(wal)
+
+    def seg(name, rows, mtime):
+        p = os.path.join(wal, name)
+        spark.createDataFrame(rows, WAL_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p + ".d")
+        part = [f for f in os.listdir(p + ".d") if f.endswith(".parquet")][0]
+        os.rename(os.path.join(p + ".d", part), p)
+        os.utime(p, (mtime, mtime))
+
+    seg("s0.parquet", [
+        ev("turns", "I", 1, conv="c1", turn=0, role="user", text="a"),
+        ev("users", "I", 2, uid=1, name="n1"),
+    ], 1_700_000_000)
+    seg("s1.parquet", [
+        ev("turns", "U", 3, conv="c1", turn=0, role="user", text="b"),
+        ev("users", "D", 4, uid=1),
+        ev("users", "I", 5, uid=2, name="n2"),
+    ], 1_700_000_100)
+
+    stream = RoutedCdcStream(
+        spark, str(tmp_path / "wal"), cat, str(tmp_path / "state"),
+        max_files_per_trigger=1, merge_mode="mor",
+        compact_every=2, expire_keep_last=2,
+    )
+    stats = stream.run_to_completion()
+    applied = [s for s in stats if not s.get("skipped")]
+    assert len(applied) == 2 and "maintenance" in applied[-1]
+    assert turns_rows(cat.read("turns")) == {("c1", 0, "user", "b")}
+    assert users_rows(cat.read("users")) == {(2, "n2")}
+    # the compaction folded the mor backlog in every destination
+    for t in (turns, users):
+        snap = t.snapshot()
+        assert snap.delete_source_files == [] and not any(
+            f.get("kind") == "delta" for f in snap.files
+        )
+    # and the catalog adopted the maintenance commits: a fresh
+    # transaction opens cleanly (no divergence refusal) and commits
+    txn = cat.transaction()
+    txn.table("users").append(
+        spark.createDataFrame([(3, "n3")], "user_id long, name string")
+    )
+    assert txn.commit() is not None
+    assert users_rows(cat.read("users")) == {(2, "n2"), (3, "n3")}
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
