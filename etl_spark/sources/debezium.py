@@ -62,6 +62,7 @@ def parse_debezium(
     lsn_col: str = "lsn",
     ts_col: str = "ts",
     corrupt_col: str = "_corrupt",
+    table_col: str | None = None,
 ) -> DataFrame:
     """Normalize a Debezium JSON column into engine change rows.
 
@@ -76,7 +77,14 @@ def parse_debezium(
     Snapshot reads (op "r") normalize to upserts: replaying a snapshot +
     tail through the idempotent MERGE converges, which is exactly the
     Debezium initial-load contract. Works identically on batch and
-    streaming frames (one column projection, no state)."""
+    streaming frames (one column projection, no state).
+
+    ``table_col`` additionally surfaces the envelope's ``source.table``
+    — a Debezium SERVER stream carries every table of the source
+    database in one feed, and this column is what
+    ``cdc.route_batch(..., table_col=...)`` routes on (parse with the
+    UNION payload schema; each destination's rows carry the other
+    tables' columns as NULL, exactly the router's WAL contract)."""
     parsed = F.from_json(
         F.col(value_col), envelope_schema(payload_schema),
         {"mode": "PERMISSIVE", "timestampFormat": TIMESTAMP_FORMAT},
@@ -99,6 +107,8 @@ def parse_debezium(
         .alias(ts_col),
         F.when(bad, F.col(value_col)).alias(corrupt_col),
     ]
+    if table_col is not None:
+        cols.insert(-1, p["source"]["table"].alias(table_col))
     return df.select(*cols)
 
 

@@ -223,6 +223,46 @@ def test_missing_key_column_is_a_loud_config_error(spark, tmp_path):
         route_batch(spark, bad, cat, batch_id=0)
 
 
+def test_debezium_server_feed_routes_by_envelope_table(spark, tmp_path):
+    """The production Debezium-SERVER shape end-to-end: one JSON feed
+    carrying every table of the source database, parsed once with the
+    union payload schema (+ the envelope's source.table surfaced via
+    table_col), routed to per-table catalog destinations atomically."""
+    from etl_spark.sources.debezium import parse_debezium, split_rejects, to_debezium_json
+
+    cat, turns, users = mk_catalog(spark, tmp_path)
+    tchg = spark.createDataFrame(
+        [("U", 1, TS, "c1", 0, "user", "hi"),
+         ("U", 3, TS, "c1", 0, "user", "hi!")],
+        "op string, lsn long, ts timestamp, conv_id string, turn_idx int,"
+        " role string, text string",
+    )
+    uchg = spark.createDataFrame(
+        [("U", 2, TS, 7, "ada"), ("D", 4, TS, 8, None)],
+        "op string, lsn long, ts timestamp, user_id long, name string",
+    )
+    feed = to_debezium_json(
+        tchg, ["conv_id", "turn_idx", "role", "text"], table_name="turns"
+    ).unionByName(
+        to_debezium_json(uchg, ["user_id", "name"], table_name="users")
+    )
+    union_schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    parsed = parse_debezium(feed, union_schema, table_col="dest_table")
+    clean, rejects = split_rejects(parsed)
+    assert rejects.count() == 0
+    s = route_batch(spark, clean, cat, batch_id=0)
+    assert s["rows_in"] == 4
+    assert turns_rows(cat.read("turns")) == {("c1", 0, "user", "hi!")}
+    assert users_rows(cat.read("users")) == {(7, "ada")}
+
+
 def test_routed_stream_mor_with_maintenance_converges(spark, tmp_path):
     """merge_mode='mor' + compact cadence: every destination commits
     O(batch) deltas per micro-batch, the maintenance tick folds the
