@@ -40,6 +40,14 @@ Failure semantics (documented, tested):
   chain back to the pinned state (a compensating commit — the stranded
   versions stay time-travelable until expiry) and ``Catalog.publish``
   adopts the stray commits instead when they are wanted.
+* The diverged refusal is reserved for STABLE strays: a transaction
+  staged while a concurrent one published (the pointer moved after this
+  transaction captured its base, or is mid-flip for a few ms) raises
+  the retryable ``CommitConflict`` instead, so healthy concurrency
+  never surfaces the repair-or-publish error. Compensation rollbacks
+  may STACK (each loser forks at the previous rollback head); chain
+  cleanliness is judged by resolving the rollback references to the
+  pinned state, not by one literal op string.
 
 Reference: the reference migrates whole databases table-by-table with
 no cross-table atomicity (/root/reference/etl.go's per-table loop,
@@ -63,6 +71,25 @@ from etl_spark.lake.table import CommitConflict, LakeTable, _atomic_create
 
 _CAT_DIR = "_catalog"
 _NAME_RE = re.compile(r"[A-Za-z0-9._-]+")
+_ROLLBACK_RE = re.compile(r"rollback\((\d+)\)")
+
+
+def _rolls_back_to(t: "LakeTable", head: int, pinned: int) -> bool:
+    """True when ``head``'s STATE provably equals snapshot ``pinned``'s:
+    the head is a rollback whose target chain (rollbacks may STACK —
+    each compensated transaction forks at the previous rollback head and
+    compensates with a rollback of THAT version) resolves to ``pinned``.
+    rollback(x) restores x's state and state(rollback(y)) == state(y),
+    so following the references proves state equality."""
+    v = head
+    seen: set[int] = set()
+    while v != pinned and v not in seen:
+        seen.add(v)
+        m = _ROLLBACK_RE.fullmatch(t.snapshot(v, buckets=set()).op)
+        if not m:
+            return False
+        v = int(m.group(1))
+    return v == pinned
 
 
 class Catalog:
@@ -301,7 +328,7 @@ class Catalog:
         t = LakeTable.load(self.spark, e[name]["path"])
         pinned = int(e[name]["version"])
         head = t.current_version()
-        if head == pinned or t.snapshot(head).op == f"rollback({pinned})":
+        if head == pinned or _rolls_back_to(t, head, pinned):
             return None  # already clean (possibly via an earlier repair)
         return t.rollback(pinned).version
 
@@ -400,15 +427,36 @@ class CatalogTransaction:
         ent = self._base_entries[name]
         t = LakeTable.load(self._cat.spark, ent["path"])
         pinned = int(ent["version"])
-        head = t.current_version()
         fork = pinned
+        # distinguish three head-ahead-of-pin shapes:
+        #   1. a repair/compensation rollback whose STATE is the pinned
+        #      snapshot -> fork at the head so fast_forward can succeed;
+        #   2. a CONCURRENT transaction/publish that advanced the catalog
+        #      after this transaction captured its base (or is mid-commit
+        #      for a few ms between fast_forward and the catalog flip) ->
+        #      CommitConflict, the retryable answer (a fresh transaction
+        #      sees a consistent base). The short grace re-reads below
+        #      absorb the mid-commit window;
+        #   3. STABLE stray commits with an unmoved pointer (a crashed
+        #      transaction, an out-of-band writer) -> refuse loudly with
+        #      the recovery spelled out.
+        head = t.current_version()
         if head != pinned:
-            # accept exactly one shape of divergence: the head is a
-            # catalog `repair` / compensation rollback WHOSE STATE is the
-            # pinned snapshot — fork there so fast_forward can succeed.
-            # anything else is unpublished foreign data: refuse loudly.
-            if t.snapshot(head).op == f"rollback({pinned})":
-                fork = head
+            for _ in range(3):
+                if _rolls_back_to(t, head, pinned):
+                    fork = head
+                    break
+                cur = self._cat.entries().get(name)
+                if cur is None or int(cur["version"]) != pinned:
+                    raise CommitConflict(
+                        f"catalog pointer for {name!r} moved from "
+                        f"v{pinned} since this transaction began — "
+                        "re-run it on the new base"
+                    )
+                time.sleep(0.05)
+                head = t.current_version()
+                if head == pinned:
+                    break
             else:
                 raise RuntimeError(
                     f"table {name!r} chain (v{head}) diverged from its "

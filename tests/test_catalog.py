@@ -272,6 +272,80 @@ def test_txn_merge_through_branch_handle(spark, tmp_path):
     assert len(got) == 1 and got[0].batch == 1
 
 
+def test_concurrent_txns_serialize_with_retry(spark, tmp_path):
+    """4 threads x 3 transactions over OVERLAPPING table pairs, each
+    retrying on CommitConflict: every batch lands exactly once, the
+    catalog history is linear, and every catalog version is a consistent
+    cross-table point (compensation never leaves a partial commit
+    visible). The threaded analogue of the single-table
+    merge_with_retry race test, for the transaction machinery."""
+    import threading
+
+    a = mk_table(spark, tmp_path, "a")
+    b = mk_table(spark, tmp_path, "b")
+    c = mk_table(spark, tmp_path, "c")
+    cat = mk_cat(spark, tmp_path, {"a": a, "b": b, "c": c})
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("b", "a")]
+    errors: list[Exception] = []
+
+    def worker(i: int, t1: str, t2: str) -> None:
+        try:
+            for j in range(3):
+                for attempt in range(30):
+                    txn = cat.transaction()
+                    try:
+                        row = [(f"w{i}b{j}", i * 100 + j, t1)]
+                        txn.table(t1).append(
+                            spark.createDataFrame(row, SCHEMA)
+                        )
+                        txn.table(t2).append(
+                            spark.createDataFrame(
+                                [(f"w{i}b{j}", i * 100 + j, t2)], SCHEMA
+                            )
+                        )
+                        txn.commit()
+                        break
+                    except CommitConflict:
+                        continue
+                else:
+                    raise RuntimeError(f"worker {i} starved")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(i, *p))
+        for i, p in enumerate(pairs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    # every batch landed in BOTH its tables exactly once
+    got: dict[str, set] = {n: rows(cat.read(n)) for n in ("a", "b", "c")}
+    for i, (t1, t2) in enumerate(pairs):
+        for j in range(3):
+            assert (f"w{i}b{j}", i * 100 + j, t1) in got[t1]
+            assert (f"w{i}b{j}", i * 100 + j, t2) in got[t2]
+    assert sum(len(v) for v in got.values()) == 2 * len(pairs) * 3
+    # every retained catalog version is a consistent cross-table point:
+    # for each version, a batch's two rows are either both visible or
+    # both absent
+    def rows_at(n, v):
+        try:
+            return rows(cat.read(n, catalog_version=v))
+        except FileNotFoundError:  # not yet registered at this version
+            return set()
+
+    for v in range(cat.current_version() + 1):
+        snap = {n: rows_at(n, v) for n in ("a", "b", "c")}
+        for i, (t1, t2) in enumerate(pairs):
+            for j in range(3):
+                in1 = (f"w{i}b{j}", i * 100 + j, t1) in snap[t1]
+                in2 = (f"w{i}b{j}", i * 100 + j, t2) in snap[t2]
+                assert in1 == in2, (v, i, j, in1, in2)
+
+
 def test_sql_views_join_at_one_consistent_point(spark, tmp_path):
     a = mk_table(spark, tmp_path, "a", [("c1", 0, "x")])
     b = mk_table(spark, tmp_path, "b", [("c1", 0, "y")])
