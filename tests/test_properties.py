@@ -247,3 +247,96 @@ def test_delete_where_dispositions_match_filter_model(
     )
     assert got == exp
     assert stats["rows_deleted"] == len(rows) - len(exp)
+
+
+_patch_rows = st.lists(
+    st.tuples(
+        st.integers(0, 4),                                   # key
+        st.sampled_from(["I", "U", "D"]),
+        st.sets(st.sampled_from(["v", "w"]), min_size=1),    # touched (U)
+        st.one_of(st.none(), st.text(alphabet="ab", max_size=2)),  # v
+        st.one_of(st.none(), st.integers(-5, 5)),            # w
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=_patch_rows,
+    chunks=st.integers(1, 3),
+    modes=st.lists(
+        st.sampled_from(["cow", "mor_patch", "cow+c", "mor_patch+c"]),
+        min_size=3, max_size=3,
+    ),
+)
+def test_patch_mode_interleavings_match_column_fold_model(
+    spark, tmp_path_factory, rows, chunks, modes
+):
+    """ANY interleaving of insert/partial-update/delete events, split
+    into ANY lsn-ordered batches, applied through ANY per-batch mix of
+    eager (cow) and deferred (mor_patch) patch application with
+    compaction at arbitrary points, must equal the sequential
+    column-wise fold model — set-to-NULL vs untouched-keeps-stored,
+    delete-then-patch recreation (pre-delete values must NOT leak), and
+    read-time folds over mixed cow/patch state included."""
+    from etl_spark.cdc.patch import apply_patches
+    from etl_spark.lake import LakeTable
+
+    path = str(tmp_path_factory.mktemp("patchfuzz") / "t")
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("w", T.LongType()),
+    ])
+    table = LakeTable.create(spark, path, schema, key=["k"], n_buckets=2)
+
+    events = []  # (k, op, lsn, touched, v, w)
+    for i, (k, op, touched, v, w) in enumerate(rows):
+        if op == "U":
+            events.append((
+                k, op, i + 1, sorted(touched),
+                v if "v" in touched else None,
+                w if "w" in touched else None,
+            ))
+        else:  # I/D: every column is touched by contract; D carries NULLs
+            events.append(
+                (k, op, i + 1, None, v if op == "I" else None,
+                 w if op == "I" else None)
+            )
+
+    ev_schema = ("k long, op string, lsn long, touched array<string>,"
+                 " v string, w long")
+    size = -(-len(events) // chunks)
+    for b in range(chunks):
+        batch = events[b * size:(b + 1) * size]
+        if not batch:
+            continue
+        mode = modes[b % len(modes)]
+        apply_patches(
+            table, spark.createDataFrame(batch, ev_schema),
+            key=["k"], order_by=["lsn"],
+            mode="mor_patch" if mode.startswith("mor_patch") else "cow",
+        )
+        if mode.endswith("+c"):
+            table.compact()
+
+    # sequential column-wise fold model
+    state: dict[int, dict] = {}
+    for k, op, _lsn, touched, v, w in events:
+        if op == "D":
+            state.pop(k, None)
+            continue
+        row = state.setdefault(k, {"v": None, "w": None})
+        if op == "I":
+            row["v"], row["w"] = v, w
+        else:
+            if "v" in touched:
+                row["v"] = v
+            if "w" in touched:
+                row["w"] = w
+    got = {(r.k, r.v, r.w) for r in table.read().collect()}
+    exp = {(k, d["v"], d["w"]) for k, d in state.items()}
+    assert got == exp
