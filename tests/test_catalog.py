@@ -156,6 +156,28 @@ def test_same_table_txn_race_compensates_and_conflicts(spark, tmp_path):
     assert rows(cat.read("b")) == {("b1", 0, "t3")}
 
 
+def test_catalog_level_conflict_compensates_forwarded_chain(spark, tmp_path):
+    """The pointer-only race: a publish() re-pins the table WITHOUT
+    touching its chain after a transaction already fast-forwarded it —
+    the table-level commit succeeded, so compensation must happen at the
+    CATALOG-conflict stage: the forwarded chain rolls back to its fork
+    state and nothing of the transaction is visible anywhere."""
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "base")])
+    cat = mk_cat(spark, tmp_path, {"a": a})
+    txn = cat.transaction()
+    txn.table("a").append(spark.createDataFrame([("c2", 0, "txn")], SCHEMA))
+    # deliberate pointer rewind to the empty create snapshot (version 0):
+    # chain untouched, so the transaction's fast_forward will SUCCEED and
+    # only the catalog commit can detect the conflict
+    cat.publish("a", version=0)
+    with pytest.raises(CommitConflict):
+        txn.commit()
+    # chain compensated back to its fork STATE; catalog reads the rewind
+    assert rows(a.read()) == {("c1", 0, "base")}
+    assert rows(cat.read("a")) == set()
+    assert a.branches() == {}
+
+
 def test_disjoint_txns_rebase_both_land(spark, tmp_path):
     a = mk_table(spark, tmp_path, "a")
     b = mk_table(spark, tmp_path, "b")
