@@ -338,7 +338,17 @@ class Catalog:
         reconcile table-side pins: every ref this catalog owns whose
         pinned version no retained catalog version references is
         dropped (the table's own ``expire_snapshots`` may then reclaim
-        it). Driver-side metadata only."""
+        it). Driver-side metadata only.
+
+        Concurrency: a transaction pins its new table versions BEFORE
+        its catalog commit, so an expire racing an in-flight commit
+        could reconcile such a pin away as unreferenced. A final healing
+        pass re-reads the version set (including any committed during
+        this call) and re-creates every pin a retained version needs
+        (``_pin`` is idempotent), shrinking that window to nothing for
+        any transaction whose catalog commit lands before the re-read;
+        run ``expire`` from the catalog owner's maintenance cadence, not
+        concurrently with a storm of writers."""
         cur = self.current_version()
         if cur is None:
             raise FileNotFoundError(f"no catalog at {self.path}")
@@ -378,6 +388,19 @@ class Catalog:
                 if ref.startswith(prefix) and rv not in versions_needed:
                     t.drop_ref(ref)
                     dropped_refs += 1
+        # healing pass: re-read the live version set (a transaction may
+        # have committed mid-expire) and restore every pin a retained
+        # version needs — idempotent, O(#tables) driver reads
+        cur2 = self.current_version()
+        for v in range((cur2 if cur2 is not None else -1) + 1):
+            if not os.path.exists(self._v_path(v)):
+                continue
+            for ent in self._read_version(v)["tables"].values():
+                try:
+                    t = LakeTable.load(self.spark, ent["path"])
+                except FileNotFoundError:
+                    continue
+                self._pin(t, int(ent["version"]))
         return {"removed_versions": removed, "dropped_refs": dropped_refs}
 
 
