@@ -335,9 +335,10 @@ _route_events = st.lists(
 
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(rows=_route_events, chunks=st.integers(1, 3))
+@given(rows=_route_events, chunks=st.integers(1, 3),
+       mode=st.sampled_from(["cow", "mor"]))
 def test_router_converges_on_random_heterogeneous_streams(
-    spark, tmp_path_factory, rows, chunks
+    spark, tmp_path_factory, rows, chunks, mode
 ):
     """Fuzz: ANY interleaving of I/U/D events across two destinations,
     split into ANY number of lsn-ordered batches, routed with commit log
@@ -370,6 +371,7 @@ def test_router_converges_on_random_heterogeneous_streams(
         route_batch(
             spark, spark.createDataFrame(batch, schema), cat,
             batch_id=b, commit_log=log, watermark_store=wm,
+            merge_mode=mode,
         )
     # sequential-apply model
     state: dict[tuple, str] = {}
