@@ -127,6 +127,7 @@ def route_batch(
     merge_lww_by: Sequence[str] | None = None,
     merge_mode: str = "cow",
     repair_diverged: bool = False,
+    transforms_preserve_keys_and_validity: bool = True,
 ) -> dict:
     """Apply one heterogeneous changelog micro-batch: route rows by
     ``table_col`` to their catalog tables, LWW-dedup per destination
@@ -142,6 +143,19 @@ def route_batch(
     destination's rows before its dedup; ``evolve[name]`` lists extra
     batch columns to carry INTO that table (schema evolution through
     the router is explicit — see module schema note).
+
+    ``transforms_preserve_keys_and_validity`` is the same contract as
+    ``apply_batch``'s flag: the fused accounting pass runs on the RAW
+    batch, and its per-destination bucket histogram becomes each
+    merge's affected-bucket set — files of unlisted buckets are kept
+    VERBATIM, so a transform that rewrites key/bucket column values
+    under the default promise would silently corrupt the table
+    (batch rows landing in a "kept" bucket duplicate its stored keys).
+    Set it False for re-keying transforms: those destinations' merges
+    recount buckets from the TRANSFORMED rows (one extra count action
+    per transformed destination — the fused pass still serves
+    dead-letter/watermark accounting, which stays a pre-transform
+    concept either way).
 
     Returns ``{batch_id, source, rows_in, rows_failed, catalog_version,
     tables: {name: merge_stats}}``.
@@ -316,10 +330,18 @@ def route_batch(
             merge_src = deduped.drop(
                 *[c for c in deduped.columns if c not in carry]
             )
+            # a non-preserving transform invalidates the pre-transform
+            # histogram: hand merge per_bucket=None so it recounts from
+            # the transformed rows (see docstring contract)
+            pb = (
+                per_table_buckets[name]
+                if fn is None or transforms_preserve_keys_and_validity
+                else None
+            )
             _snap, mstats = handle.merge(
                 merge_src,
                 op_col=op_col,
-                per_bucket=per_table_buckets[name],
+                per_bucket=pb,
                 lww_by=list(merge_lww_by) if merge_lww_by else None,
                 mode=merge_mode,
             )
@@ -370,6 +392,11 @@ class RoutedCdcStream:
     dead_letter: bool = True
     retry_attempts: int = 3
     repair_diverged: bool = False
+    # False when any transforms[name] rewrites key/bucket column values:
+    # those destinations' merges recount their bucket histogram from the
+    # transformed rows instead of trusting the raw-batch accounting pass
+    # (route_batch docstring has the full corruption story)
+    transforms_preserve_keys_and_validity: bool = True
     # Maintenance cadence: every N applied batches, compact + expire
     # EVERY routed destination, then Catalog.publish the maintenance
     # commit — maintenance advances the table chain past the catalog
@@ -420,6 +447,9 @@ class RoutedCdcStream:
                 merge_lww_by=self.merge_lww_by,
                 merge_mode=self.merge_mode,
                 repair_diverged=self.repair_diverged,
+                transforms_preserve_keys_and_validity=(
+                    self.transforms_preserve_keys_and_validity
+                ),
             ),
             attempts=self.retry_attempts,
         )

@@ -192,6 +192,88 @@ def test_schema_isolation_and_opt_in_evolution(spark, tmp_path):
     assert "user_id" not in cat.table("turns").schema.fieldNames()
 
 
+def test_rekeying_transform_needs_recount_flag(spark, tmp_path):
+    """A destination transform that REWRITES bucket/key column values
+    invalidates the raw-batch bucket histogram: merge keeps the files of
+    unlisted buckets verbatim, so trusting the pre-transform counts
+    would write the re-keyed rows into buckets whose stored files are
+    kept — duplicate keys. transforms_preserve_keys_and_validity=False
+    must hand merge a recount and converge exactly."""
+    cat, turns, users = mk_catalog(spark, tmp_path)
+
+    # pick a conv id whose "-eu" re-key PROVABLY lands in a different
+    # bucket under turns' spec (4 buckets, xxhash64 of conv_id) — the
+    # test must actually exercise the cross-bucket corruption vector
+    cands = [f"c{i}" for i in range(1, 33)]
+    moved = spark.createDataFrame(
+        [(c,) for c in cands], "conv_id string"
+    ).select(
+        "conv_id",
+        F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int").alias("b0"),
+        F.pmod(F.xxhash64(F.concat(F.col("conv_id"), F.lit("-eu"))), F.lit(4))
+        .cast("int")
+        .alias("b1"),
+    ).where("b0 <> b1").limit(1).collect()
+    conv = moved[0]["conv_id"]
+
+    def rekey(df):
+        return df.withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("-eu")))
+
+    # seed the destination bucket the re-keyed rows will land in, so the
+    # default-contract failure mode (kept file + new file, same bucket)
+    # is live rather than a bootstrap write
+    turns.append(
+        spark.createDataFrame(
+            [(f"{conv}-eu", 99, "system", "seed")],
+            cat.table("turns").schema,
+        )
+    )
+    cat.publish("turns")
+
+    b0 = spark.createDataFrame(
+        [
+            ev("turns", "I", 1, conv=conv, turn=0, role="user", text="hi"),
+            ev("turns", "I", 2, conv=conv, turn=1, role="assistant", text="yo"),
+            ev("users", "I", 3, uid=7, name="ada"),
+        ],
+        WAL_SCHEMA,
+    )
+    route_batch(
+        spark, b0, cat, batch_id=0, transforms={"turns": rekey},
+        transforms_preserve_keys_and_validity=False,
+    )
+    assert turns_rows(cat.read("turns")) == {
+        (f"{conv}-eu", 0, "user", "hi"),
+        (f"{conv}-eu", 1, "assistant", "yo"),
+        (f"{conv}-eu", 99, "system", "seed"),
+    }
+
+    # batch 1 updates one re-keyed row and deletes another: the merge
+    # must hit the TRANSFORMED keys' buckets
+    b1 = spark.createDataFrame(
+        [
+            ev("turns", "U", 4, conv=conv, turn=0, role="user", text="hi!"),
+            ev("turns", "D", 5, conv=conv, turn=1),
+        ],
+        WAL_SCHEMA,
+    )
+    route_batch(
+        spark, b1, cat, batch_id=1, transforms={"turns": rekey},
+        transforms_preserve_keys_and_validity=False,
+    )
+    final = cat.read("turns")
+    assert turns_rows(final) == {
+        (f"{conv}-eu", 0, "user", "hi!"),
+        (f"{conv}-eu", 99, "system", "seed"),
+    }
+    # no duplicate keys anywhere (the corruption signature of a stale
+    # histogram is a key present in both a kept file and a new file)
+    dupes = (
+        final.groupBy("conv_id", "turn_idx").count().where("count > 1").count()
+    )
+    assert dupes == 0
+
+
 def test_watermarks_drop_cross_batch_stale_resend(spark, tmp_path):
     cat, turns, users = mk_catalog(spark, tmp_path)
     wm = WatermarkStore(str(tmp_path / "wm"))
