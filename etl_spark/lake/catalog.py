@@ -70,6 +70,11 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_spark.lake.table import CommitConflict, LakeTable, _atomic_create
 
 _CAT_DIR = "_catalog"
+
+
+class _NoopCommit(Exception):
+    """Internal veto: the staged entries equal the current entries, so
+    the commit is elided (no catalog history growth on quiet ticks)."""
 _NAME_RE = re.compile(r"[A-Za-z0-9._-]+")
 _ROLLBACK_RE = re.compile(r"rollback\((\d+)\)")
 
@@ -250,6 +255,51 @@ class Catalog:
             e[name] = {**e[name], "version": int(tv)}
 
         return self._rebase_commit(_apply, op=f"publish({name})")
+
+    def publish_many(
+        self,
+        updates: dict[str, tuple["LakeTable", int]],
+        *,
+        drop: "tuple[str, ...] | list[str]" = (),
+        op: str = "publish_many",
+    ) -> int | None:
+        """Flip MANY pointers (and optionally add/remove entries) in ONE
+        catalog commit — the replication-flip primitive: a replicator
+        applies each table's pending change-feed windows to the replica
+        tables' chains (heads run ahead of the catalog, invisible to
+        catalog readers), then publishes the whole consistent pointer
+        set atomically, so readers jump between cross-table-consistent
+        points and never see a half-applied tick.
+
+        ``updates`` maps name -> (table handle, snapshot version); names
+        not yet registered are added (registration + flip in the same
+        commit — a bootstrapped table never appears empty). ``drop``
+        removes entries. Pins land before the commit (same order as
+        ``publish``). No-op elision: if nothing would change, commits
+        NOTHING and returns the current version. Last-write-wins on the
+        pointers it touches — meant for a catalog the caller owns (a
+        replica); unrelated entries rebase as usual."""
+        for name, (t, v) in updates.items():
+            if not _NAME_RE.fullmatch(name):
+                raise ValueError(
+                    f"table name {name!r} must match [A-Za-z0-9._-]+"
+                )
+            self._pin(t, int(v))
+        drops = set(drop)
+
+        def _apply(e: dict[str, dict[str, Any]]) -> None:
+            before = dict(e)
+            for name, (t, v) in updates.items():
+                e[name] = {"path": t.path, "version": int(v)}
+            for name in drops:
+                e.pop(name, None)
+            if e == before:
+                raise _NoopCommit()
+
+        try:
+            return self._rebase_commit(_apply, op=op)
+        except _NoopCommit:
+            return self.current_version()
 
     def _rebase_commit(self, apply_fn, op: str, attempts: int = 20) -> int:
         """Optimistic catalog commit: re-read + re-apply on conflict.

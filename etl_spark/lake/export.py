@@ -154,13 +154,23 @@ class ChangeFeedExporter:
         return best
 
     # ----------------------------------------------------------- export
-    def export_once(self) -> dict:
+    def export_once(self, to_version: int | None = None) -> dict:
         """Export the window (cursor, current_version] as one segment.
+
+        ``to_version`` pins the window's upper bound below the live head
+        — the catalog-replication shape: a replicator exports each table
+        to its CATALOG-pinned version, never to a head that may carry a
+        concurrent transaction's unpublished (or mid-flip) commits, so
+        every exported window is a published consistency point. Catalog
+        pins (named refs) keep that snapshot alive for the diff.
 
         Returns ``{"skipped": True}`` when the table has no new version.
         One diff scan + one write per call — no row-count action (text
         files carry no footer counts; consumers account on apply)."""
-        cur = self.table.current_version()
+        cur = (
+            self.table.current_version() if to_version is None
+            else int(to_version)
+        )
         state = self._cursor_state()
         last = int(state.get("exported_version", 0))
         # Crash reconciliation: the atomic segment RENAME is the real

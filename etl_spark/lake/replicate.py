@@ -1,0 +1,201 @@
+"""Whole-catalog replication: primary ``Catalog`` -> replica ``Catalog``.
+
+``lake.export`` replicates ONE table exactly-once through a Debezium
+JSONL feed; real deployments replicate a fleet of correlated tables (a
+CDC target plus its derived views, medallion layers) where the replica
+must never expose a CROSS-TABLE-inconsistent state — table A at primary
+transaction 12 while table B is still at 11. The reference migrates
+whole databases table-by-table with no such guarantee
+(/root/reference/etl.go's per-table loop); this module is the
+lake-native upgrade that composes two already-tested pieces into a
+consistent-cut replicator:
+
+1. **Export at catalog pins, never at table heads.** Each tick captures
+   ONE primary catalog version ``pv`` and exports every table's window
+   up to its ``pv``-pinned snapshot (``export_once(to_version=...)``).
+   A table head may carry a concurrent transaction's not-yet-published
+   (or mid-flip) commits; the catalog pin is by construction a
+   published consistency point, and the catalog's named refs keep that
+   snapshot alive for the diff regardless of ``expire_snapshots``.
+2. **Apply to chains, flip the catalog once.** Pending windows apply to
+   the replica TABLES' chains (exactly-once via each table's
+   commit-log, idempotent across crash replays); replica-catalog
+   readers never see those heads — they read the catalog pins. Only
+   after EVERY table has applied does one ``publish_many`` commit flip
+   the whole pointer set, so the replica catalog jumps between
+   cross-table-consistent cuts (each equal to the primary's state at
+   some ``pv``), never through a half-applied tick.
+
+Crash anywhere converges on the next tick: export segments are
+rename-committed and cursor-reconciled, applies are commit-log-keyed
+no-ops on replay, and the flip is a last-write-wins pointer set the
+replicator alone owns. A crash AFTER some applies but BEFORE the flip
+leaves replica heads ahead of their catalog pins — invisible to
+readers, adopted by the next tick's flip.
+
+Scale shape: per tick each table pays O(changed buckets) — a
+bucket-pruned CDF diff scan + one JSONL write on the primary, one key
+shuffle + bucketed MERGE on the replica; the catalog work is
+O(#tables) driver-side JSON. Tables with no new pinned version skip
+both halves entirely (cursor check + commit-log check, no Spark jobs),
+so a quiet catalog ticks for pennies.
+
+Ownership contract: the replica catalog and its tables belong to the
+replicator. Don't write them directly, don't run
+``Catalog.repair``/transactions against them (a repair would roll back
+applied-but-not-yet-flipped windows the commit log already marks done).
+Lost or corrupted replica state has the same recovery as single-table
+replication: ``anti-entropy`` (``lake.sync``) or a feed re-bootstrap
+via ``ChangeFeedExporter.reset_cursor(0)``.
+
+Forward-only: a primary pointer REWIND (``publish`` to an older
+version) is not replicated — the exporter's cursor is monotonic, so the
+tick skips the table until the pointer passes the cursor again. Rewinds
+are a manual-recovery shape; replicate them by re-bootstrapping the
+table's feed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from etl_spark.lake.catalog import Catalog
+from etl_spark.lake.export import ChangeFeedExporter, replicate_available
+from etl_spark.lake.table import LakeTable
+
+
+class CatalogReplicator:
+    """Continuously replicate every table of ``primary`` into
+    ``replica``, flipping the replica atomically per tick.
+
+    ``work_dir`` holds the per-table feeds (``feed/<name>``) and
+    consumer state (``state/<name>``); bootstrapped replica tables are
+    created under ``table_root`` (default ``work_dir/tables``) with the
+    primary table's schema, key, bucket spec, and stats/bloom config.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        primary: Catalog,
+        replica: Catalog,
+        work_dir: str,
+        *,
+        table_root: str | None = None,
+        merge_mode: str = "cow",
+    ):
+        self.spark = spark
+        self.primary = primary
+        self.replica = replica
+        self.work_dir = os.path.abspath(work_dir)
+        self.table_root = os.path.abspath(
+            table_root or os.path.join(self.work_dir, "tables")
+        )
+        self.merge_mode = merge_mode
+
+    # ------------------------------------------------------------ helpers
+    def _feed_dir(self, name: str) -> str:
+        return os.path.join(self.work_dir, "feed", name)
+
+    def _state_dir(self, name: str) -> str:
+        return os.path.join(self.work_dir, "state", name)
+
+    def _check_feed_source(self, name: str, src_path: str) -> None:
+        """A feed directory accumulates windows of ONE table. If the
+        primary catalog re-points ``name`` at a DIFFERENT table path,
+        appending its windows to the old feed would interleave two
+        unrelated histories — refuse loudly; the recovery is a fresh
+        feed (delete ``feed/<name>`` + ``state/<name>``, which
+        re-bootstraps the name as a full load)."""
+        feed = self._feed_dir(name)
+        os.makedirs(feed, exist_ok=True)
+        marker = os.path.join(feed, "_source.json")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                recorded = json.load(fh)["path"]
+            if recorded != src_path:
+                raise RuntimeError(
+                    f"catalog name {name!r} moved from table {recorded} to "
+                    f"{src_path}; its feed at {feed} holds the OLD table's "
+                    "windows. Remove the feed and state dirs for this name "
+                    "to re-bootstrap it as a full load."
+                )
+            return
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"path": src_path}, fh)
+        os.replace(tmp, marker)
+
+    def _replica_table(self, name: str, src: LakeTable, pinned: int) -> LakeTable:
+        """Existing replica table for ``name`` (from the replica catalog
+        or a prior bootstrap), else create one cloning the primary's
+        pinned-snapshot table config."""
+        ent = self.replica.entries().get(name)
+        path = ent["path"] if ent else os.path.join(self.table_root, name)
+        if LakeTable.exists(self.spark, path):
+            return LakeTable.load(self.spark, path)
+        snap = src.snapshot(pinned, buckets=set())  # header-only: config
+        return LakeTable.create(
+            self.spark,
+            path,
+            schema=snap.schema,
+            key=snap.key,
+            n_buckets=snap.n_buckets,
+            bucket_by=snap.bucket_by,
+            stats_cols=snap.stats_cols,
+            bloom_cols=snap.bloom_cols,
+            bloom_ndv=snap.bloom_ndv,
+        )
+
+    # --------------------------------------------------------------- tick
+    def tick(self) -> dict[str, Any]:
+        """One replication pass: export every table's window up to its
+        primary-catalog-pinned version, apply all pending windows to the
+        replica tables, then flip the replica catalog ONCE. Returns the
+        per-table stats plus both catalog versions."""
+        pv = self.primary.current_version()
+        entries = self.primary.entries(pv)
+        updates: dict[str, tuple[LakeTable, int]] = {}
+        tables: dict[str, Any] = {}
+        for name in sorted(entries):
+            ent = entries[name]
+            src = LakeTable.load(self.spark, ent["path"])
+            pinned = int(ent["version"])
+            self._check_feed_source(name, src.path)
+            exporter = ChangeFeedExporter(
+                src, self._feed_dir(name), table_name=name
+            )
+            ex = exporter.export_once(to_version=pinned)
+            rt = self._replica_table(name, src, pinned)
+            applied = replicate_available(
+                self.spark,
+                self._feed_dir(name),
+                rt,
+                self._state_dir(name),
+                source=f"catrepl-{name}",
+                merge_mode=self.merge_mode,
+                check_rejects=False,  # trusted producer: this engine
+                payload_schema=src.snapshot(pinned, buckets=set()).schema,
+            )
+            updates[name] = (rt, rt.current_version())
+            tables[name] = {
+                "export": ex,
+                "windows_applied": len(applied),
+                "rows_applied": sum(
+                    int(s.get("rows_applied", 0)) for s in applied
+                ),
+            }
+        dropped = sorted(set(self.replica.entries()) - set(entries))
+        rv = self.replica.publish_many(
+            updates, drop=dropped, op=f"replicate(pv={pv})"
+        )
+        return {
+            "primary_catalog_version": pv,
+            "replica_catalog_version": rv,
+            "tables": tables,
+            "dropped": dropped,
+        }

@@ -1,0 +1,169 @@
+"""Whole-catalog replication (lake.replicate): consistent cuts across
+tables, atomic replica flips, bootstrap/drop in one commit, pin-bounded
+exports, crash convergence, feed-identity guard, quiet-tick elision."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_spark.lake import Catalog, LakeTable
+from etl_spark.lake.replicate import CatalogReplicator
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def mk_table(spark, tmp_path, name, rows=()):
+    t = LakeTable.create(
+        spark, str(tmp_path / name), SCHEMA, key=["conv_id", "turn_idx"],
+        n_buckets=4, bucket_by=["conv_id"],
+    )
+    if rows:
+        t.append(spark.createDataFrame(list(rows), SCHEMA))
+    return t
+
+
+def rows(df):
+    return {(r.conv_id, r.turn_idx, r.text) for r in df.collect()}
+
+
+def mk_pair(spark, tmp_path, tables):
+    cat = Catalog.create(spark, str(tmp_path / "primary"))
+    for name, t in tables.items():
+        cat.register(name, t)
+    rep = Catalog.create(spark, str(tmp_path / "replica"))
+    r = CatalogReplicator(spark, cat, rep, str(tmp_path / "work"))
+    return cat, rep, r
+
+
+def test_tick_replicates_and_tracks_transactions(spark, tmp_path):
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi"), ("c2", 0, "yo")])
+    b = mk_table(spark, tmp_path, "b", [("c1", 0, "m0")])
+    cat, rep, r = mk_pair(spark, tmp_path, {"a": a, "b": b})
+
+    s1 = r.tick()
+    assert s1["primary_catalog_version"] == cat.current_version()
+    assert rows(rep.read("a")) == rows(cat.read("a"))
+    assert rows(rep.read("b")) == rows(cat.read("b"))
+    assert s1["tables"]["a"]["rows_applied"] == 2
+
+    # a cross-table transaction on the primary: move c2 from a to b
+    txn = cat.transaction()
+    ta, tb = txn.table("a"), txn.table("b")
+    ta.delete_where("conv_id = 'c2'")
+    tb.append(spark.createDataFrame([("c2", 0, "yo")], SCHEMA))
+    txn.commit()
+
+    s2 = r.tick()
+    assert s2["replica_catalog_version"] > s1["replica_catalog_version"]
+    assert rows(rep.read("a")) == {("c1", 0, "hi")}
+    assert rows(rep.read("b")) == {("c1", 0, "m0"), ("c2", 0, "yo")}
+    # the replica's PREVIOUS catalog version is the previous consistent
+    # cut — time travel across the replica sees only primary states
+    prev = s1["replica_catalog_version"]
+    assert rows(rep.read("a", catalog_version=prev)) == {
+        ("c1", 0, "hi"), ("c2", 0, "yo"),
+    }
+    assert rows(rep.read("b", catalog_version=prev)) == {("c1", 0, "m0")}
+
+
+def test_export_stops_at_catalog_pin_not_table_head(spark, tmp_path):
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi")])
+    cat, rep, r = mk_pair(spark, tmp_path, {"a": a})
+    # direct (unpublished) table write: head ahead of the catalog pin
+    a.append(spark.createDataFrame([("c9", 0, "unpublished")], SCHEMA))
+    r.tick()
+    assert rows(rep.read("a")) == {("c1", 0, "hi")}
+    # publish adopts the stray commit; the next tick ships it
+    cat.publish("a")
+    r.tick()
+    assert rows(rep.read("a")) == {("c1", 0, "hi"), ("c9", 0, "unpublished")}
+
+
+def test_half_applied_tick_is_invisible_then_converges(spark, tmp_path):
+    """Crash between the per-table applies and the catalog flip: replica
+    table heads advance but catalog readers still see the previous cut
+    for EVERY table; the next tick adopts the applied heads."""
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi")])
+    b = mk_table(spark, tmp_path, "b", [("c1", 0, "m0")])
+    cat, rep, r = mk_pair(spark, tmp_path, {"a": a, "b": b})
+    r.tick()
+    v0 = rep.current_version()
+
+    txn = cat.transaction()
+    txn.table("a").append(spark.createDataFrame([("c2", 0, "a2")], SCHEMA))
+    txn.table("b").append(spark.createDataFrame([("c2", 0, "b2")], SCHEMA))
+    txn.commit()
+
+    real = Catalog.publish_many
+
+    def crash(self, *args, **kwargs):
+        raise RuntimeError("simulated crash before the flip")
+
+    Catalog.publish_many = crash
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            r.tick()
+    finally:
+        Catalog.publish_many = real
+    # applied to the chains, invisible through the catalog — for both
+    # tables (no half-visible cut)
+    assert rep.current_version() == v0
+    assert rows(rep.read("a")) == {("c1", 0, "hi")}
+    assert rows(rep.read("b")) == {("c1", 0, "m0")}
+    assert ("c2", 0, "a2") in rows(rep.table("a").read())
+
+    s = r.tick()  # replay: applies are commit-log no-ops, flip lands
+    assert s["tables"]["a"]["rows_applied"] == 0  # nothing re-merged
+    assert rows(rep.read("a")) == {("c1", 0, "hi"), ("c2", 0, "a2")}
+    assert rows(rep.read("b")) == {("c1", 0, "m0"), ("c2", 0, "b2")}
+
+
+def test_register_and_drop_flip_in_one_commit(spark, tmp_path):
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi")])
+    cat, rep, r = mk_pair(spark, tmp_path, {"a": a})
+    r.tick()
+
+    c = mk_table(spark, tmp_path, "c", [("c5", 0, "new")])
+    cat.register("c", c)
+    cat.drop("a")
+    before = rep.current_version()
+    s = r.tick()
+    assert s["dropped"] == ["a"]
+    # ONE catalog commit carries both the registration (with data — a
+    # bootstrapped table never appears empty) and the drop
+    assert rep.current_version() == before + 1
+    assert rows(rep.read("c")) == {("c5", 0, "new")}
+    with pytest.raises(FileNotFoundError):
+        rep.read("a")
+    # the pre-flip version still reads the dropped table: time travel
+    assert rows(rep.read("a", catalog_version=before)) == {("c1", 0, "hi")}
+
+
+def test_quiet_tick_commits_nothing(spark, tmp_path):
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi")])
+    cat, rep, r = mk_pair(spark, tmp_path, {"a": a})
+    r.tick()
+    rv = rep.current_version()
+    s = r.tick()
+    assert s["replica_catalog_version"] == rv
+    assert rep.current_version() == rv
+    assert s["tables"]["a"]["export"]["skipped"]
+    assert s["tables"]["a"]["windows_applied"] == 0
+
+
+def test_feed_refuses_a_repointed_name(spark, tmp_path):
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi")])
+    cat, rep, r = mk_pair(spark, tmp_path, {"a": a})
+    r.tick()
+    other = mk_table(spark, tmp_path, "other", [("c8", 0, "x")])
+    cat.drop("a")
+    cat.register("a", other)
+    with pytest.raises(RuntimeError, match="moved from table"):
+        r.tick()
