@@ -928,6 +928,75 @@ def q_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_catalog_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-catalog replication (``lake.replicate.CatalogReplicator``):
+    the flagship changelog replays into a PRIMARY catalog in two
+    (ts, lsn)-ordered windows, each window ONE catalog transaction
+    routing even-user rows to table ``even`` and odd-user rows to
+    ``odd``; after each window a replicator tick exports both tables'
+    change windows AT THE CATALOG PINS, applies them to a replica
+    catalog's tables, and flips the replica pointer set in ONE commit.
+    In-query invariants: the replica catalog advances exactly once per
+    tick (bootstrap registration + flip ride the first commit together)
+    and a third quiet tick commits NOTHING. Final answer = the union of
+    the REPLICA catalog's pinned reads, which must equal the flagship
+    full-log LWW oracle bit-exactly — the consistent-cut chain
+    (txn -> pin-bounded export -> exactly-once apply -> atomic flip)
+    is lossless end to end."""
+    from pyspark.sql.window import Window
+
+    from etl_spark.lake.catalog import Catalog
+    from etl_spark.lake.replicate import CatalogReplicator
+
+    chg = _events_changelog(spark, sf_dir).withColumn(
+        "__q",
+        F.ntile(2).over(Window.orderBy(F.col("ts"), F.col("lsn"))),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_catrep_q_")
+    cat = Catalog.create(spark, os.path.join(tmp, "cat"))
+    for name in ("even", "odd"):
+        cat.register(
+            name,
+            LakeTable.create(
+                spark, os.path.join(tmp, name), schema,
+                key=["user_id"], n_buckets=16,
+            ),
+        )
+    replica = Catalog.create(spark, os.path.join(tmp, "replica"))
+    rep = CatalogReplicator(spark, cat, replica, os.path.join(tmp, "work"))
+    parity = (F.col("user_id") % 2 == 0)
+    for q in range(1, 3):
+        batch = chg.filter(F.col("__q") == q).drop("__q")
+        txn = cat.transaction()
+        replay(spark, batch.filter(parity), txn.table("even"))
+        replay(spark, batch.filter(~parity), txn.table("odd"))
+        txn.commit()
+        base = replica.current_version()
+        rep.tick()
+        assert replica.current_version() == base + 1, (
+            "one replica catalog flip per tick"
+        )
+    quiet = rep.tick()
+    assert quiet["replica_catalog_version"] == replica.current_version(), (
+        "quiet tick must commit nothing"
+    )
+    union = replica.read("even").unionByName(replica.read("odd"))
+    return union.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
 def q_replica_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-entropy repair (``lake.sync``): a replica of the flagship
     table is corrupted out-of-band in every class the fingerprints must
@@ -3547,6 +3616,7 @@ QUERIES = {
     "wap_publish": q_wap_publish,
     "branch_backfill": q_branch_backfill,
     "catalog_txn": q_catalog_txn,
+    "catalog_replicate": q_catalog_replicate,
     "replica_repair": q_replica_repair,
     "change_feed_replicate": q_change_feed_replicate,
     "merge_out_of_order": q_merge_out_of_order,
@@ -3647,6 +3717,7 @@ ORACLE_SQL = {
     "wap_publish": _ORACLE_CDC_FINAL,
     "branch_backfill": _ORACLE_CDC_FINAL,
     "catalog_txn": _ORACLE_CDC_FINAL,
+    "catalog_replicate": _ORACLE_CDC_FINAL,
     "replica_repair": _ORACLE_CDC_FINAL,
     "change_feed_replicate": _ORACLE_CDC_FINAL,
     "merge_out_of_order": _ORACLE_OOO_MERGE,
