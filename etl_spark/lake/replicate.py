@@ -63,8 +63,14 @@ from typing import Any
 
 from pyspark.sql import SparkSession
 
+from etl_spark.cdc.state import CommitLog
 from etl_spark.lake.catalog import Catalog
-from etl_spark.lake.export import ChangeFeedExporter, replicate_available
+from etl_spark.lake.export import (
+    ChangeFeedExporter,
+    applied_through,
+    prune_feed,
+    replicate_available,
+)
 from etl_spark.lake.table import LakeTable
 
 
@@ -199,3 +205,27 @@ class CatalogReplicator:
             "tables": tables,
             "dropped": dropped,
         }
+
+    # -------------------------------------------------------- maintenance
+    def prune(self, *, keep_last: int = 1, dry_run: bool = False) -> dict:
+        """Retire feed segments this replicator's consumers have applied
+        (``prune_feed`` at each table's commit-log floor) — the feeds are
+        otherwise unbounded WALs. Safe at any time: only flip-adopted
+        windows can be at/below the floor (the commit marker lands
+        before the flip, and a marked-but-unflipped window is already on
+        the replica chain the next flip adopts), and a crashed consumer
+        re-bootstraps via ``reset_cursor(0)`` exactly as in single-table
+        replication. Driver-side renames only."""
+        out: dict[str, Any] = {}
+        feed_root = os.path.join(self.work_dir, "feed")
+        if not os.path.isdir(feed_root):
+            return out
+        for name in sorted(os.listdir(feed_root)):
+            state = self._state_dir(name)
+            log = CommitLog(os.path.join(state, "commits"))
+            floor = applied_through(log, f"catrepl-{name}")
+            out[name] = prune_feed(
+                self._feed_dir(name), floor,
+                keep_last=keep_last, dry_run=dry_run,
+            )
+        return out

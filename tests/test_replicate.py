@@ -158,6 +158,30 @@ def test_quiet_tick_commits_nothing(spark, tmp_path):
     assert s["tables"]["a"]["windows_applied"] == 0
 
 
+def test_prune_retires_applied_feed_windows(spark, tmp_path):
+    import os
+
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi")])
+    cat, rep, r = mk_pair(spark, tmp_path, {"a": a})
+    for i in range(3):
+        a.append(spark.createDataFrame([(f"n{i}", 0, "x")], SCHEMA))
+        cat.publish("a")
+        r.tick()
+    feed = str(tmp_path / "work" / "feed" / "a")
+    n_before = len([n for n in os.listdir(feed) if n.startswith("seg-")])
+    # full load (covering the pre-loop appends) + 2 increments
+    assert n_before == 3
+    s = r.prune(keep_last=1)
+    assert s["a"]["pruned_segments"] == 2
+    left = [n for n in os.listdir(feed) if n.startswith("seg-")]
+    assert len(left) == 1
+    # replication continues unaffected after the prune
+    a.append(spark.createDataFrame([("c7", 0, "post")], SCHEMA))
+    cat.publish("a")
+    r.tick()
+    assert ("c7", 0, "post") in rows(rep.read("a"))
+
+
 def test_feed_refuses_a_repointed_name(spark, tmp_path):
     a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi")])
     cat, rep, r = mk_pair(spark, tmp_path, {"a": a})
