@@ -191,3 +191,90 @@ def test_feed_refuses_a_repointed_name(spark, tmp_path):
     cat.register("a", other)
     with pytest.raises(RuntimeError, match="moved from table"):
         r.tick()
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# (table, op, key, value-tag, tick after?, crash that tick's flip?)
+_steps = st.lists(
+    st.tuples(
+        st.sampled_from(["ta", "tb"]),
+        st.sampled_from(["up", "del"]),
+        st.integers(0, 4),
+        st.integers(0, 99),
+        st.booleans(),
+        st.booleans(),
+    ),
+    min_size=3,
+    max_size=6,
+)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(steps=_steps)
+def test_replicator_fuzz_vs_sequential_model(
+    spark, tmp_path_factory, steps
+):
+    """Random upsert/delete/publish churn on two primary tables with
+    ticks (and crash-injected flips) interleaved at random: after every
+    SUCCESSFUL tick each replica table must equal the sequential model
+    of everything published so far (ticks see only published state —
+    every step here publishes); a crashed flip must leave the replica
+    catalog version unchanged; a final clean tick converges."""
+    from pyspark.sql import types as T
+
+    from etl_spark.lake import Catalog
+    from etl_spark.lake.replicate import CatalogReplicator
+
+    base = tmp_path_factory.mktemp("repl_fuzz")
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    cat = Catalog.create(spark, str(base / "cat"))
+    for name in ("ta", "tb"):
+        cat.register(
+            name,
+            LakeTable.create(
+                spark, str(base / name), schema, key=["k"], n_buckets=2
+            ),
+        )
+    rep = Catalog.create(spark, str(base / "replica"))
+    r = CatalogReplicator(spark, cat, rep, str(base / "work"))
+    model: dict[str, dict[int, str]] = {"ta": {}, "tb": {}}
+
+    def check():
+        for name in ("ta", "tb"):
+            got = {(row.k, row.v) for row in rep.read(name).collect()}
+            exp = set(model[name].items())
+            assert got == exp, (name, got, exp)
+
+    real = Catalog.publish_many
+    for name, op, k, tag, tick, crash in steps:
+        t = cat.table(name)
+        if op == "up":
+            t.merge(spark.createDataFrame([(k, f"v{tag}")], schema))
+            model[name][k] = f"v{tag}"
+        else:
+            t.delete_where(f"k = {k}")
+            model[name].pop(k, None)
+        cat.publish(name)
+        if not tick:
+            continue
+        if crash:
+            rv = rep.current_version()
+            Catalog.publish_many = lambda self, *a, **kw: (_ for _ in ()).throw(
+                RuntimeError("flip crash")
+            )
+            try:
+                with pytest.raises(RuntimeError, match="flip crash"):
+                    r.tick()
+            finally:
+                Catalog.publish_many = real
+            assert rep.current_version() == rv
+        else:
+            r.tick()
+            check()
+    r.tick()
+    check()
