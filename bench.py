@@ -365,6 +365,76 @@ def run_replication_tick(spark, wal_dir: str, n_ticks: int = 4) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_catalog_replicate(spark, wal_dir: str, n_ticks: int = 3) -> dict:
+    """Whole-catalog replication (lake.replicate) in ITS regime: a
+    2-table catalog where only ONE member churns per tick. Claims under
+    measure: (a) a replicator tick costs about the churning table's
+    single-table tick — the QUIET member adds no Spark jobs (its export
+    is a cursor check, its apply an empty listing, its flip entry a
+    driver-side pin); (b) a fully quiet tick is the pure driver floor
+    and grows no catalog history. Compare `sec_per_tick` here against
+    `cdf_replicate_tick` and `quiet_tick_sec` against both."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.apply import replay
+    from etl_spark.cdc.changelog import TRANSCRIPTS_SCHEMA
+    from etl_spark.lake import Catalog, LakeTable
+    from etl_spark.lake.replicate import CatalogReplicator
+    from etl_spark.streaming.stream import discover_wal_schema
+
+    wal = spark.read.schema(discover_wal_schema(spark, wal_dir)).parquet(
+        wal_dir
+    )
+    parity = F.pmod(F.xxhash64(F.col("conv_id"), F.lit(3)), F.lit(2))
+    churn_key = F.pmod(F.xxhash64(F.col("conv_id"), F.lit(7)), F.lit(64))
+    work = tempfile.mkdtemp(prefix="etl_spark_catrep_")
+    try:
+        cat = Catalog.create(spark, os.path.join(work, "cat"))
+        for i, name in enumerate(("ta", "tb")):
+            t = LakeTable.create(
+                spark, os.path.join(work, name), TRANSCRIPTS_SCHEMA,
+                key=["conv_id", "turn_idx"], n_buckets=32,
+                bucket_by=["conv_id"],
+            )
+            replay(spark, wal.filter(parity == i), t)
+            cat.register(name, t)
+        rep = Catalog.create(spark, os.path.join(work, "replica"))
+        r = CatalogReplicator(spark, cat, rep, os.path.join(work, "chain"))
+        t0 = time.time()
+        r.tick()  # both tables' full-load bootstrap
+        bootstrap_sec = time.time() - t0
+
+        ticks_sec = 0.0
+        for b in range(n_ticks):
+            batch = (
+                wal.filter((parity == 0) & (churn_key == b))
+                .withColumn("text", F.concat("text", F.lit(f" rev{b}")))
+                .withColumn("lsn", F.col("lsn") + (b + 1) * 1_000_000_000)
+            )
+            replay(spark, batch, cat.table("ta"))
+            cat.publish("ta")
+            t0 = time.time()  # the tick, not the upstream churn
+            r.tick()
+            ticks_sec += time.time() - t0
+        t0 = time.time()
+        quiet = r.tick()  # nothing new anywhere: driver-floor only
+        quiet_sec = time.time() - t0
+        assert quiet["replica_catalog_version"] == rep.current_version()
+        return {
+            "n_ticks": n_ticks,
+            "n_tables": 2,
+            "bootstrap_sec": round(bootstrap_sec, 3),
+            "sec": round(ticks_sec, 3),
+            "sec_per_tick": round(ticks_sec / n_ticks, 3),
+            "quiet_tick_sec": round(quiet_sec, 3),
+            "replica_rows": sum(
+                rep.table(n).row_count() for n in ("ta", "tb")
+            ),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_anti_entropy(spark, wal_dir: str) -> dict:
     """Anti-entropy in ITS regime: a big converged primary/replica pair
     where detection cost must not scale with the table. Seeds both sides
@@ -1009,6 +1079,9 @@ def main() -> None:
         queries["minor_compact_hot_buckets"] = minor["minor"]["sec"]
         repl = run_replication_tick(spark, wal_dir, n_ticks=4)
         queries["cdf_replicate_tick"] = repl["sec_per_tick"]
+        catrep = run_catalog_replicate(spark, wal_dir, n_ticks=3)
+        queries["catalog_replicate_tick"] = catrep["sec_per_tick"]
+        queries["catalog_replicate_quiet_tick"] = catrep["quiet_tick_sec"]
         skew = run_skew_replay(spark, work_dir)
         queries["skew_salted_replay"] = skew["replay_sec"]
         ae = run_anti_entropy(spark, wal_dir)
@@ -1039,6 +1112,7 @@ def main() -> None:
             "mor_vs_cow": mor,
             "minor_compact": minor,
             "replication": repl,
+            "catalog_replicate": catrep,
             "skew": skew,
             "anti_entropy": ae,
             "derived": derived,
