@@ -213,9 +213,9 @@ _steps = st.lists(
 
 @settings(max_examples=4, deadline=None,
           suppress_health_check=list(HealthCheck))
-@given(steps=_steps)
+@given(steps=_steps, mode=st.sampled_from(["cow", "mor"]))
 def test_replicator_fuzz_vs_sequential_model(
-    spark, tmp_path_factory, steps
+    spark, tmp_path_factory, steps, mode
 ):
     """Random upsert/delete/publish churn on two primary tables with
     ticks (and crash-injected flips) interleaved at random: after every
@@ -241,7 +241,9 @@ def test_replicator_fuzz_vs_sequential_model(
             ),
         )
     rep = Catalog.create(spark, str(base / "replica"))
-    r = CatalogReplicator(spark, cat, rep, str(base / "work"))
+    r = CatalogReplicator(
+        spark, cat, rep, str(base / "work"), merge_mode=mode
+    )
     model: dict[str, dict[int, str]] = {"ta": {}, "tb": {}}
 
     def check():
