@@ -182,6 +182,28 @@ def test_prune_retires_applied_feed_windows(spark, tmp_path):
     assert ("c7", 0, "post") in rows(rep.read("a"))
 
 
+def test_schema_evolution_flows_through_catalog_replication(spark, tmp_path):
+    """A column added on a primary member reaches its replica table: the
+    tick parses with the PINNED primary schema and the replica MERGE
+    evolves; the other member is untouched."""
+    from pyspark.sql import types as T2
+
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi")])
+    b = mk_table(spark, tmp_path, "b", [("c1", 0, "m0")])
+    cat, rep, r = mk_pair(spark, tmp_path, {"a": a, "b": b})
+    r.tick()
+
+    evolved = T2.StructType(
+        list(SCHEMA.fields) + [T2.StructField("lang", T2.StringType())]
+    )
+    a.merge(spark.createDataFrame([("c2", 0, "yo", "en")], evolved))
+    cat.publish("a")
+    r.tick()
+    got = {(row.conv_id, row.lang) for row in rep.read("a").collect()}
+    assert got == {("c1", None), ("c2", "en")}
+    assert rep.table("b").schema.fieldNames() == SCHEMA.fieldNames()
+
+
 def test_feed_refuses_a_repointed_name(spark, tmp_path):
     a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi")])
     cat, rep, r = mk_pair(spark, tmp_path, {"a": a})
