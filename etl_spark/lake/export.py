@@ -43,18 +43,30 @@ commit wall-clock, so Debezium-speaking consumers that DO sort by
 (lsn) get the same total order.
 
 Retention coupling: an incremental window needs BOTH snapshots'
-manifests (``table_changes``), so the export cadence must outpace
-snapshot expiry (``expire_snapshots``). A cursor pointing below the
-retention floor raises with the recovery spelled out: ``reset_cursor(0)``
-— a cursor at 0 exports the CURRENT snapshot directly as an all-inserts
-full-load window (no diff, no dependence on retained history), valid at
-any retention state. Full loads are upsert-only: they re-bootstrap
-FRESH consumers exactly; a stale replica that may have missed deletes
-in the pruned gap should be truncated (or recreated) first.
+manifests (``table_changes``), so the cursor version must stay
+retained. By default the exporter PINS its cursor with a named ref
+(``feed<tag>-v<version>``, tag = hash of the feed dir — two feeds on
+one table never touch each other's pins), advanced pin-first so
+``expire_snapshots`` — and, on replicator feeds, ``Catalog.expire``
+releasing a table pin the feed still needs — can never reclaim the
+diff's base: a lagging feed costs bounded extra retention instead of a
+broken chain. (Two exporters racing on one feed dir share the tag; the
+loser's stale-pin sweep can transiently unpin the winner's newer
+cursor, which the winner's next advance re-pins — the window equals
+the pre-pinning exposure and heals itself.) With ``pin_cursor=False``
+(or a pin dropped out-of-band) the old contract applies: a cursor
+below the retention floor raises with the recovery spelled out —
+``reset_cursor(0)`` — since a cursor at 0 exports the CURRENT snapshot
+directly as an all-inserts full-load window (no diff, no dependence on
+retained history), valid at any retention state. Full loads are
+upsert-only: they re-bootstrap FRESH consumers exactly; a stale
+replica that may have missed deletes in the pruned gap should be
+truncated (or recreated) first.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -84,11 +96,17 @@ class ChangeFeedExporter:
         out_dir: str,
         *,
         table_name: str | None = None,
+        pin_cursor: bool = True,
     ):
         self.table = table
         self.out_dir = os.path.abspath(out_dir)
         os.makedirs(self.out_dir, exist_ok=True)
         self.table_name = table_name or os.path.basename(table.path)
+        self.pin_cursor = pin_cursor
+        # feed-dir-unique ref prefix: two feeds exporting one table must
+        # not reconcile away each other's cursor pins (same pattern as
+        # Catalog._tag)
+        self._pin_tag = hashlib.sha1(self.out_dir.encode()).hexdigest()[:8]
 
     # ----------------------------------------------------------- cursor
     def _cursor_file(self) -> str:
@@ -116,6 +134,19 @@ class ChangeFeedExporter:
     ) -> None:
         if not force and version <= self.cursor():
             return
+        pref = f"feed{self._pin_tag}-v"
+        if self.pin_cursor and version > 0:
+            # pin FIRST: the cursor file must never point at a version
+            # expiry could still reclaim (a crash here leaves an extra
+            # pin the next advance's sweep drops)
+            try:
+                self.table.create_ref(f"{pref}{version}", version)
+            except FileExistsError:
+                pass  # same-version pin already present — already done
+            except FileNotFoundError:
+                pass  # version already expired (pre-pinning feed or an
+                # out-of-band ref drop) — export_once raises the loud
+                # retention error with the re-bootstrap recovery
         tmp = self._cursor_file() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(
@@ -127,6 +158,15 @@ class ChangeFeedExporter:
                 fh,
             )
         os.replace(tmp, self._cursor_file())
+        if self.pin_cursor:
+            # sweep stale pins (reset_cursor(0) drops them all: a full
+            # load needs no retained history)
+            for ref, rv in self.table.refs().items():
+                if ref.startswith(pref) and rv != version:
+                    try:
+                        self.table.drop_ref(ref)
+                    except FileNotFoundError:
+                        pass
 
     def _cursor_state(self) -> dict:
         try:

@@ -256,16 +256,45 @@ def test_schema_evolution_propagates_through_feed(spark, tmp_path):
     assert langs[1] == "en" and langs[6] == "fr" and langs[0] is None
 
 
+def test_cursor_pin_makes_expiry_safe_by_default(spark, tmp_path):
+    """The default exporter pins its cursor version with a named ref, so
+    a lagging feed survives expire_snapshots: the incremental diff still
+    has its base, no re-bootstrap needed; the next export sweeps the
+    stale pin so a later expire reclaims the old snapshot."""
+    src, dst = make_pair(spark, tmp_path)
+    feed = str(tmp_path / "feed")
+    ex = ChangeFeedExporter(src, feed, table_name="t")
+    src.merge(spark.createDataFrame(rows(range(6)), SCHEMA))
+    ex.export_once()
+    pinned = ex.cursor()
+    assert pinned in set(src.refs().values())
+
+    src.merge(spark.createDataFrame(rows(range(3), tag="x", t0=50), SCHEMA))
+    src.merge(spark.createDataFrame(rows([6, 7], tag="y", t0=55), SCHEMA))
+    src.expire_snapshots(keep_last=1)  # cursor version survives: pinned
+    r = ex.export_once()  # incremental diff, NOT a raise / full load
+    assert not r["skipped"] and r["from_version"] == pinned
+    replicate_available(spark, feed, dst, str(tmp_path / "state"))
+    assert_same(src, dst)
+    # old pin swept, new cursor pinned; expiry now reclaims the old base
+    pins = set(src.refs().values())
+    assert pinned not in pins and ex.cursor() in pins
+    src.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        src.snapshot(pinned, buckets=set())
+
+
 def test_export_survives_snapshot_expiry_with_rebootstrap(spark, tmp_path):
-    """Snapshot expiry under a lagging export cursor: the next export
-    raises with the recovery spelled out; reset_cursor(0) publishes a
-    full-load window that needs NO retained history, and both a current
-    and a fresh consumer converge from it."""
+    """Snapshot expiry under a lagging UNPINNED cursor (pin_cursor=False
+    — the pre-pinning feed shape, or a pin dropped out-of-band): the
+    next export raises with the recovery spelled out; reset_cursor(0)
+    publishes a full-load window that needs NO retained history, and
+    both a current and a fresh consumer converge from it."""
     import pytest
 
     src, dst = make_pair(spark, tmp_path)
     feed = str(tmp_path / "feed")
-    ex = ChangeFeedExporter(src, feed, table_name="t")
+    ex = ChangeFeedExporter(src, feed, table_name="t", pin_cursor=False)
     src.merge(spark.createDataFrame(rows(range(6)), SCHEMA))
     ex.export_once()
     replicate_available(spark, feed, dst, str(tmp_path / "state"))
