@@ -155,6 +155,28 @@ class Catalog:
             raise FileNotFoundError(f"no catalog at {self.path}")
         return dict(self._read_version(v)["tables"])
 
+    def version_as_of(self, ts: float) -> int:
+        """Newest catalog version committed at or before unix-seconds
+        ``ts`` (``TIMESTAMP AS OF`` over the WHOLE catalog): reading
+        every table at ``entries(version_as_of(t))`` reproduces the
+        cross-table-consistent state visible at ``t`` — per-table
+        ``LakeTable.version_as_of`` cannot do that, since a table commit
+        may have been visible on its chain but not yet published to the
+        catalog at ``t``. Driver-side metadata walk over retained
+        catalog versions (expired ones are skipped)."""
+        best: int | None = None
+        cur = self.current_version()
+        for v in range((cur if cur is not None else -1) + 1):
+            if not os.path.exists(self._v_path(v)):
+                continue
+            if self._read_version(v)["ts"] <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no catalog version at or before ts={ts} at {self.path}"
+            )
+        return best
+
     def history(self) -> list[dict[str, Any]]:
         cur = self.current_version()
         out = []

@@ -368,6 +368,37 @@ def test_concurrent_txns_serialize_with_retry(spark, tmp_path):
                 assert in1 == in2, (v, i, j, in1, in2)
 
 
+def test_version_as_of_reads_consistent_cuts(spark, tmp_path):
+    """Timestamp time travel over the catalog: version_as_of(t) resolves
+    the cut VISIBLE at t — a table commit published later is excluded
+    even though the table chain carried it earlier — and reading both
+    tables at that cut is the consistent pair of the time."""
+    import time as _time
+
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "v1")])
+    b = mk_table(spark, tmp_path, "b", [("c1", 0, "m1")])
+    cat = mk_cat(spark, tmp_path, {"a": a, "b": b})
+    t0 = _time.time()
+
+    _time.sleep(0.05)
+    # commit on the chain BEFORE t1, publish AFTER t1: at t1 the catalog
+    # cut must not include it
+    a.append(spark.createDataFrame([("c2", 0, "v2")], SCHEMA))
+    _time.sleep(0.05)
+    t1 = _time.time()
+    _time.sleep(0.05)
+    cat.publish("a")
+    t2 = _time.time()
+
+    v0, v1, v2 = (cat.version_as_of(t) for t in (t0, t1, t2))
+    assert v0 == v1 < v2
+    assert rows(cat.read("a", v1)) == {("c1", 0, "v1")}
+    assert rows(cat.read("a", v2)) == {("c1", 0, "v1"), ("c2", 0, "v2")}
+    assert rows(cat.read("b", v1)) == rows(cat.read("b", v2))
+    with pytest.raises(ValueError):
+        cat.version_as_of(t0 - 3600)
+
+
 def test_sql_views_join_at_one_consistent_point(spark, tmp_path):
     a = mk_table(spark, tmp_path, "a", [("c1", 0, "x")])
     b = mk_table(spark, tmp_path, "b", [("c1", 0, "y")])
