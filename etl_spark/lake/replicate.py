@@ -59,10 +59,12 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Any
 
 from pyspark.sql import SparkSession
 
+from etl_spark.cdc.metrics import MetricsTable
 from etl_spark.cdc.state import CommitLog
 from etl_spark.lake.catalog import Catalog
 from etl_spark.lake.export import (
@@ -93,6 +95,7 @@ class CatalogReplicator:
         *,
         table_root: str | None = None,
         merge_mode: str = "cow",
+        metrics: MetricsTable | None = None,
     ):
         self.spark = spark
         self.primary = primary
@@ -102,6 +105,7 @@ class CatalogReplicator:
             table_root or os.path.join(self.work_dir, "tables")
         )
         self.merge_mode = merge_mode
+        self.metrics = metrics
 
     # ------------------------------------------------------------ helpers
     def _feed_dir(self, name: str) -> str:
@@ -163,6 +167,7 @@ class CatalogReplicator:
         primary-catalog-pinned version, apply all pending windows to the
         replica tables, then flip the replica catalog ONCE. Returns the
         per-table stats plus both catalog versions."""
+        t_start = time.time()
         pv = self.primary.current_version()
         entries = self.primary.entries(pv)
         updates: dict[str, tuple[LakeTable, int]] = {}
@@ -199,6 +204,41 @@ class CatalogReplicator:
         rv = self.replica.publish_many(
             updates, drop=dropped, op=f"replicate(pv={pv})"
         )
+        if self.metrics is not None:
+            # lineage row per member + one tick summary: batch_id is the
+            # primary catalog version, (low_lsn, high_lsn) carry the
+            # (primary, replica) catalog versions — the replication-lag
+            # pair a monitor joins against the primary's head
+            wall_ms = int((time.time() - t_start) * 1000)
+            self.metrics.record(
+                self.spark,
+                [
+                    {
+                        "source": f"catrepl-{name}",
+                        "batch_id": pv,
+                        "rows_in": s["rows_applied"],
+                        "rows_applied": s["rows_applied"],
+                        "low_lsn": pv,
+                        "high_lsn": rv,
+                    }
+                    for name, s in tables.items()
+                ]
+                + [
+                    {
+                        "source": "catalog-replicator",
+                        "batch_id": pv,
+                        "rows_in": sum(
+                            s["rows_applied"] for s in tables.values()
+                        ),
+                        "rows_applied": sum(
+                            s["rows_applied"] for s in tables.values()
+                        ),
+                        "low_lsn": pv,
+                        "high_lsn": rv,
+                        "latency_ms": wall_ms,
+                    }
+                ],
+            )
         return {
             "primary_catalog_version": pv,
             "replica_catalog_version": rv,

@@ -146,6 +146,36 @@ def test_register_and_drop_flip_in_one_commit(spark, tmp_path):
     assert rows(rep.read("a", catalog_version=before)) == {("c1", 0, "hi")}
 
 
+def test_tick_metrics_record_lag_lineage(spark, tmp_path):
+    """With a MetricsTable attached, every tick emits one row per member
+    (rows applied, primary-catalog batch id) plus a summary row carrying
+    the (primary, replica) catalog-version pair and tick latency."""
+    from etl_spark.cdc.metrics import MetricsTable
+
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi")])
+    cat = Catalog.create(spark, str(tmp_path / "primary"))
+    cat.register("a", a)
+    rep = Catalog.create(spark, str(tmp_path / "replica"))
+    mt = MetricsTable(str(tmp_path / "metrics"))
+    r = CatalogReplicator(
+        spark, cat, rep, str(tmp_path / "work"), metrics=mt
+    )
+    s = r.tick()
+    rows_ = {
+        (m.source, m.batch_id, m.rows_applied, m.low_lsn, m.high_lsn)
+        for m in mt.to_df(spark).collect()
+    }
+    pv = s["primary_catalog_version"]
+    rv = s["replica_catalog_version"]
+    assert ("catrepl-a", pv, 1, pv, rv) in rows_
+    assert ("catalog-replicator", pv, 1, pv, rv) in rows_
+    lat = [
+        m.latency_ms for m in mt.to_df(spark).collect()
+        if m.source == "catalog-replicator"
+    ]
+    assert len(lat) == 1 and lat[0] >= 0
+
+
 def test_quiet_tick_commits_nothing(spark, tmp_path):
     a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi")])
     cat, rep, r = mk_pair(spark, tmp_path, {"a": a})
