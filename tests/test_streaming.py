@@ -517,12 +517,21 @@ def test_scd2_stream_schema_evolution_on_resume(spark, tmp_path):
     # phase 2: late segments land (with `tool`); new stream resumes
     late = pdf[pdf["_seq"] >= cut]
     write_changelog(late, str(tmp_path / "wal2"), SPEC)
-    for root, _d, names in os.walk(str(tmp_path / "wal2")):
-        for n in names:
+    # pin mtimes ABOVE every phase-1 file, ascending by name:
+    # FileStreamSource batches by mtime, so without this a contended
+    # host's clock jitter can split/reorder the late files across
+    # micro-batches in non-LSN order (observed flake)
+    now = __import__("time").time() + 10
+    i = 0
+    for root, _d, names in sorted(os.walk(str(tmp_path / "wal2"))):
+        for n in sorted(names):
             rel = os.path.relpath(root, str(tmp_path / "wal2"))
             dst = os.path.join(wal, rel)
             os.makedirs(dst, exist_ok=True)
-            shutil.move(os.path.join(root, n), os.path.join(dst, "late-" + n))
+            moved = os.path.join(dst, "late-" + n)
+            shutil.move(os.path.join(root, n), moved)
+            os.utime(moved, (now + i, now + i))
+            i += 1
 
     s2 = Scd2Stream(spark, wal, table, state)
     s2.run_to_completion()
