@@ -458,3 +458,53 @@ def repair_replica(
         "repaired": stats.get("source_rows", 0),
         "replica_version": None if snap is None else snap.version,
     }
+
+
+def repair_catalog(primary, replica, *, publish: bool = True) -> dict[str, Any]:
+    """Anti-entropy over a REPLICATED catalog (``lake.replicate``): for
+    every member of the primary catalog, diff the primary's catalog-
+    PINNED read (one consistent cut, captured once) against the replica
+    member's chain and converge divergence with ``repair_replica``'s
+    idempotent MERGE; then flip every repaired pointer in ONE
+    ``publish_many`` commit, so replica-catalog readers move straight to
+    the repaired consistent cut — never through a half-repaired state.
+
+    Per member the cost is anti-entropy's: O(n_buckets) fingerprint
+    triples to detect, divergent buckets only to diff and repair;
+    converged members commit nothing and their pointer entry no-ops.
+    Safe to interleave with a ``CatalogReplicator`` (repair commits land
+    on the chains the next tick's flip adopts; feed windows replay as
+    commit-log no-ops), but like ``Catalog.expire`` it belongs on the
+    owner's maintenance cadence, not a writer storm.
+
+    Members missing on the replica (never bootstrapped) and replica
+    entries absent from the primary are REPORTED, not created/dropped —
+    topology changes are the replicator's job; this repairs content.
+    Returns ``{tables: {name: repair_info | "missing"}, extra: [...],
+    replica_catalog_version}``."""
+    pv = primary.current_version()
+    p_entries = primary.entries(pv)
+    r_entries = replica.entries()
+    out: dict[str, Any] = {}
+    updates: dict[str, Any] = {}
+    for name in sorted(p_entries):
+        if name not in r_entries:
+            out[name] = "missing"
+            continue
+        p_tab = LakeTable.load(primary.spark, p_entries[name]["path"])
+        r_tab = LakeTable.load(replica.spark, r_entries[name]["path"])
+        out[name] = repair_replica(
+            p_tab, r_tab, primary_version=int(p_entries[name]["version"])
+        )
+        updates[name] = (r_tab, r_tab.current_version())
+    rv = (
+        replica.publish_many(updates, op=f"repair(pv={pv})")
+        if publish and updates
+        else replica.current_version()
+    )
+    return {
+        "tables": out,
+        "extra": sorted(set(r_entries) - set(p_entries)),
+        "primary_catalog_version": pv,
+        "replica_catalog_version": rv,
+    }

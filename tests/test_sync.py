@@ -298,3 +298,62 @@ def test_fingerprints_are_per_bucket_triples(spark, tmp_path):
     fps = bucket_fingerprints(p.read(), p._bucket_expr(snap), cols).collect()
     assert 0 < len(fps) <= snap.n_buckets
     assert sum(r["n_rows"] for r in fps) == len(ROWS)
+
+
+def test_repair_catalog_converges_members_in_one_flip(spark, tmp_path):
+    """Catalog-level anti-entropy: corrupt two members of a replicated
+    catalog out-of-band; repair_catalog converges each against the
+    primary's PINNED cut and flips the replica catalog ONCE; a missing
+    member and a primary-dropped extra are reported, not touched; a
+    second repair finds nothing and commits nothing."""
+    from etl_spark.lake import Catalog
+    from etl_spark.lake.replicate import CatalogReplicator
+    from etl_spark.lake.sync import repair_catalog
+
+    def mk(name, rows):
+        t = LakeTable.create(
+            spark, str(tmp_path / name), SCHEMA,
+            key=["conv_id", "turn_idx"], n_buckets=4, bucket_by=["conv_id"],
+        )
+        t.append(spark.createDataFrame(rows, SCHEMA))
+        return t
+
+    a = mk("a", ROWS[:30])
+    b = mk("b", ROWS[30:60])
+    cat = Catalog.create(spark, str(tmp_path / "cat"))
+    cat.register("a", a)
+    cat.register("b", b)
+    rep = Catalog.create(spark, str(tmp_path / "replica"))
+    CatalogReplicator(spark, cat, rep, str(tmp_path / "work")).tick()
+
+    # out-of-band corruption on BOTH replica chains
+    ra, rb = rep.table("a"), rep.table("b")
+    ra.delete_where("turn_idx = 1")
+    rb.merge(
+        spark.createDataFrame([("zz", 9, "user", "alien")], SCHEMA)
+    )
+    assert state(ra) != state(a) and state(rb) != state(b)
+    # primary topology drift: one new member, one replica-only extra
+    c = mk("c", ROWS[60:70])
+    cat.register("c", c)
+    orphan = mk("orphan", ROWS[70:75])
+    rep.register("orphan", orphan)
+
+    base = rep.current_version()
+    out = repair_catalog(cat, rep)
+    assert rep.current_version() == base + 1  # ONE flip for both repairs
+    assert out["tables"]["c"] == "missing"
+    assert out["extra"] == ["orphan"]
+    assert out["tables"]["a"]["repaired"] > 0
+    assert out["tables"]["b"]["repaired"] > 0
+    assert state(rep.table("a")) == state(a)
+    assert state(rep.table("b")) == state(b)
+    # catalog READS (pinned) see the repaired cut
+    assert {tuple(r) for r in rep.read("a").collect()} == state(a)
+
+    again = repair_catalog(cat, rep)
+    assert rep.current_version() == base + 1  # converged: no commit
+    assert all(
+        v == "missing" or v["repaired"] == 0
+        for v in again["tables"].values()
+    )
