@@ -997,6 +997,80 @@ def q_catalog_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_catalog_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-level anti-entropy (``lake.sync.repair_catalog``): the
+    flagship changelog replays into an even/odd 2-member catalog,
+    replicates once, then BOTH replica members are corrupted out-of-band
+    in different classes (rows deleted from ``even``; payloads tampered
+    + alien rows on ``odd``); ``repair_catalog`` converges every member
+    against the primary's pinned cut and flips the replica catalog in
+    ONE commit (asserted in-query, plus a second repair committing
+    nothing). Final answer = union of the REPLICA pinned reads vs the
+    flagship full-log LWW oracle — bit-exact."""
+    from etl_spark.lake.catalog import Catalog
+    from etl_spark.lake.replicate import CatalogReplicator
+    from etl_spark.lake.sync import repair_catalog
+
+    chg = _events_changelog(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_catrepair_q_")
+    cat = Catalog.create(spark, os.path.join(tmp, "cat"))
+    parity = (F.col("user_id") % 2 == 0)
+    for name, side in (("even", parity), ("odd", ~parity)):
+        t = LakeTable.create(
+            spark, os.path.join(tmp, name), schema,
+            key=["user_id"], n_buckets=16,
+        )
+        replay(spark, chg.filter(side), t)
+        cat.register(name, t)
+    replica = Catalog.create(spark, os.path.join(tmp, "replica"))
+    CatalogReplicator(spark, cat, replica, os.path.join(tmp, "work")).tick()
+
+    sel = F.pmod(F.xxhash64("user_id"), F.lit(5))
+    even_r = replica.table("even")
+    even_r.delete_where(sel == 0)  # silently lost rows
+    odd_r = replica.table("odd")
+    cur = odd_r.read()
+    opified = T.StructType(schema.fields + [T.StructField("op", T.StringType())])
+    odd_r.merge(
+        cur.filter(sel == 1).select(  # tampered payloads
+            "user_id", F.lit("tampered").alias("event_type"),
+            (F.col("value") * 2 + 1).alias("value"), "ts",
+            F.lit("U").alias("op"),
+        ).unionByName(
+            spark.createDataFrame(  # alien rows the primary never had
+                [(900_000_001 + 2 * i, "alien", -1.0, None, "U")
+                 for i in range(5)],
+                opified,
+            )
+        ),
+        op_col="op",
+    )
+
+    base = replica.current_version()
+    repair_catalog(cat, replica)
+    assert replica.current_version() == base + 1, "one flip for all repairs"
+    again = repair_catalog(cat, replica)
+    assert replica.current_version() == base + 1, (
+        "converged catalog repairs nothing"
+    )
+    assert all(v["repaired"] == 0 for v in again["tables"].values())
+    union = replica.read("even").unionByName(replica.read("odd"))
+    return union.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
 def q_replica_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-entropy repair (``lake.sync``): a replica of the flagship
     table is corrupted out-of-band in every class the fingerprints must
@@ -3617,6 +3691,7 @@ QUERIES = {
     "branch_backfill": q_branch_backfill,
     "catalog_txn": q_catalog_txn,
     "catalog_replicate": q_catalog_replicate,
+    "catalog_repair": q_catalog_repair,
     "replica_repair": q_replica_repair,
     "change_feed_replicate": q_change_feed_replicate,
     "merge_out_of_order": q_merge_out_of_order,
@@ -3718,6 +3793,7 @@ ORACLE_SQL = {
     "branch_backfill": _ORACLE_CDC_FINAL,
     "catalog_txn": _ORACLE_CDC_FINAL,
     "catalog_replicate": _ORACLE_CDC_FINAL,
+    "catalog_repair": _ORACLE_CDC_FINAL,
     "replica_repair": _ORACLE_CDC_FINAL,
     "change_feed_replicate": _ORACLE_CDC_FINAL,
     "merge_out_of_order": _ORACLE_OOO_MERGE,
