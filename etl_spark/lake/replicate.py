@@ -63,7 +63,9 @@ import time
 from typing import Any
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
+from etl_spark.cdc.apply import apply_batch
 from etl_spark.cdc.metrics import MetricsTable
 from etl_spark.cdc.state import CommitLog
 from etl_spark.lake.catalog import Catalog
@@ -96,7 +98,10 @@ class CatalogReplicator:
         table_root: str | None = None,
         merge_mode: str = "cow",
         metrics: MetricsTable | None = None,
+        bootstrap: str = "direct",
     ):
+        if bootstrap not in ("direct", "feed"):
+            raise ValueError("bootstrap must be 'direct' or 'feed'")
         self.spark = spark
         self.primary = primary
         self.replica = replica
@@ -106,6 +111,7 @@ class CatalogReplicator:
         )
         self.merge_mode = merge_mode
         self.metrics = metrics
+        self.bootstrap = bootstrap
 
     # ------------------------------------------------------------ helpers
     def _feed_dir(self, name: str) -> str:
@@ -180,8 +186,57 @@ class CatalogReplicator:
             exporter = ChangeFeedExporter(
                 src, self._feed_dir(name), table_name=name
             )
-            ex = exporter.export_once(to_version=pinned)
             rt = self._replica_table(name, src, pinned)
+            boot_rows = 0
+            if (
+                self.bootstrap == "direct"
+                and exporter.cursor() == 0
+                and pinned > 0
+            ):
+                # Parquet-native bootstrap: at 100 TB a full-load FEED
+                # window ships the whole table as Debezium JSON text
+                # (~10x the parquet bytes) and parses it back; instead,
+                # MERGE the pinned snapshot read directly (the merge's
+                # key shuffle IS the bucket partitioning the replica
+                # write needs anyway) under the SAME commit-log
+                # bookkeeping as a feed window (batch_id = pinned), then
+                # start the feed cursor AT the pinned version — crash
+                # anywhere replays as a commit-log no-op, and a later
+                # feed window for this version is skipped by the marker.
+                # (`bootstrap="feed"` keeps the self-contained-feed shape
+                # for deployments whose consumers tail the feed dir.)
+                boot = apply_batch(
+                    self.spark,
+                    # lsn mirrors the feed envelope's (= window
+                    # to_version): the LWW order column, dropped before
+                    # merge as a META col
+                    src.read(version=pinned)
+                    .withColumn("op", F.lit("I"))
+                    .withColumn("lsn", F.lit(int(pinned)).cast("long")),
+                    rt,
+                    batch_id=pinned,
+                    source=f"catrepl-{name}",
+                    commit_log=CommitLog(
+                        os.path.join(self._state_dir(name), "commits")
+                    ),
+                    # same validator set as replicate_available: the rows
+                    # are the primary's own snapshot (schema-agnostic) —
+                    # the transcripts-shaped defaults don't apply
+                    validators=[
+                        (
+                            "key_not_null",
+                            F.expr(
+                                " AND ".join(
+                                    f"{c} IS NOT NULL" for c in rt.key
+                                )
+                            ),
+                        )
+                    ],
+                    merge_mode=self.merge_mode,
+                )
+                boot_rows = int(boot.get("rows_applied", 0))
+                exporter.reset_cursor(pinned)
+            ex = exporter.export_once(to_version=pinned)
             applied = replicate_available(
                 self.spark,
                 self._feed_dir(name),
@@ -196,9 +251,10 @@ class CatalogReplicator:
             tables[name] = {
                 "export": ex,
                 "windows_applied": len(applied),
-                "rows_applied": sum(
+                "rows_applied": boot_rows + sum(
                     int(s.get("rows_applied", 0)) for s in applied
                 ),
+                **({"bootstrap_rows": boot_rows} if boot_rows else {}),
             }
         dropped = sorted(set(self.replica.entries()) - set(entries))
         rv = self.replica.publish_many(

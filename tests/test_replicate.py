@@ -146,6 +146,41 @@ def test_register_and_drop_flip_in_one_commit(spark, tmp_path):
     assert rows(rep.read("a", catalog_version=before)) == {("c1", 0, "hi")}
 
 
+def test_direct_bootstrap_skips_the_json_wire_and_replays_as_noop(
+    spark, tmp_path
+):
+    """Default bootstrap MERGEs the pinned snapshot read directly
+    (parquet-native — no full-load JSONL segment in the feed) under the
+    same commit-log bookkeeping; a replayed tick applies 0 rows; the
+    legacy feed-mode bootstrap produces the identical replica state via
+    a seg- full-load window."""
+    import os
+
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "hi"), ("c2", 0, "yo")])
+    cat = Catalog.create(spark, str(tmp_path / "primary"))
+    cat.register("a", a)
+
+    rep = Catalog.create(spark, str(tmp_path / "replica"))
+    r = CatalogReplicator(spark, cat, rep, str(tmp_path / "work"))
+    s = r.tick()
+    assert s["tables"]["a"]["bootstrap_rows"] == 2
+    assert rows(rep.read("a")) == rows(a.read())
+    feed = str(tmp_path / "work" / "feed" / "a")
+    assert [n for n in os.listdir(feed) if n.startswith("seg-")] == []
+
+    s2 = r.tick()  # replay: commit-log no-op, nothing re-merged
+    assert s2["tables"]["a"]["rows_applied"] == 0
+
+    rep2 = Catalog.create(spark, str(tmp_path / "replica2"))
+    r2 = CatalogReplicator(
+        spark, cat, rep2, str(tmp_path / "work2"), bootstrap="feed"
+    )
+    r2.tick()
+    assert rows(rep2.read("a")) == rows(rep.read("a"))
+    feed2 = str(tmp_path / "work2" / "feed" / "a")
+    assert len([n for n in os.listdir(feed2) if n.startswith("seg-")]) == 1
+
+
 def test_tick_metrics_record_lag_lineage(spark, tmp_path):
     """With a MetricsTable attached, every tick emits one row per member
     (rows applied, primary-catalog batch id) plus a summary row carrying
@@ -199,10 +234,11 @@ def test_prune_retires_applied_feed_windows(spark, tmp_path):
         r.tick()
     feed = str(tmp_path / "work" / "feed" / "a")
     n_before = len([n for n in os.listdir(feed) if n.startswith("seg-")])
-    # full load (covering the pre-loop appends) + 2 increments
-    assert n_before == 3
+    # direct (parquet-native) bootstrap covers the pre-loop appends with
+    # NO feed segment; the 2 later ticks each ship one increment
+    assert n_before == 2
     s = r.prune(keep_last=1)
-    assert s["a"]["pruned_segments"] == 2
+    assert s["a"]["pruned_segments"] == 1
     left = [n for n in os.listdir(feed) if n.startswith("seg-")]
     assert len(left) == 1
     # replication continues unaffected after the prune
