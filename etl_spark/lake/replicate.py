@@ -232,7 +232,11 @@ class CatalogReplicator:
                             ),
                         )
                     ],
-                    merge_mode=self.merge_mode,
+                    # always copy-on-write: into an empty table this is
+                    # the plain bucketed write; mor would commit the
+                    # WHOLE table as delta backlog for the read gate to
+                    # fold until a compaction rewrites it all again
+                    merge_mode="cow",
                 )
                 boot_rows = int(boot.get("rows_applied", 0))
                 exporter.reset_cursor(pinned)
