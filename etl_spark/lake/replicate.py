@@ -99,6 +99,7 @@ class CatalogReplicator:
         merge_mode: str = "cow",
         metrics: MetricsTable | None = None,
         bootstrap: str = "direct",
+        compact_when_delta_rows: int = 0,
     ):
         if bootstrap not in ("direct", "feed"):
             raise ValueError("bootstrap must be 'direct' or 'feed'")
@@ -112,6 +113,7 @@ class CatalogReplicator:
         self.merge_mode = merge_mode
         self.metrics = metrics
         self.bootstrap = bootstrap
+        self.compact_when_delta_rows = compact_when_delta_rows
 
     # ------------------------------------------------------------ helpers
     def _feed_dir(self, name: str) -> str:
@@ -251,6 +253,18 @@ class CatalogReplicator:
                 check_rejects=False,  # trusted producer: this engine
                 payload_schema=src.snapshot(pinned, buckets=set()).schema,
             )
+            if self.compact_when_delta_rows and applied:
+                # mor replicas accrue O(window) delta/patch files per
+                # applied window; fold the hot buckets when the
+                # manifest-summed backlog (zero I/O) crosses the
+                # threshold — same backlog-aware MINOR compaction as
+                # CdcStream, BEFORE the flip so readers land on the
+                # compacted snapshot
+                snap = rt.snapshot()
+                shadow = snap.delete_source_files + snap.patch_files
+                backlog = sum(f.get("rows", 0) for f in shadow)
+                if backlog >= self.compact_when_delta_rows:
+                    rt.compact(buckets={f["bucket"] for f in shadow})
             updates[name] = (rt, rt.current_version())
             tables[name] = {
                 "export": ex,

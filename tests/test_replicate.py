@@ -181,6 +181,29 @@ def test_direct_bootstrap_skips_the_json_wire_and_replays_as_noop(
     assert len([n for n in os.listdir(feed2) if n.startswith("seg-")]) == 1
 
 
+def test_mor_replica_backlog_compaction_folds_before_flip(spark, tmp_path):
+    """merge_mode='mor' replicas accrue delta files per window; with
+    compact_when_delta_rows the tick folds the backlog before the flip,
+    so catalog readers land on the compacted snapshot and the manifest
+    carries no shadow entries."""
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "v0"), ("c2", 0, "w0")])
+    cat = Catalog.create(spark, str(tmp_path / "primary"))
+    cat.register("a", a)
+    rep = Catalog.create(spark, str(tmp_path / "replica"))
+    r = CatalogReplicator(
+        spark, cat, rep, str(tmp_path / "work"),
+        merge_mode="mor", compact_when_delta_rows=1,
+    )
+    r.tick()  # bootstrap (cow by contract)
+    for i in range(2):
+        a.merge(spark.createDataFrame([("c1", 0, f"v{i + 1}")], SCHEMA))
+        cat.publish("a")
+        r.tick()
+        snap = rep.table("a").snapshot()
+        assert snap.delete_source_files == [] and snap.patch_files == []
+    assert rows(rep.read("a")) == {("c1", 0, "v2"), ("c2", 0, "w0")}
+
+
 def test_tick_metrics_record_lag_lineage(spark, tmp_path):
     """With a MetricsTable attached, every tick emits one row per member
     (rows applied, primary-catalog batch id) plus a summary row carrying
