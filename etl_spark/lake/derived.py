@@ -47,6 +47,8 @@ Plan shape at scale (asserted in tests/test_plans_physical.py):
 
 from __future__ import annotations
 
+import json
+import os
 import re
 from typing import Callable, Sequence
 
@@ -207,6 +209,35 @@ class IncrementalAggView:
                 f"definition (state columns {stored} != {wanted}); "
                 "point the new definition at a fresh path"
             )
+        # definition pin: the state-column check above cannot see an agg
+        # EXPRESSION change under the same output name (sum(v) ->
+        # sum(v*2)), which would silently combine old state with
+        # new-definition deltas. `aggs` is pure data, so persist the full
+        # definition next to the view and refuse a mismatched reopen
+        # loudly. (Absent file = a view from before this pin: adopt the
+        # current definition.) The row view's transform is an opaque
+        # callable — its guard stays schema-shaped by necessity.
+        defn = {
+            "group_by": self.group_by,
+            "aggs": {k: list(v) for k, v in self.aggs.items()},
+            "strategy": self.strategy,
+        }
+        def_file = os.path.join(os.path.abspath(path), "_view_def.json")
+        if os.path.exists(def_file):
+            with open(def_file) as fh:
+                stored_def = json.load(fh)
+            if stored_def != defn:
+                raise ValueError(
+                    f"view at {path} was materialized with a different "
+                    f"definition ({stored_def} != {defn}); rebuild() after "
+                    "deleting the view dir, or point the new definition "
+                    "at a fresh path"
+                )
+        else:
+            tmp = def_file + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(defn, fh)
+            os.replace(tmp, def_file)
 
     # ------------------------------------------------------------- helpers
     def _rescan_agg_exprs(self) -> list:

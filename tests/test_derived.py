@@ -829,3 +829,35 @@ def test_null_group_touch_raises_untouched_survives(spark, tmp_path, strategy):
         assert got[None]["n"] == 2 and float(got[None]["s"]) == 6.0
     else:
         assert got[None]["mx"] == 5.0
+
+
+def test_agg_view_definition_pin_refuses_expression_change(spark, tmp_path):
+    """The state-column guard can't see an agg EXPRESSION change under
+    the same output name; the persisted definition pin must: same
+    definition reopens fine, changed expression / strategy refuses
+    loudly instead of silently combining old state with new deltas."""
+    src = make_source(spark, tmp_path)
+    path = str(tmp_path / "view")
+    v = IncrementalAggView(
+        spark, path, src, ["grp"], {"total": ("sum", "val")}
+    )
+    v.refresh()
+
+    # identical definition: reopens and keeps maintaining
+    v2 = IncrementalAggView(
+        spark, path, src, ["grp"], {"total": ("sum", "val")}
+    )
+    assert v2.last_applied() == v.last_applied()
+
+    # same output name + schema, different expression: refused
+    with pytest.raises(ValueError, match="different definition"):
+        IncrementalAggView(
+            spark, path, src, ["grp"], {"total": ("sum", "val * 2")}
+        )
+    # different strategy for the same aggs: refused (state shape differs
+    # anyway, but the pin fires first with the full story)
+    with pytest.raises(ValueError, match="different definition"):
+        IncrementalAggView(
+            spark, path, src, ["grp"], {"total": ("sum", "val")},
+            strategy="rescan",
+        )
