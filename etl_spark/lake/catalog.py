@@ -147,13 +147,70 @@ class Catalog:
         with open(self._v_path(v)) as fh:
             return json.load(fh)
 
-    def entries(self, version: int | None = None) -> dict[str, dict[str, Any]]:
+    def entries(
+        self, version: "int | str | None" = None
+    ) -> dict[str, dict[str, Any]]:
         """name -> {"path": ..., "version": ...} at a catalog version
-        (default: current)."""
+        (default: current). A string version is a TAG name."""
+        if isinstance(version, str):
+            version = self.resolve_tag(version)
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no catalog at {self.path}")
         return dict(self._read_version(v)["tables"])
+
+    # ----------------------------------------------------------------- tags
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self._dir, f"tag-{name}.json")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a catalog version under a NAME (Nessie tag semantics for
+        the whole catalog): ``read(table, catalog_version="release-1")``
+        then reads every member at one named consistent cut, and
+        ``expire`` retains the tagged version (and its table-side pins)
+        until ``drop_tag``. One atomic O_EXCL file; O(1) metadata."""
+        if not _NAME_RE.fullmatch(name):
+            raise ValueError(f"tag name {name!r} must match [A-Za-z0-9._-]+")
+        v = self.current_version() if version is None else int(version)
+        if v is None or not os.path.exists(self._v_path(v)):
+            raise FileNotFoundError(
+                f"catalog version {v} does not exist (expired?)"
+            )
+        _atomic_create(
+            self._tag_path(name),
+            json.dumps({"name": name, "version": v, "ts": time.time()}),
+        )
+        # validate-after-create, same interleave discipline as
+        # LakeTable.create_ref: a concurrent expire may have listed tags
+        # before this one became visible — exactly one winner
+        if not os.path.exists(self._v_path(v)):
+            os.remove(self._tag_path(name))
+            raise FileNotFoundError(
+                f"catalog version {v} was expired while tagging it"
+            )
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        p = self._tag_path(name)
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"no catalog tag named {name!r}")
+        os.remove(p)
+
+    def tags(self) -> dict[str, int]:
+        """tag name -> pinned catalog version."""
+        out = {}
+        for n in sorted(os.listdir(self._dir)):
+            if n.startswith("tag-") and n.endswith(".json"):
+                with open(os.path.join(self._dir, n)) as fh:
+                    t = json.load(fh)
+                out[t["name"]] = int(t["version"])
+        return out
+
+    def resolve_tag(self, name: str) -> int:
+        t = self.tags()
+        if name not in t:
+            raise FileNotFoundError(f"no catalog tag named {name!r}")
+        return t[name]
 
     def version_as_of(self, ts: float) -> int:
         """Newest catalog version committed at or before unix-seconds
@@ -343,7 +400,9 @@ class Catalog:
         )
 
     # ---------------------------------------------------------------- reads
-    def pinned_version(self, name: str, catalog_version: int | None = None) -> int:
+    def pinned_version(
+        self, name: str, catalog_version: "int | str | None" = None
+    ) -> int:
         e = self.entries(catalog_version)
         if name not in e:
             raise FileNotFoundError(f"no table {name!r} in catalog")
@@ -358,11 +417,12 @@ class Catalog:
         return LakeTable.load(self.spark, e[name]["path"])
 
     def read(
-        self, name: str, catalog_version: int | None = None
+        self, name: str, catalog_version: "int | str | None" = None
     ) -> DataFrame:
         """Read ``name`` pinned at the catalog's recorded snapshot. Two
         ``read`` calls with the same ``catalog_version`` (or within one
-        catalog head, captured once) are a CONSISTENT cross-table view."""
+        catalog head, captured once) are a CONSISTENT cross-table view.
+        A string ``catalog_version`` is a TAG name (``create_tag``)."""
         e = self.entries(catalog_version)
         if name not in e:
             raise FileNotFoundError(f"no table {name!r} in catalog")
@@ -370,7 +430,7 @@ class Catalog:
         return t.read(version=int(e[name]["version"]))
 
     def sql_views(
-        self, prefix: str = "", catalog_version: int | None = None
+        self, prefix: str = "", catalog_version: "int | str | None" = None
     ) -> list[str]:
         """Register every table's PINNED read as a temp view
         (``<prefix><name>``) so ``spark.sql`` queries join the whole
@@ -430,6 +490,9 @@ class Catalog:
             if n.startswith("cat-v") and n.endswith(".json")
         )
         keep = set(versions[-max(1, keep_last):])
+        # tagged versions are retained — with their table-side pins (the
+        # `needed` map below is computed from `keep`) — until drop_tag
+        keep |= {v for v in self.tags().values() if v in set(versions)}
         # reconcile the pins of EVERY path any version (retained OR about
         # to be removed) references — a table dropped from all retained
         # versions would otherwise keep its refs forever, blocking that

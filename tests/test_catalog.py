@@ -419,3 +419,41 @@ def test_sql_views_join_at_one_consistent_point(spark, tmp_path):
     # head views see the committed transaction
     cat.sql_views(prefix="cat_")
     assert spark.sql("SELECT count(*) c FROM cat_a").collect()[0].c == 2
+
+
+def test_catalog_tags_pin_consistent_cuts_through_expiry(spark, tmp_path):
+    """create_tag pins a whole catalog version by NAME: reads by tag see
+    the tagged consistent cut, catalog expire retains the tagged version
+    AND its table-side pins (so member expire_snapshots can't reclaim
+    the tagged snapshot), and drop_tag releases everything."""
+    a = mk_table(spark, tmp_path, "a", [("c1", 0, "v1")])
+    cat = mk_cat(spark, tmp_path, {"a": a})
+    tagged_v = cat.create_tag("release-1")
+    tagged_tv = cat.pinned_version("a")
+
+    # churn well past the tag, then expire the catalog aggressively
+    for i in range(4):
+        a.append(spark.createDataFrame([(f"c{i + 2}", 0, "x")], SCHEMA))
+        cat.publish("a")
+    cat.expire(keep_last=1)
+    assert rows(cat.read("a", "release-1")) == {("c1", 0, "v1")}
+    assert cat.resolve_tag("release-1") == tagged_v
+    # the member table's snapshot is still pinned: its own expiry keeps it
+    a.expire_snapshots(keep_last=1)
+    assert rows(cat.read("a", "release-1")) == {("c1", 0, "v1")}
+
+    with pytest.raises(FileExistsError):
+        cat.create_tag("release-1")
+    with pytest.raises(FileNotFoundError):
+        cat.resolve_tag("nope")
+    with pytest.raises(ValueError):
+        cat.create_tag("bad name!")
+
+    cat.drop_tag("release-1")
+    cat.expire(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        cat.read("a", "release-1")
+    # pin released -> member expiry reclaims the old snapshot
+    a.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        a.snapshot(tagged_tv, buckets=set())
