@@ -116,20 +116,42 @@ def _hash48(col: Column | str) -> Column:
     return h.cast("long")
 
 
-def _range_bucket(col: Column | str, n_buckets: int) -> Column:
+def _hash48_strict(col: str, ctx: str) -> Column:
+    """``_hash48`` that REFUSES NULLs loudly (same contract as
+    ``hash_split``): a NULL sampling key would make every rank-order
+    column NULL — the plain path then breaks ties arbitrarily (a
+    NONdeterministic sample, violating the module's core contract) and
+    the two-phase path crashes obscurely sorting a NULL bucket id
+    driver-side. Inline when-branch, pure codegen, no validation
+    action."""
+    return F.when(
+        F.col(col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"{ctx}: NULL {col!r} has no deterministic hash order — "
+                "filter NULL keys out or fill them first"
+            )
+        ).cast("long"),
+    ).otherwise(_hash48(col))
+
+
+def _range_bucket(col: str, n_buckets: int) -> Column:
     """Range-partition the 48-bit hash space into ``n_buckets`` ordered
     slices: every value in bucket i hashes BELOW every value in bucket
     i+1 — the property that makes the two-phase quota cutoff select the
     exact same rows as a global hash-order rank, for any bucket count."""
     width = -(-_HASH_SPACE // n_buckets)  # ceil: bucket ids stay < n_buckets
-    return (_hash48(col) / F.lit(width)).cast("long")
+    return (_hash48_strict(col, "quota_sample") / F.lit(width)).cast("long")
 
 
 def _rank_order(hash_on: str) -> list[Column]:
     # 48-bit hash, then the content itself as the unique tiebreak: a
     # total order, deterministic, portable (DuckDB:
     # ORDER BY ('0x' || substr(md5(c),1,12))::BIGINT, c)
-    return [_hash48(hash_on), F.col(hash_on).cast("string")]
+    return [
+        _hash48_strict(hash_on, "quota_sample"),
+        F.col(hash_on).cast("string"),
+    ]
 
 
 def quota_sample(

@@ -57,6 +57,26 @@ class TestHashSplit:
         )
         assert clean.count() == 1
 
+    def test_null_hash_key_raises_on_both_quota_paths(self, spark):
+        """A NULL sampling key would make every rank-order column NULL:
+        the plain path then breaks ties arbitrarily (nondeterministic
+        sample) and the two-phase path crashed sorting a NULL bucket id
+        driver-side. Both must fail loudly, same contract as
+        hash_split."""
+        df = spark.createDataFrame(
+            [(1, "a", "en"), (2, None, "en")], ["doc_id", "text", "lang"]
+        )
+        with pytest.raises(Exception, match="deterministic hash order"):
+            quota_sample(df, ["lang"], 1, "text").collect()
+        with pytest.raises(Exception, match="deterministic hash order"):
+            quota_sample(
+                df, ["lang"], 1, "text", n_prefilter_buckets=4
+            ).collect()
+        clean = quota_sample(
+            df.filter("text is not null"), ["lang"], 1, "text"
+        )
+        assert clean.count() == 1
+
     def test_stable_under_growth(self, corpus):
         """A doc's split must not change when the corpus doubles."""
         small = hash_split(corpus.filter("doc_id < 300"), "text",
