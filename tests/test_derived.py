@@ -861,3 +861,89 @@ def test_agg_view_definition_pin_refuses_expression_change(spark, tmp_path):
             spark, path, src, ["grp"], {"total": ("sum", "val")},
             strategy="rescan",
         )
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# (op, id, group-index, value-index, refresh after this step?)
+# value-index 10 encodes NULL (update-to-NULL churn); group keys stay
+# non-NULL (NULL groups are refused by contract, tested separately)
+_view_steps = st.lists(
+    st.tuples(
+        st.sampled_from(["up", "del"]),
+        st.integers(0, 14),
+        st.integers(0, 3),
+        st.integers(0, 10),
+        st.booleans(),
+    ),
+    min_size=4,
+    max_size=12,
+)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(steps=_view_steps, strategy=st.sampled_from(["delta", "rescan"]))
+def test_agg_view_fuzz_random_churn_equals_full_recompute(
+    spark, tmp_path_factory, steps, strategy
+):
+    """Random upsert/delete churn (group moves, value->NULL flips,
+    re-deletes of absent keys) with refreshes interleaved at random
+    points: after every refresh AND at the end, the incrementally
+    maintained view must equal a full recompute over the current source
+    — for both the delta (retraction arithmetic) and rescan
+    (affected-group recompute) strategies."""
+    base = tmp_path_factory.mktemp("dv_fuzz")
+    src = LakeTable.create(
+        spark, str(base / "src"), SRC_SCHEMA, key=["id"], n_buckets=4
+    )
+    view = IncrementalAggView(
+        spark, str(base / "view"), src, ["grp"],
+        {"n": ("count", "*"), "total": ("sum", "val"), "m": ("avg", "val")},
+        strategy=strategy,
+    )
+    ops = T.StructType(
+        list(SRC_SCHEMA.fields) + [T.StructField("op", T.StringType())]
+    )
+
+    def check():
+        got = (
+            view.read().orderBy("grp").toPandas().reset_index(drop=True)
+        )
+        exp = (
+            src.read()
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("val").cast("decimal(18,6)"))
+                .cast("decimal(28,6)").cast("double").alias("total"),
+                (
+                    F.sum(F.col("val").cast("decimal(18,6)"))
+                    .cast("decimal(28,6)").cast("double")
+                    / F.count("val")
+                ).alias("m"),
+            )
+            .orderBy("grp")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+    for op, i, g, v, do_refresh in steps:
+        if op == "up":
+            row = [(i, f"g{g}", None if v == 10 else float(v * 3 + g))]
+        else:
+            row = [(i, None, None)]
+        src.merge(
+            spark.createDataFrame(
+                [tuple(r) + (("U" if op == "up" else "D"),) for r in row],
+                ops,
+            ),
+            op_col="op",
+        )
+        if do_refresh:
+            view.refresh()
+            check()
+    view.refresh()
+    check()
