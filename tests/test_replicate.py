@@ -391,3 +391,89 @@ def test_replicator_fuzz_vs_sequential_model(
             check()
     r.tick()
     check()
+
+
+def test_routed_ingest_feeds_replica_catalog(spark, tmp_path):
+    """Integration across the two newest families: a heterogeneous WAL
+    routed into a primary catalog (per-batch atomic flips) with a
+    CatalogReplicator following — the replica reaches the same
+    cross-table-consistent state, and a mid-stream tick (between routed
+    batches) lands exactly on a primary consistency point."""
+    import datetime as dt
+
+    from pyspark.sql import types as T2
+
+    from etl_spark.cdc import route_batch
+    from etl_spark.cdc.state import CommitLog, WatermarkStore
+
+    wal_schema = T2.StructType([
+        T2.StructField("dest_table", T2.StringType()),
+        T2.StructField("op", T2.StringType()),
+        T2.StructField("lsn", T2.LongType()),
+        T2.StructField("source_partition", T2.IntegerType()),
+        T2.StructField("ts", T2.TimestampType()),
+        T2.StructField("conv_id", T2.StringType()),
+        T2.StructField("turn_idx", T2.IntegerType()),
+        T2.StructField("text", T2.StringType()),
+        T2.StructField("user_id", T2.LongType()),
+        T2.StructField("name", T2.StringType()),
+    ])
+    ts = dt.datetime(2026, 1, 1, 12, 0, 0)
+    turns = LakeTable.create(
+        spark, str(tmp_path / "turns"),
+        T2.StructType([
+            T2.StructField("conv_id", T2.StringType()),
+            T2.StructField("turn_idx", T2.IntegerType()),
+            T2.StructField("text", T2.StringType()),
+        ]),
+        key=["conv_id", "turn_idx"], n_buckets=4, bucket_by=["conv_id"],
+    )
+    users = LakeTable.create(
+        spark, str(tmp_path / "users"),
+        T2.StructType([
+            T2.StructField("user_id", T2.LongType()),
+            T2.StructField("name", T2.StringType()),
+        ]),
+        key=["user_id"], n_buckets=2,
+    )
+    cat = Catalog.create(spark, str(tmp_path / "cat"))
+    cat.register("turns", turns)
+    cat.register("users", users)
+    rep = Catalog.create(spark, str(tmp_path / "replica"))
+    r = CatalogReplicator(spark, cat, rep, str(tmp_path / "work"))
+    log = CommitLog(str(tmp_path / "commits"))
+    wm = WatermarkStore(str(tmp_path / "wm"))
+
+    def route(batch_id, events):
+        route_batch(
+            spark, spark.createDataFrame(events, wal_schema), cat,
+            batch_id=batch_id, commit_log=log, watermark_store=wm,
+        )
+
+    route(0, [
+        ("turns", "U", 1, 0, ts, "c1", 0, "hello", None, None),
+        ("turns", "U", 2, 0, ts, "c1", 1, "hi", None, None),
+        ("users", "U", 3, 0, ts, None, None, None, 7, "ada"),
+    ])
+    mid = r.tick()  # mid-stream: a primary consistency point
+    assert {(x.conv_id, x.turn_idx, x.text)
+            for x in rep.read("turns").collect()} == {
+        ("c1", 0, "hello"), ("c1", 1, "hi")}
+    assert {(x.user_id, x.name) for x in rep.read("users").collect()} == {
+        (7, "ada")}
+
+    route(1, [
+        ("turns", "U", 4, 0, ts, "c1", 1, "hi again", None, None),
+        ("turns", "D", 5, 0, ts, "c1", 0, None, None, None),
+        ("users", "U", 6, 0, ts, None, None, None, 7, "ada l."),
+    ])
+    r.tick()
+    assert {(x.conv_id, x.turn_idx, x.text)
+            for x in rep.read("turns").collect()} == {("c1", 1, "hi again")}
+    assert {(x.user_id, x.name) for x in rep.read("users").collect()} == {
+        (7, "ada l.")}
+    # the mid-stream cut is still readable on the replica: time travel
+    prev = mid["replica_catalog_version"]
+    assert {(x.user_id, x.name)
+            for x in rep.read("users", catalog_version=prev).collect()} == {
+        (7, "ada")}
