@@ -1,0 +1,455 @@
+"""Incrementally-maintained JOIN view (dimension enrichment) over two
+LakeTables' change feeds.
+
+Completes the engine's view-maintenance trio (Gupta & Mumick): row-level
+transforms and grouped aggregates live in ``lake.derived``; this module
+maintains the third classic shape — the N:1 equi-join that enriches a
+fact/transcript table with a dimension (orders ⋈ customers, turns ⋈
+conversation metadata). The reference recomputes every downstream join
+per run (/root/reference/etl.go:355-424 re-extracts the whole source);
+at 10^10 rows the join must be maintained from the deltas.
+
+The hard direction of incremental join maintenance is the DIMENSION
+side: when a right-side row changes, which left rows reference it? The
+left table is bucketed by its own key, not by the foreign key, so
+answering that with a scan is O(left). This view therefore maintains a
+companion REVERSE-FK INDEX — a LakeTable of ``(fk…, left_key…)`` rows
+keyed by the concatenation and BUCKETED BY THE FK — so a right-side
+delta probes the index bucket-pruned (manifest-level file skipping, the
+``read_for_keys`` discipline) and touches O(changed fks × fanout) rows
+no matter how big the left table is.
+
+Refresh cost, by construction (asserted in tests/test_plans_physical.py):
+
+- **left delta**: the change window joins against the right table read
+  BUCKET-PRUNED to the delta's fk values (broadcast semi-join prune, no
+  right-side shuffle); join input is O(Δleft).
+- **right delta**: changed right keys → index probe (bucket-pruned scan
+  + broadcast semi-join) → affected left keys → left read bucket-pruned
+  to those keys → re-join against the pruned right read. Input is
+  O(Δright × fanout).
+- the view MERGE rewrites only the buckets the affected left keys hash
+  to; the index MERGE only the buckets the changed fks hash to.
+
+Exactly-once: the view's applied-through watermark ``refresh:<lv>.<rv>``
+(left and right source versions) commits atomically WITH the view data
+(same ``op_note`` discipline as ``lake.derived``). The index commits
+first with its own ``refresh:<lv>`` watermark; a crash between the two
+merges replays the same left window against the index idempotently
+(retraction-netted upserts/deletes of identical content), then completes
+the view merge.
+
+Join semantics: ``how="left"`` (unmatched left rows carry NULL dimension
+payload — the CDC-friendly default, since dimension rows may arrive
+late) or ``how="inner"`` (a left row leaves the view while unmatched and
+re-enters when its dimension appears — the delete/resurrect flow works
+precisely because the index tracks ALL left rows, matched or not).
+Equality is SQL equality: a NULL fk never matches; such rows are kept
+out of the index entirely (no right-side change can ever affect them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.lake.table import (
+    LakeTable,
+    last_note_match,
+    maintenance_only,
+    retraction_weight,
+)
+
+_VIEW_RE = re.compile(r"(?:^|:)refresh:(\d+)\.(\d+)$")
+_IDX_RE = re.compile(r"(?:^|:)refresh:(\d+)$")
+_OP = "__op"
+
+
+def _any_null(cols: list[str]) -> Column:
+    out = F.lit(False)
+    for c in cols:
+        out = out | F.col(c).isNull()
+    return out
+
+
+class IncrementalJoinView:
+    """Materialized ``left ⋈ right`` maintained from both change feeds.
+
+    ``on`` lists the LEFT columns that equate (positionally) to the
+    right table's KEY columns — the N:1 dimension-join contract, which
+    is what makes both probe directions bucket-prunable. ``right_prefix``
+    renames the right payload columns in the view (required when names
+    collide with left columns). The view is keyed by the LEFT key; the
+    dimension payload rides as extra columns.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        left: LakeTable,
+        right: LakeTable,
+        on: list[str],
+        how: str = "left",
+        right_prefix: str = "",
+        n_buckets: int = 16,
+        broadcast_threshold: int = 1_000_000,
+    ) -> None:
+        if how not in ("left", "inner"):
+            raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+        self.spark = spark
+        self.path = path
+        self.left = left
+        self.right = right
+        self.on = list(on)
+        self.how = how
+        self.right_prefix = right_prefix
+        self.broadcast_threshold = broadcast_threshold
+        self.capture_plans = False
+        self.last_plan: str | None = None
+
+        lschema = left.schema
+        rschema = right.schema
+        rkey = list(right.key)
+        if len(self.on) != len(rkey):
+            raise ValueError(
+                f"on={self.on} must match the right key {rkey} positionally"
+            )
+        for c in self.on:
+            if c not in lschema.fieldNames():
+                raise ValueError(f"fk column {c!r} not in left schema")
+        for side, tab in (("left", left), ("right", right)):
+            if not set(tab.snapshot(buckets=set()).bucket_by) <= set(tab.key):
+                raise ValueError(
+                    f"{side} table must be bucketed by a subset of its key "
+                    "(read_for_key_frame pruning)"
+                )
+        self.rpayload = [f.name for f in rschema.fields if f.name not in rkey]
+        out_names = [right_prefix + c for c in self.rpayload]
+        clash = set(out_names) & set(lschema.fieldNames())
+        if clash:
+            raise ValueError(
+                f"right payload columns {sorted(clash)} collide with left "
+                "columns — pass right_prefix"
+            )
+        view_fields = [
+            T.StructField(f.name, f.dataType, True) for f in lschema.fields
+        ] + [
+            T.StructField(right_prefix + f.name, f.dataType, True)
+            for f in rschema.fields
+            if f.name in self.rpayload
+        ]
+        self.table = LakeTable.create(
+            spark, path, T.StructType(view_fields), key=list(left.key),
+            n_buckets=n_buckets, if_not_exists=True,
+        )
+        # reverse-fk index: one row per (non-null-fk) left row, keyed by
+        # (fk…, left_key…) so an fk CHANGE is a delete+insert pair in two
+        # different buckets (both present in the merge source — pruning
+        # stays exact), BUCKETED BY FK so right-delta probes prune
+        self.idx_cols = list(self.on) + [
+            k for k in left.key if k not in self.on
+        ]
+        idx_fields = [
+            T.StructField(c, lschema[c].dataType, True) for c in self.idx_cols
+        ]
+        self.index = LakeTable.create(
+            spark, os.path.join(path, "fkidx"), T.StructType(idx_fields),
+            key=list(self.idx_cols), n_buckets=n_buckets,
+            bucket_by=list(self.on), if_not_exists=True,
+        )
+        # definition pin (same rationale as IncrementalAggView): `on`,
+        # `how` and the prefix are pure data — a reopened view under a
+        # different join definition must fail loudly, not fold new-shape
+        # deltas into old-shape state
+        defn = {
+            "on": self.on, "how": self.how, "right_prefix": right_prefix,
+            "left": os.path.abspath(left.path),
+            "right": os.path.abspath(right.path),
+        }
+        def_file = os.path.join(os.path.abspath(path), "_view_def.json")
+        if os.path.exists(def_file):
+            with open(def_file) as fh:
+                stored = json.load(fh)
+            if stored != defn:
+                raise ValueError(
+                    f"join view at {path} was materialized with a different "
+                    f"definition ({stored} != {defn}); point the new "
+                    "definition at a fresh path"
+                )
+        else:
+            tmp = def_file + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(defn, fh)
+            os.replace(tmp, def_file)
+
+    # ----------------------------------------------------------- watermarks
+    def last_applied(self) -> tuple[int, int] | None:
+        m = last_note_match(self.table, _VIEW_RE)
+        return (int(m.group(1)), int(m.group(2))) if m else None
+
+    def _index_applied(self) -> int | None:
+        m = last_note_match(self.index, _IDX_RE)
+        return int(m.group(1)) if m else None
+
+    # -------------------------------------------------------------- helpers
+    def _right_renamed(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        rkey = list(self.right.key)
+        sel = [F.col(k).alias(f"__rk{i}") for i, k in enumerate(rkey)] + [
+            F.col(c).alias(self.right_prefix + c) for c in self.rpayload
+        ]
+        cond = F.lit(True)
+        for i, c in enumerate(self.on):
+            cond = cond & (F.col(c) == F.col(f"__rk{i}"))
+        return df.select(*sel), cond
+
+    def _view_rows(self, lrows: DataFrame, rrows: DataFrame) -> DataFrame:
+        """Enriched U/D merge rows for ``lrows`` (current left images)
+        against ``rrows`` (the right state restricted to at least every
+        fk value in ``lrows``)."""
+        r, cond = self._right_renamed(rrows)
+        j = lrows.join(r, cond, "left")
+        matched = F.col("__rk0").isNotNull()
+        out = [F.col(f.name) for f in self.left.schema.fields]
+        for c in self.rpayload:
+            out.append(F.col(self.right_prefix + c))
+        if self.how == "left":
+            return j.select(*out, F.lit("U").alias(_OP))
+        # inner: unmatched left rows leave the view (their payload is
+        # nulled on the D rows — merge only needs key + op)
+        named = [(f.name, F.col(f.name)) for f in self.left.schema.fields]
+        named += [
+            (self.right_prefix + p, F.col(self.right_prefix + p))
+            for p in self.rpayload
+        ]
+        return j.select(
+            *[
+                (c if name in self.left.key else F.when(matched, c))
+                .alias(name)
+                for name, c in named
+            ],
+            F.when(matched, F.lit("U")).otherwise(F.lit("D")).alias(_OP),
+        )
+
+    def _null_payload_deletes(self, keys: DataFrame) -> DataFrame:
+        cols = [F.col(k) for k in self.left.key] + [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in self.table.schema.fields
+            if f.name not in self.left.key
+        ]
+        return keys.select(*cols).withColumn(_OP, F.lit("D"))
+
+    def _probe_index(self, rkeys: DataFrame, broadcast: bool) -> DataFrame:
+        """Index rows whose fk is in ``rkeys`` (right-key frame): bucket
+        manifests pruned to the fks' buckets, then a (broadcast) semi
+        join — never a full index scan."""
+        fkframe = rkeys.select(
+            *[
+                F.col(rk).alias(c)
+                for c, rk in zip(self.on, self.right.key)
+            ]
+        )
+        buckets = set(self.index.bucket_histogram(fkframe))
+        if not buckets:
+            return self.spark.createDataFrame([], self.index.schema)
+        snap = self.index.snapshot(buckets=buckets)
+        entries = [e for e in snap.data_files if e["bucket"] in buckets]
+        rows = self.index._read_files(snap, entries, buckets=buckets)
+        k = fkframe.dropDuplicates(self.on)
+        if broadcast:
+            k = F.broadcast(k)
+        return rows.join(k, on=self.on, how="left_semi")
+
+    # -------------------------------------------------------------- refresh
+    def refresh(self) -> dict[str, Any]:
+        lv = self.left.current_version()
+        rv = self.right.current_version()
+        if lv is None or rv is None:
+            raise FileNotFoundError("source tables have no snapshots")
+        last = self.last_applied()
+        if last is None:
+            return self.rebuild(lv, rv)
+        ll, rl = last
+        note = f"refresh:{lv}.{rv}"
+        if ll >= lv and rl >= rv:
+            return {"refreshed_through": (ll, rl), "rows_upserted": 0,
+                    "rows_deleted": 0, "no_op": True}
+        l_quiet = ll >= lv or maintenance_only(self.left, ll, lv)
+        r_quiet = rl >= rv or maintenance_only(self.right, rl, rv)
+        if l_quiet and r_quiet:
+            self._advance_index(lv)
+            self.table.tag(note)
+            return {"refreshed_through": (lv, rv), "rows_upserted": 0,
+                    "rows_deleted": 0, "maintenance_only": True}
+        lch: DataFrame | None = None
+        rkeys: DataFrame | None = None
+        try:
+            try:
+                if not l_quiet:
+                    lch = self.left.table_changes(ll, lv, pre_images=True)
+                    lch.schema  # force plan resolution against both snaps
+                    lch = lch.persist()
+                if not r_quiet:
+                    rkeys = self.right.table_changes(rl, rv).select(
+                        *self.right.key
+                    ).distinct()
+                    rkeys.schema
+                    rkeys = rkeys.persist()
+            except FileNotFoundError:
+                # retention outran the view on either side — bounded heal
+                return self.rebuild(lv, rv)
+
+            lkey = list(self.left.key)
+            w = retraction_weight()
+            sources: list[DataFrame] = []
+
+            # ---- left delta: index first (crash window replays it
+            # idempotently), then the enriched view rows
+            n_l = 0
+            if lch is not None:
+                n_l = lch.count()
+                idx_delta = (
+                    lch.filter(~_any_null(self.on))
+                    .groupBy(*self.idx_cols)
+                    .agg(F.sum(w).alias("__w"))
+                    .filter(F.col("__w") != 0)
+                    .select(
+                        *self.idx_cols,
+                        F.when(F.col("__w") > 0, F.lit("U"))
+                        .otherwise(F.lit("D")).alias(_OP),
+                    )
+                )
+                isnap, _ = self.index.merge(
+                    idx_delta, op_col=_OP, op_note=f"refresh:{lv}"
+                )
+                if isnap is None:
+                    self.index.tag(f"refresh:{lv}")
+                plus = lch.filter(
+                    F.col("_change_type").isin("insert", "update_postimage")
+                ).drop("_change_type")
+                rprobe = self.right.read_for_key_frame(
+                    plus.select(
+                        *[
+                            F.col(c).alias(rk)
+                            for c, rk in zip(self.on, self.right.key)
+                        ]
+                    ).filter(~_any_null(self.right.key)),
+                    version=rv,
+                    broadcast=n_l <= self.broadcast_threshold,
+                )
+                sources.append(self._view_rows(plus, rprobe))
+                sources.append(
+                    self._null_payload_deletes(
+                        lch.filter(F.col("_change_type") == "delete")
+                        .select(*lkey)
+                    )
+                )
+            else:
+                self._advance_index(lv)
+
+            # ---- right delta: probe the fk index for affected left keys
+            if rkeys is not None:
+                n_r = rkeys.count()
+                small = n_r <= self.broadcast_threshold
+                aff = self._probe_index(rkeys, broadcast=small).select(*lkey)
+                if lch is not None:
+                    # keys already recomputed against right@rv in the
+                    # left pass — don't double-emit them
+                    aff = aff.join(
+                        F.broadcast(lch.select(*lkey).distinct())
+                        if n_l <= self.broadcast_threshold
+                        else lch.select(*lkey).distinct(),
+                        on=lkey, how="left_anti",
+                    )
+                aff = aff.persist()
+                try:
+                    n_aff = aff.count()
+                    if n_aff:
+                        lrows = self.left.read_for_key_frame(
+                            aff, version=lv,
+                            broadcast=n_aff <= self.broadcast_threshold,
+                            distinct=False,
+                        )
+                        rprobe2 = self.right.read_for_key_frame(
+                            rkeys, version=rv, broadcast=small,
+                            distinct=False,
+                        )
+                        src = self._view_rows(lrows, rprobe2)
+                        if self.capture_plans:
+                            self.last_plan = (
+                                src._jdf.queryExecution()
+                                .executedPlan().toString()
+                            )
+                        sources.append(src)
+                    stats = self._merge_view(sources, note)
+                finally:
+                    aff.unpersist()
+            else:
+                stats = self._merge_view(sources, note)
+            stats["refreshed_through"] = (lv, rv)
+            return stats
+        finally:
+            if lch is not None:
+                lch.unpersist()
+            if rkeys is not None:
+                rkeys.unpersist()
+
+    def _advance_index(self, lv: int) -> None:
+        il = self._index_applied()
+        if il is None or il < lv:
+            self.index.tag(f"refresh:{lv}")
+
+    def _merge_view(
+        self, sources: list[DataFrame], note: str
+    ) -> dict[str, Any]:
+        if not sources:
+            self.table.tag(note)
+            return {"rows_upserted": 0, "rows_deleted": 0}
+        src = sources[0]
+        for s in sources[1:]:
+            # mid-stream left evolution: D rows built from the (not yet
+            # evolved) view schema may lack columns the U rows carry —
+            # they ride as NULL and evolve the view through the merge
+            src = src.unionByName(s, allowMissingColumns=True)
+        snap, mstats = self.table.merge(src, op_col=_OP, op_note=note)
+        if snap is None:
+            self.table.tag(note)
+            return {"rows_upserted": 0, "rows_deleted": 0}
+        return {
+            "rows_upserted": mstats["rows_upserted"],
+            "rows_deleted": mstats["rows_deleted"],
+        }
+
+    def rebuild(
+        self, lv: int | None = None, rv: int | None = None
+    ) -> dict[str, Any]:
+        """Full recompute → atomic overwrite of index then view, each
+        carrying its watermark in the same commit. The initial build and
+        the retention-outran-the-view self-heal."""
+        lv = self.left.current_version() if lv is None else lv
+        rv = self.right.current_version() if rv is None else rv
+        lrows = self.left.read(lv)
+        self.index.overwrite(
+            lrows.filter(~_any_null(self.on)).select(*self.idx_cols),
+            op_note=f"refresh:{lv}",
+        )
+        r, cond = self._right_renamed(self.right.read(rv))
+        full = lrows.join(r, cond, self.how)
+        out = [F.col(f.name) for f in self.left.schema.fields] + [
+            F.col(self.right_prefix + c) for c in self.rpayload
+        ]
+        snap = self.table.overwrite(
+            full.select(*out), op_note=f"refresh:{lv}.{rv}"
+        )
+        return {"refreshed_through": (lv, rv), "rebuilt": True,
+                "rows_upserted": snap.total_rows, "rows_deleted": 0}
+
+    # ----------------------------------------------------------------- read
+    def read(self) -> DataFrame:
+        return self.table.read()

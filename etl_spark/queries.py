@@ -3680,6 +3680,106 @@ FROM final WHERE value > 50.0
 """
 
 
+def q_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view (orders ⋈ customer dimension
+    enrichment, ``lake.joinview``): after the initial build, refreshes
+    read ONLY the two change feeds — a left delta joins against the
+    bucket-pruned dimension, a dimension delta probes the reverse-fk
+    index for the affected facts — never a full rescan of either side.
+    Lifecycle: full load → (fact price updates + fact deletes + dim
+    balance updates) → dim deletes (how='left' ⇒ enriched columns go
+    NULL). The final view must equal the plain SQL join over the final
+    table states, bit-exactly."""
+    import shutil
+
+    from etl_spark.lake.joinview import IncrementalJoinView
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_joinview_q_")
+    try:
+        left = LakeTable.create(
+            spark, os.path.join(tmp, "l"), orders.schema,
+            key=["o_orderkey"], n_buckets=8,
+        )
+        right = LakeTable.create(
+            spark, os.path.join(tmp, "r"), cust.schema,
+            key=["c_custkey"], n_buckets=8,
+        )
+        left.merge(orders.withColumn("op", F.lit("U")), op_col="op")
+        right.merge(cust.withColumn("op", F.lit("U")), op_col="op")
+        view = IncrementalJoinView(
+            spark, os.path.join(tmp, "v"), left, right,
+            on=["o_custkey"], how="left", right_prefix="d_", n_buckets=8,
+        )
+        view.refresh()  # initial build
+        # batch 2: fact updates + deletes, dim balance updates
+        upd = orders.filter(
+            (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 3)
+        ).select(
+            "o_orderkey", "o_custkey",
+            F.lit(-1.0).alias("o_totalprice"), F.lit("U").alias("op"),
+        )
+        dels = orders.filter(F.col("o_orderkey") % 7 == 3).select(
+            "o_orderkey",
+            F.lit(None).cast("long").alias("o_custkey"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+            F.lit("D").alias("op"),
+        )
+        left.merge(upd.unionByName(dels), op_col="op")
+        right.merge(
+            cust.filter(F.col("c_custkey") % 3 == 0).select(
+                "c_custkey", "c_name",
+                (F.col("c_acctbal") + F.lit(1000.0)).alias("c_acctbal"),
+                F.lit("U").alias("op"),
+            ),
+            op_col="op",
+        )
+        view.refresh()
+        # batch 3: dim deletes — enrichment goes NULL under how='left'
+        right.merge(
+            cust.filter(F.col("c_custkey") % 11 == 5).select(
+                "c_custkey",
+                F.lit(None).cast("string").alias("c_name"),
+                F.lit(None).cast("double").alias("c_acctbal"),
+                F.lit("D").alias("op"),
+            ),
+            op_col="op",
+        )
+        view.refresh()
+        out = view.read().select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            F.col("d_c_name").alias("d_name"),
+            F.col("d_c_acctbal").alias("d_acctbal"),
+        ).cache()
+        out.count()  # materialize before the temp lake dirs go away
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_ORACLE_JOIN_VIEW = """
+WITH l AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN -1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 3
+), r AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 11 <> 5
+)
+SELECT l.o_orderkey, l.o_custkey, l.o_totalprice,
+       r.c_name AS d_name, r.c_acctbal AS d_acctbal
+FROM l LEFT JOIN r ON l.o_custkey = r.c_custkey
+"""
+
+
 QUERIES = {
     "cdc_apply_final_state": q_cdc_apply_final_state,
     "cdc_apply_mor": q_cdc_apply_mor,
@@ -3777,6 +3877,7 @@ QUERIES = {
     "derived_agg_incremental": q_derived_agg_incremental,
     "derived_minmax_rescan": q_derived_minmax_rescan,
     "derived_row_view": q_derived_row_view,
+    "join_view_incremental": q_join_view_incremental,
     "context_window": q_context_window,
     "conversation_assembly": q_conversation_assembly,
     "repetition_signals": q_repetition_signals,
@@ -3867,6 +3968,7 @@ ORACLE_SQL = {
     "derived_agg_incremental": _ORACLE_DERIVED_AGG,
     "derived_minmax_rescan": _ORACLE_DERIVED_MINMAX,
     "derived_row_view": _ORACLE_DERIVED_ROW,
+    "join_view_incremental": _ORACLE_JOIN_VIEW,
     "context_window": _ORACLE_CONTEXT,
     "conversation_assembly": _ORACLE_ASSEMBLY,
     "repetition_signals": _ORACLE_REPETITION,

@@ -1,0 +1,356 @@
+"""Incrementally-maintained join views (etl_spark.lake.joinview).
+
+Every scenario churns BOTH sides of a fact ⋈ dimension join (fact
+inserts/updates/deletes, fk re-pointing, dimension updates/deletes/
+late inserts) and asserts the maintained view equals a FULL RECOMPUTE
+of the join over the final table states — the defining invariant."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.lake import LakeTable
+from etl_spark.lake.joinview import IncrementalJoinView
+
+L_SCHEMA = T.StructType(
+    [
+        T.StructField("oid", T.LongType()),
+        T.StructField("cust", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+R_SCHEMA = T.StructType(
+    [
+        T.StructField("cid", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("tier", T.StringType()),
+    ]
+)
+L_OPS = T.StructType(list(L_SCHEMA.fields) + [T.StructField("op", T.StringType())])
+R_OPS = T.StructType(list(R_SCHEMA.fields) + [T.StructField("op", T.StringType())])
+
+
+def make_tables(spark, tmp_path, n_left=40, n_right=8):
+    left = LakeTable.create(
+        spark, str(tmp_path / "l"), L_SCHEMA, key=["oid"], n_buckets=4
+    )
+    right = LakeTable.create(
+        spark, str(tmp_path / "r"), R_SCHEMA, key=["cid"], n_buckets=4
+    )
+    lrows = [(i, i % n_right, float(i)) for i in range(n_left)]
+    rrows = [(c, f"cust{c}", "gold" if c % 2 else "base") for c in range(n_right)]
+    left.merge(
+        spark.createDataFrame(lrows, L_SCHEMA).withColumn("op", F.lit("U")),
+        op_col="op",
+    )
+    right.merge(
+        spark.createDataFrame(rrows, R_SCHEMA).withColumn("op", F.lit("U")),
+        op_col="op",
+    )
+    return left, right
+
+
+def recompute(left: LakeTable, right: LakeTable, how: str):
+    r = right.read().select(
+        F.col("cid"), F.col("name").alias("d_name"), F.col("tier").alias("d_tier")
+    )
+    return (
+        left.read()
+        .join(r, F.col("cust") == F.col("cid"), how)
+        .select("oid", "cust", "amount", "d_name", "d_tier")
+    )
+
+
+def assert_converged(view: IncrementalJoinView, how: str):
+    got = sorted(
+        tuple(r) for r in view.read()
+        .select("oid", "cust", "amount", "d_name", "d_tier").collect()
+    )
+    want = sorted(tuple(r) for r in recompute(view.left, view.right, how).collect())
+    assert got == want
+
+
+@pytest.mark.parametrize("how", ["left", "inner"])
+def test_churn_both_sides_converges(spark, tmp_path, how):
+    left, right = make_tables(spark, tmp_path)
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"], how=how,
+        right_prefix="d_", n_buckets=4,
+    )
+    st = view.refresh()
+    assert st.get("rebuilt")
+    assert_converged(view, how)
+
+    # fact churn: value update, fk re-point, delete, inserts (one with a
+    # dangling fk, one with a NULL fk)
+    left.merge(
+        spark.createDataFrame(
+            [
+                (0, 0, 999.0, "U"),       # amount change
+                (1, 5, 1.0, "U"),         # fk 1 -> 5
+                (2, None, None, "D"),     # delete
+                (40, 99, 4.5, "U"),       # dangling fk (no dim row yet)
+                (41, None, 7.5, "U"),     # NULL fk
+            ],
+            L_OPS,
+        ),
+        op_col="op",
+    )
+    view.refresh()
+    assert_converged(view, how)
+
+    # dimension churn: payload update, delete, and the late insert that
+    # matches the dangling fk
+    right.merge(
+        spark.createDataFrame(
+            [
+                (5, "cust5x", "plat", "U"),   # update (fanout: oids 5,13,... and re-pointed 1)
+                (3, None, None, "D"),          # delete a referenced dim
+                (99, "late", "new", "U"),      # resurrects oid 40
+            ],
+            R_OPS,
+        ),
+        op_col="op",
+    )
+    view.refresh()
+    assert_converged(view, how)
+
+    # both sides in one window
+    left.merge(
+        spark.createDataFrame([(3, 3, -3.0, "U"), (4, None, None, "D")], L_OPS),
+        op_col="op",
+    )
+    right.merge(
+        spark.createDataFrame([(0, "cust0y", "iron", "U")], R_OPS), op_col="op"
+    )
+    view.refresh()
+    assert_converged(view, how)
+
+
+def test_refresh_is_idempotent_and_noop(spark, tmp_path):
+    left, right = make_tables(spark, tmp_path)
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"],
+        right_prefix="d_", n_buckets=4,
+    )
+    view.refresh()
+    v0 = view.table.current_version()
+    st = view.refresh()
+    assert st["no_op"] and view.table.current_version() == v0
+
+
+def test_crash_between_index_and_view_merge_replays(spark, tmp_path):
+    """Simulate the crash window: the index commit lands, the view commit
+    doesn't. The re-run must replay the same window idempotently and
+    converge."""
+    left, right = make_tables(spark, tmp_path)
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"],
+        right_prefix="d_", n_buckets=4,
+    )
+    view.refresh()
+    left.merge(
+        spark.createDataFrame(
+            [(0, 7, 123.0, "U"), (5, None, None, "D")], L_OPS
+        ),
+        op_col="op",
+    )
+    # crash: run a refresh whose VIEW merge explodes after the index merge
+    real = view._merge_view
+    try:
+        view._merge_view = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("crash")
+        )
+        with pytest.raises(RuntimeError):
+            view.refresh()
+    finally:
+        view._merge_view = real
+    # index is ahead of the view now; the re-run replays the window
+    assert view._index_applied() == left.current_version()
+    assert view.last_applied() != (
+        left.current_version(), right.current_version()
+    )
+    view.refresh()
+    assert_converged(view, "left")
+    # and the index exactly mirrors the final left rows' fks
+    idx = sorted(tuple(r) for r in view.index.read().collect())
+    want = sorted(
+        tuple(r)
+        for r in left.read().filter(F.col("cust").isNotNull())
+        .select("cust", "oid").collect()
+    )
+    assert idx == want
+
+
+def test_fk_repoint_moves_index_and_fanout(spark, tmp_path):
+    left, right = make_tables(spark, tmp_path, n_left=6, n_right=3)
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"],
+        right_prefix="d_", n_buckets=4,
+    )
+    view.refresh()
+    # re-point oid 0 from cust 0 to cust 2
+    left.merge(
+        spark.createDataFrame([(0, 2, 0.0, "U")], L_OPS), op_col="op"
+    )
+    view.refresh()
+    # a dim update on cust 2 must now reach oid 0; one on cust 0 must not
+    right.merge(
+        spark.createDataFrame(
+            [(2, "two", "t2", "U"), (0, "zero", "t0", "U")], R_OPS
+        ),
+        op_col="op",
+    )
+    view.refresh()
+    assert_converged(view, "left")
+    row = view.read().filter(F.col("oid") == 0).collect()[0]
+    assert row["d_name"] == "two"
+
+
+def test_maintenance_only_windows_tag(spark, tmp_path):
+    left, right = make_tables(spark, tmp_path)
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"],
+        right_prefix="d_", n_buckets=4,
+    )
+    view.refresh()
+    left.compact()
+    right.compact()
+    st = view.refresh()
+    assert st.get("maintenance_only")
+    assert view.last_applied() == (
+        left.current_version(), right.current_version()
+    )
+    assert_converged(view, "left")
+
+
+def test_redefinition_guard(spark, tmp_path):
+    left, right = make_tables(spark, tmp_path)
+    IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"],
+        right_prefix="d_", n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="different definition"):
+        IncrementalJoinView(
+            spark, str(tmp_path / "v"), left, right, on=["cust"],
+            how="inner", right_prefix="d_", n_buckets=4,
+        )
+
+
+def test_collision_requires_prefix(spark, tmp_path):
+    left = LakeTable.create(
+        spark, str(tmp_path / "l2"), L_SCHEMA, key=["oid"], n_buckets=2
+    )
+    r_schema = T.StructType(
+        [T.StructField("cid", T.LongType()), T.StructField("amount", T.DoubleType())]
+    )
+    right = LakeTable.create(
+        spark, str(tmp_path / "r2"), r_schema, key=["cid"], n_buckets=2
+    )
+    with pytest.raises(ValueError, match="collide"):
+        IncrementalJoinView(
+            spark, str(tmp_path / "v2"), left, right, on=["cust"]
+        )
+
+
+def test_right_delta_probe_is_bucket_pruned(spark, tmp_path):
+    """Scale shape of the dimension-delta path: churning ONE dim key must
+    open only the fk's bucket in the index and only the affected facts'
+    buckets on the left — never a full scan of either."""
+    # cid 3 is referenced by exactly two facts (oid 3 and 19), so the
+    # affected-fact read touches at most 2 of the left buckets
+    left, right = make_tables(spark, tmp_path, n_left=20, n_right=16)
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"],
+        right_prefix="d_", n_buckets=4,
+    )
+    view.refresh()
+    right.merge(
+        spark.createDataFrame([(3, "three", "t3", "U")], R_OPS), op_col="op"
+    )
+    idx_total = len(view.index.snapshot().data_files)
+    left_total = len(left.snapshot().data_files)
+    assert idx_total >= 3 and left_total >= 3
+    seen = {"idx": [], "left": []}
+    orig_idx, orig_left = view.index._read_files, left._read_files
+
+    def spy_idx(snap, entries, **kw):
+        seen["idx"].append(len(entries))
+        return orig_idx(snap, entries, **kw)
+
+    def spy_left(snap, entries, **kw):
+        seen["left"].append(len(entries))
+        return orig_left(snap, entries, **kw)
+
+    view.index._read_files = spy_idx
+    left._read_files = spy_left
+    try:
+        view.refresh()
+    finally:
+        del view.index._read_files
+        del left._read_files
+    assert_converged(view, "left")
+    # the index probe opened only the fk's bucket, and the affected-fact
+    # read only the (≤2) buckets oid 3 / 19 hash to — never a full scan
+    assert seen["idx"] and max(seen["idx"]) < idx_total
+    assert seen["left"] and max(seen["left"]) <= 2 < left_total
+
+
+def test_fuzz_random_churn_vs_recompute(spark, tmp_path):
+    """Randomized convergence: interleaved fact/dim churn batches with
+    refreshes at random points must always match the full recompute."""
+    rng = random.Random(7)
+    left, right = make_tables(spark, tmp_path, n_left=30, n_right=6)
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"],
+        right_prefix="d_", n_buckets=4,
+    )
+    view.refresh()
+    next_oid = 100
+    for step in range(6):
+        if rng.random() < 0.8:  # fact batch
+            rows = []
+            live = [r["oid"] for r in left.read().select("oid").collect()]
+            for _ in range(rng.randint(1, 5)):
+                roll = rng.random()
+                if roll < 0.4 and live:
+                    oid = rng.choice(live)
+                    rows.append(
+                        (oid, rng.randrange(8), rng.uniform(-5, 5), "U")
+                    )
+                elif roll < 0.6 and live:
+                    rows.append((rng.choice(live), None, None, "D"))
+                else:
+                    rows.append(
+                        (next_oid, rng.randrange(10), 1.0, "U")
+                    )
+                    next_oid += 1
+            dedup: dict[int, tuple] = {}
+            for r in rows:  # merge contract: one row per key per batch
+                dedup[r[0]] = r
+            left.merge(
+                spark.createDataFrame(list(dedup.values()), L_OPS), op_col="op"
+            )
+        if rng.random() < 0.6:  # dim batch
+            rows = []
+            for _ in range(rng.randint(1, 3)):
+                cid = rng.randrange(10)
+                if rng.random() < 0.3:
+                    rows.append((cid, None, None, "D"))
+                else:
+                    rows.append((cid, f"n{step}_{cid}", "t", "U"))
+            # one op per key per batch
+            seen: dict[int, tuple] = {}
+            for r in rows:
+                seen[r[0]] = r
+            right.merge(
+                spark.createDataFrame(list(seen.values()), R_OPS), op_col="op"
+            )
+        if rng.random() < 0.7:
+            view.refresh()
+    view.refresh()
+    assert_converged(view, "left")
