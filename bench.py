@@ -770,6 +770,110 @@ def run_derived_refresh(spark, sf_dir: str, copies=(1, 8)) -> dict:
     }
 
 
+def run_joinview_refresh(spark, sf_dir: str, copies=(1, 8)) -> dict:
+    """Incremental JOIN-view maintenance (orders ⋈ customer): the SAME
+    fixed-size churn (one fact batch + one dimension batch, base-copy
+    keys only) applied to fact+dim tables of growing size. Refresh reads
+    only the two change feeds — the dim delta probes the reverse-fk
+    index bucket-pruned — so its cost tracks the churn; rebuild re-joins
+    everything and grows with the tables."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.lake import LakeTable
+    from etl_spark.lake.joinview import IncrementalJoinView
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    # churn localized to a handful of HOT customers — with the fact table
+    # bucketed by the fk, both the fact delta and the dim delta's index
+    # probe then touch only those fks' buckets (the hot-conversation CDC
+    # regime, same shape as run_derived_refresh)
+    hot = F.col("c_custkey") % 1370 == 0
+    hot_l = F.col("o_custkey") % 1370 == 0
+    l_churn = (
+        orders.filter(hot_l)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("op", F.lit("U"))
+    )
+    r_churn = (
+        cust.filter(hot)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1)
+        .withColumn("op", F.lit("U"))
+    )
+    runs = []
+    for k in copies:
+        big_l, big_r = orders, cust
+        for r in range(1, k):
+            big_l = big_l.unionByName(
+                orders.select(
+                    (F.col("o_orderkey") + r * 1_000_000_000).alias("o_orderkey"),
+                    (F.col("o_custkey") + r * 100_000_000).alias("o_custkey"),
+                    "o_totalprice",
+                )
+            )
+            big_r = big_r.unionByName(
+                cust.select(
+                    (F.col("c_custkey") + r * 100_000_000).alias("c_custkey"),
+                    "c_name", "c_acctbal",
+                )
+            )
+        work = tempfile.mkdtemp(prefix="etl_spark_joinview_")
+        try:
+            left = LakeTable.create(
+                spark, os.path.join(work, "l"), orders.schema,
+                key=["o_custkey", "o_orderkey"], n_buckets=32,
+                bucket_by=["o_custkey"],
+            )
+            right = LakeTable.create(
+                spark, os.path.join(work, "r"), cust.schema,
+                key=["c_custkey"], n_buckets=16,
+            )
+            left.merge(big_l.withColumn("op", F.lit("U")), op_col="op")
+            right.merge(big_r.withColumn("op", F.lit("U")), op_col="op")
+            view = IncrementalJoinView(
+                spark, os.path.join(work, "v"), left, right,
+                on=["o_custkey"], how="left", right_prefix="d_",
+                n_buckets=32,
+            )
+            view.refresh()  # initial build (not measured)
+            left.merge(l_churn, op_col="op")
+            right.merge(r_churn, op_col="op")
+            t0 = time.time()
+            st = view.refresh()
+            refresh_sec = time.time() - t0
+            t0 = time.time()
+            view.rebuild()
+            rebuild_sec = time.time() - t0
+            runs.append({
+                "copies": k,
+                "fact_rows": left.row_count(),
+                "rows_upserted": st["rows_upserted"],
+                "refresh_sec": round(refresh_sec, 3),
+                "rebuild_sec": round(rebuild_sec, 3),
+            })
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    big_run = runs[-1]
+    return {
+        "runs": runs,
+        "refresh_sec": big_run["refresh_sec"],
+        "rebuild_sec": big_run["rebuild_sec"],
+        "speedup_vs_rebuild": round(
+            big_run["rebuild_sec"] / big_run["refresh_sec"], 2
+        ),
+        "refresh_growth": round(
+            big_run["refresh_sec"] / runs[0]["refresh_sec"], 2
+        ),
+        "rebuild_growth": round(
+            big_run["rebuild_sec"] / runs[0]["rebuild_sec"], 2
+        ),
+    }
+
+
 def _materialize(df) -> int:
     """Force full computation of every column (count() alone lets Catalyst
     prune the projections we are trying to measure)."""
@@ -1089,6 +1193,8 @@ def main() -> None:
         queries["anti_entropy_repair"] = ae["repair_sec"]
         derived = run_derived_refresh(spark, sf_dir)
         queries["derived_view_refresh"] = derived["refresh_sec"]
+        jv = run_joinview_refresh(spark, sf_dir)
+        queries["join_view_refresh"] = jv["refresh_sec"]
         ttl = run_ttl_delete(spark, sf_dir, work_dir)
         queries["ttl_delete_metadata"] = ttl["metadata"]["sec"]
         queries["ttl_delete_rewrite"] = ttl["rewrite"]["sec"]
@@ -1116,6 +1222,7 @@ def main() -> None:
             "skew": skew,
             "anti_entropy": ae,
             "derived": derived,
+            "join_view": jv,
             "ttl_delete": ttl,
             "catalog_txn": cattx,
         }

@@ -78,6 +78,18 @@ def _any_null(cols: list[str]) -> Column:
     return out
 
 
+def _bucket_expr_as(snap, cols: list[str]) -> Column:
+    """``pmod(xxhash64(cols), n_buckets)`` with substituted column names —
+    must mirror ``LakeTable._bucket_expr`` (etl_spark/lake/table.py)
+    bit-for-bit so driver-side bucket sets computed over fk-named frames
+    match the target table's physical layout."""
+    if snap.n_buckets <= 0:
+        return F.lit(0).cast("int")
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols]), F.lit(snap.n_buckets)
+    ).cast("int")
+
+
 class IncrementalJoinView:
     """Materialized ``left ⋈ right`` maintained from both change feeds.
 
@@ -245,17 +257,22 @@ class IncrementalJoinView:
         ]
         return keys.select(*cols).withColumn(_OP, F.lit("D"))
 
-    def _probe_index(self, rkeys: DataFrame, broadcast: bool) -> DataFrame:
+    def _probe_index(
+        self, rkeys: DataFrame, broadcast: bool,
+        buckets: set[int] | None = None,
+    ) -> DataFrame:
         """Index rows whose fk is in ``rkeys`` (right-key frame): bucket
         manifests pruned to the fks' buckets, then a (broadcast) semi
-        join — never a full index scan."""
+        join — never a full index scan. ``buckets`` (from the refresh's
+        fused stats action) skips the histogram job."""
         fkframe = rkeys.select(
             *[
                 F.col(rk).alias(c)
                 for c, rk in zip(self.on, self.right.key)
             ]
         )
-        buckets = set(self.index.bucket_histogram(fkframe))
+        if buckets is None:
+            buckets = set(self.index.bucket_histogram(fkframe))
         if not buckets:
             return self.spark.createDataFrame([], self.index.schema)
         snap = self.index.snapshot(buckets=buckets)
@@ -308,12 +325,54 @@ class IncrementalJoinView:
             lkey = list(self.left.key)
             w = retraction_weight()
             sources: list[DataFrame] = []
+            view_pb: dict[int, int] = {}
+            src_keys: DataFrame | None = None
 
-            # ---- left delta: index first (crash window replays it
-            # idempotently), then the enriched view rows
+            # bucket expressions for every layout the accounting needs,
+            # evaluated over fk-/left-named frames (must mirror the
+            # tables' physical layouts — _bucket_expr_as)
+            isnap_h = self.index.snapshot(buckets=set())
+            vsnap_h = self.table.snapshot(buckets=set())
+            lsnap_h = self.left.snapshot(lv, buckets=set())
+            rsnap_h = self.right.snapshot(rv, buckets=set())
+            i_b = _bucket_expr_as(isnap_h, isnap_h.bucket_by)
+            v_b = _bucket_expr_as(vsnap_h, vsnap_h.bucket_by)
+            # right bucket cols positionally renamed to their fk columns
+            r_b_fk = _bucket_expr_as(
+                rsnap_h,
+                [self.on[list(self.right.key).index(b)]
+                 for b in rsnap_h.bucket_by],
+            )
+            # index bucket cols (== self.on) renamed to right-key names
+            i_b_rk = _bucket_expr_as(
+                isnap_h,
+                [list(self.right.key)[self.on.index(b)]
+                 for b in isnap_h.bucket_by],
+            )
+            r_b = _bucket_expr_as(rsnap_h, rsnap_h.bucket_by)
+
+            # ---- left delta: ONE stats action (row count + index/view/
+            # right bucket histograms fused), index merge as ONE write
+            # job, then the enriched view rows
             n_l = 0
             if lch is not None:
-                n_l = lch.count()
+                stats_l = (
+                    lch.groupBy(
+                        i_b.alias("__ib"), v_b.alias("__vb"),
+                        r_b_fk.alias("__rb"),
+                        _any_null(self.on).alias("__nullfk"),
+                    )
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .collect()
+                )
+                n_l = sum(r["__n"] for r in stats_l)
+                idx_pb: dict[int, int] = {}
+                r_buckets: set[int] = set()
+                for r in stats_l:
+                    view_pb[r["__vb"]] = view_pb.get(r["__vb"], 0) + r["__n"]
+                    if not r["__nullfk"]:
+                        idx_pb[r["__ib"]] = idx_pb.get(r["__ib"], 0) + r["__n"]
+                        r_buckets.add(r["__rb"])
                 idx_delta = (
                     lch.filter(~_any_null(self.on))
                     .groupBy(*self.idx_cols)
@@ -325,11 +384,15 @@ class IncrementalJoinView:
                         .otherwise(F.lit("D")).alias(_OP),
                     )
                 )
-                isnap, _ = self.index.merge(
-                    idx_delta, op_col=_OP, op_note=f"refresh:{lv}"
-                )
-                if isnap is None:
-                    self.index.tag(f"refresh:{lv}")
+                if idx_pb:
+                    isnap, _ = self.index.merge(
+                        idx_delta, op_col=_OP, op_note=f"refresh:{lv}",
+                        per_bucket=idx_pb,
+                    )
+                    if isnap is None:
+                        self.index.tag(f"refresh:{lv}")
+                else:
+                    self._advance_index(lv)
                 plus = lch.filter(
                     F.col("_change_type").isin("insert", "update_postimage")
                 ).drop("_change_type")
@@ -340,7 +403,7 @@ class IncrementalJoinView:
                             for c, rk in zip(self.on, self.right.key)
                         ]
                     ).filter(~_any_null(self.right.key)),
-                    version=rv,
+                    buckets=r_buckets, version=rv,
                     broadcast=n_l <= self.broadcast_threshold,
                 )
                 sources.append(self._view_rows(plus, rprobe))
@@ -350,35 +413,58 @@ class IncrementalJoinView:
                         .select(*lkey)
                     )
                 )
+                src_keys = lch.select(*lkey).dropDuplicates(lkey)
             else:
                 self._advance_index(lv)
 
-            # ---- right delta: probe the fk index for affected left keys
+            # ---- right delta: ONE stats action over the changed keys,
+            # bucket-pruned index probe for the affected left keys
             if rkeys is not None:
-                n_r = rkeys.count()
+                stats_r = (
+                    rkeys.groupBy(i_b_rk.alias("__ib"), r_b.alias("__rb"))
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .collect()
+                )
+                n_r = sum(r["__n"] for r in stats_r)
                 small = n_r <= self.broadcast_threshold
-                aff = self._probe_index(rkeys, broadcast=small).select(*lkey)
+                aff = self._probe_index(
+                    rkeys, broadcast=small,
+                    buckets={r["__ib"] for r in stats_r},
+                ).select(*lkey)
                 if lch is not None:
                     # keys already recomputed against right@rv in the
                     # left pass — don't double-emit them
+                    dl = lch.select(*lkey).distinct()
                     aff = aff.join(
-                        F.broadcast(lch.select(*lkey).distinct())
-                        if n_l <= self.broadcast_threshold
-                        else lch.select(*lkey).distinct(),
+                        F.broadcast(dl)
+                        if n_l <= self.broadcast_threshold else dl,
                         on=lkey, how="left_anti",
                     )
                 aff = aff.persist()
                 try:
-                    n_aff = aff.count()
+                    # ONE stats action: affected count + left-table and
+                    # view-bucket histograms
+                    l_b = _bucket_expr_as(lsnap_h, lsnap_h.bucket_by)
+                    stats_a = (
+                        aff.groupBy(l_b.alias("__lb"), v_b.alias("__vb"))
+                        .agg(F.count(F.lit(1)).alias("__n"))
+                        .collect()
+                    )
+                    n_aff = sum(r["__n"] for r in stats_a)
                     if n_aff:
+                        for r in stats_a:
+                            view_pb[r["__vb"]] = (
+                                view_pb.get(r["__vb"], 0) + r["__n"]
+                            )
                         lrows = self.left.read_for_key_frame(
-                            aff, version=lv,
+                            aff, buckets={r["__lb"] for r in stats_a},
+                            version=lv,
                             broadcast=n_aff <= self.broadcast_threshold,
                             distinct=False,
                         )
                         rprobe2 = self.right.read_for_key_frame(
-                            rkeys, version=rv, broadcast=small,
-                            distinct=False,
+                            rkeys, buckets={r["__rb"] for r in stats_r},
+                            version=rv, broadcast=small, distinct=False,
                         )
                         src = self._view_rows(lrows, rprobe2)
                         if self.capture_plans:
@@ -387,11 +473,20 @@ class IncrementalJoinView:
                                 .executedPlan().toString()
                             )
                         sources.append(src)
-                    stats = self._merge_view(sources, note)
+                        src_keys = (
+                            aff if src_keys is None
+                            else src_keys.unionByName(aff)
+                        )
+                    stats = self._merge_view(
+                        sources, note, per_bucket=view_pb,
+                        source_keys=src_keys,
+                    )
                 finally:
                     aff.unpersist()
             else:
-                stats = self._merge_view(sources, note)
+                stats = self._merge_view(
+                    sources, note, per_bucket=view_pb, source_keys=src_keys
+                )
             stats["refreshed_through"] = (lv, rv)
             return stats
         finally:
@@ -406,9 +501,11 @@ class IncrementalJoinView:
             self.index.tag(f"refresh:{lv}")
 
     def _merge_view(
-        self, sources: list[DataFrame], note: str
+        self, sources: list[DataFrame], note: str,
+        per_bucket: dict[int, int] | None = None,
+        source_keys: DataFrame | None = None,
     ) -> dict[str, Any]:
-        if not sources:
+        if not sources or (per_bucket is not None and not per_bucket):
             self.table.tag(note)
             return {"rows_upserted": 0, "rows_deleted": 0}
         src = sources[0]
@@ -417,7 +514,10 @@ class IncrementalJoinView:
             # evolved) view schema may lack columns the U rows carry —
             # they ride as NULL and evolve the view through the merge
             src = src.unionByName(s, allowMissingColumns=True)
-        snap, mstats = self.table.merge(src, op_col=_OP, op_note=note)
+        snap, mstats = self.table.merge(
+            src, op_col=_OP, op_note=note,
+            per_bucket=per_bucket or None, source_keys=source_keys,
+        )
         if snap is None:
             self.table.tag(note)
             return {"rows_upserted": 0, "rows_deleted": 0}

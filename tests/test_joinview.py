@@ -300,6 +300,69 @@ def test_right_delta_probe_is_bucket_pruned(spark, tmp_path):
     assert seen["left"] and max(seen["left"]) <= 2 < left_total
 
 
+def test_join_view_on_stream_cadence(spark, tmp_path):
+    """CdcStream(views=[...]) duck-types on .refresh(): a join view over
+    the streamed transcript table + a conversation dimension converges
+    with the replay as part of the maintenance cadence."""
+    from etl_spark.cdc import ChangelogSpec, generate_changelog, write_changelog
+    from etl_spark.cdc.changelog import TRANSCRIPTS_SCHEMA
+    from etl_spark.streaming import CdcStream
+
+    spec = ChangelogSpec(
+        n_conversations=24, max_turns=4, churn=1.0, n_partitions=2,
+        segments_per_partition=2,
+    )
+    pdf = generate_changelog(spec)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, spec)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA,
+        key=["conv_id", "turn_idx"], n_buckets=4, bucket_by=["conv_id"],
+    )
+    dim_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("channel", T.StringType()),
+        ]
+    )
+    dim = LakeTable.create(
+        spark, str(tmp_path / "dim"), dim_schema, key=["conv_id"], n_buckets=4
+    )
+    # dimension covers only the even conversations — odd ones stay NULL
+    dim.merge(
+        spark.createDataFrame(
+            [(f"conv{i:06d}", "web") for i in range(0, 24, 2)], dim_schema
+        ).withColumn("op", F.lit("U")),
+        op_col="op",
+    )
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "jv"), table, dim, on=["conv_id"],
+        right_prefix="dim_", n_buckets=4,
+    )
+    CdcStream(
+        spark, wal, table, str(tmp_path / "state"),
+        max_files_per_trigger=2, views=[view],
+    ).run_to_completion()
+    assert view.last_applied() == (
+        table.current_version(), dim.current_version()
+    )
+    got = sorted(
+        tuple(r) for r in view.read()
+        .select("conv_id", "turn_idx", "text", "dim_channel").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in table.read()
+        .join(
+            dim.read().select("conv_id", F.col("channel").alias("dim_channel")),
+            on="conv_id", how="left",
+        )
+        .select("conv_id", "turn_idx", "text", "dim_channel")
+        .collect()
+    )
+    assert got == want
+
+
 def test_fuzz_random_churn_vs_recompute(spark, tmp_path):
     """Randomized convergence: interleaved fact/dim churn batches with
     refreshes at random points must always match the full recompute."""
