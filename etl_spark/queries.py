@@ -3762,6 +3762,121 @@ def q_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_join_view_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED join views (star-schema enrichment): view1 = orders ⋈
+    customer, view2 = view1 ⋈ nation — the second view's LEFT SOURCE is
+    the first view's own LakeTable, so dimension churn anywhere in the
+    star propagates through two incremental refreshes (view commits are
+    ordinary merge commits, hence ordinary change feeds; watermark tags
+    read as maintenance-only windows downstream). Churn re-points the
+    MIDDLE of the chain (customers move nations) and deletes second-level
+    dims; the final chained view must equal the plain 3-table SQL join
+    over final states, bit-exactly."""
+    import shutil
+
+    from etl_spark.lake.joinview import IncrementalJoinView
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tmp = tempfile.mkdtemp(prefix="etl_spark_jv_star_q_")
+    try:
+        l1 = LakeTable.create(
+            spark, os.path.join(tmp, "o"), orders.schema,
+            key=["o_orderkey"], n_buckets=8,
+        )
+        r1 = LakeTable.create(
+            spark, os.path.join(tmp, "c"), cust.schema,
+            key=["c_custkey"], n_buckets=8,
+        )
+        r2 = LakeTable.create(
+            spark, os.path.join(tmp, "n"), nation.schema,
+            key=["n_nationkey"], n_buckets=4,
+        )
+        l1.merge(orders.withColumn("op", F.lit("U")), op_col="op")
+        r1.merge(cust.withColumn("op", F.lit("U")), op_col="op")
+        r2.merge(nation.withColumn("op", F.lit("U")), op_col="op")
+        v1 = IncrementalJoinView(
+            spark, os.path.join(tmp, "v1"), l1, r1,
+            on=["o_custkey"], how="left", right_prefix="d_", n_buckets=8,
+        )
+        v2 = IncrementalJoinView(
+            spark, os.path.join(tmp, "v2"), v1.table, r2,
+            on=["d_c_nationkey"], how="left", right_prefix="", n_buckets=8,
+        )
+        v1.refresh()
+        v2.refresh()
+        # batch 2: customers change NATION (re-points the chain's middle
+        # fk), orders change price
+        r1.merge(
+            cust.filter(F.col("c_custkey") % 4 == 0).select(
+                "c_custkey",
+                ((F.col("c_nationkey") + 7) % 25).cast("int")
+                .alias("c_nationkey"),
+                "c_acctbal", F.lit("U").alias("op"),
+            ),
+            op_col="op",
+        )
+        l1.merge(
+            orders.filter(F.col("o_orderkey") % 5 == 0).select(
+                "o_orderkey", "o_custkey",
+                F.lit(-1.0).alias("o_totalprice"), F.lit("U").alias("op"),
+            ),
+            op_col="op",
+        )
+        v1.refresh()
+        v2.refresh()
+        # batch 3: second-level dim deletes — nation names go NULL
+        r2.merge(
+            nation.filter(F.col("n_nationkey").isin(3, 9)).select(
+                "n_nationkey",
+                F.lit(None).cast("string").alias("n_name"),
+                F.lit("D").alias("op"),
+            ),
+            op_col="op",
+        )
+        v1.refresh()
+        v2.refresh()
+        out = v2.read().select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            F.col("d_c_nationkey").alias("d_nationkey"),
+            F.col("d_c_acctbal").alias("d_acctbal"),
+            F.col("n_name").alias("nation_name"),
+        ).cache()
+        out.count()  # materialize before the temp lake dirs go away
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_ORACLE_JOIN_VIEW_STAR = """
+WITH c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 4 = 0
+              THEN CAST((c_nationkey + 7) % 25 AS INTEGER)
+              ELSE c_nationkey END AS c_nationkey,
+         c_acctbal
+  FROM customer
+), l AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN -1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+), n AS (
+  SELECT n_nationkey, n_name FROM nation WHERE n_nationkey NOT IN (3, 9)
+)
+SELECT l.o_orderkey, l.o_custkey, l.o_totalprice,
+       c.c_nationkey AS d_nationkey, c.c_acctbal AS d_acctbal,
+       n.n_name AS nation_name
+FROM l LEFT JOIN c ON l.o_custkey = c.c_custkey
+       LEFT JOIN n ON c.c_nationkey = n.n_nationkey
+"""
+
+
 _ORACLE_JOIN_VIEW = """
 WITH l AS (
   SELECT o_orderkey, o_custkey,
@@ -3878,6 +3993,7 @@ QUERIES = {
     "derived_minmax_rescan": q_derived_minmax_rescan,
     "derived_row_view": q_derived_row_view,
     "join_view_incremental": q_join_view_incremental,
+    "join_view_star": q_join_view_star,
     "context_window": q_context_window,
     "conversation_assembly": q_conversation_assembly,
     "repetition_signals": q_repetition_signals,
@@ -3969,6 +4085,7 @@ ORACLE_SQL = {
     "derived_minmax_rescan": _ORACLE_DERIVED_MINMAX,
     "derived_row_view": _ORACLE_DERIVED_ROW,
     "join_view_incremental": _ORACLE_JOIN_VIEW,
+    "join_view_star": _ORACLE_JOIN_VIEW_STAR,
     "context_window": _ORACLE_CONTEXT,
     "conversation_assembly": _ORACLE_ASSEMBLY,
     "repetition_signals": _ORACLE_REPETITION,

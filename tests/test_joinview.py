@@ -363,6 +363,52 @@ def test_join_view_on_stream_cadence(spark, tmp_path):
     assert got == want
 
 
+def test_agg_view_chains_on_join_view(spark, tmp_path):
+    """Medallion chaining: an IncrementalAggView whose SOURCE is a join
+    view's table (revenue per dimension tier) refreshes from the join
+    view's merge commits — and treats its watermark tags as
+    maintenance-only windows — so a dim re-point moves amounts between
+    groups through two incremental refreshes."""
+    from etl_spark.lake.derived import IncrementalAggView
+
+    left, right = make_tables(spark, tmp_path, n_left=30, n_right=6)
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"],
+        right_prefix="d_", n_buckets=4,
+    )
+    view.refresh()
+    agg = IncrementalAggView(
+        spark, str(tmp_path / "agg"), view.table, group_by=["d_tier"],
+        aggs={"n": ("count", "*"), "total": ("sum", "amount")},
+        strategy="delta",
+    )
+    agg.refresh()
+    # move cust 1 from gold to a new tier; fact churn too
+    right.merge(
+        spark.createDataFrame([(1, "cust1", "plat", "U")], R_OPS), op_col="op"
+    )
+    left.merge(
+        spark.createDataFrame([(0, 1, 50.0, "U")], L_OPS), op_col="op"
+    )
+    view.refresh()
+    agg.refresh()
+    got = {
+        r["d_tier"]: (r["n"], r["total"]) for r in agg.read().collect()
+    }
+    want = {
+        r["d_tier"]: (r["n"], r["total"])
+        for r in recompute(left, right, "left")
+        .groupBy("d_tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("amount").cast("decimal(18,6)"))
+            .cast("decimal(28,6)").cast("double").alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_fuzz_random_churn_vs_recompute(spark, tmp_path):
     """Randomized convergence: interleaved fact/dim churn batches with
     refreshes at random points must always match the full recompute."""
