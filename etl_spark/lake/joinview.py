@@ -112,9 +112,14 @@ class IncrementalJoinView:
         right_prefix: str = "",
         n_buckets: int = 16,
         broadcast_threshold: int = 1_000_000,
+        merge_mode: str = "cow",
     ) -> None:
         if how not in ("left", "inner"):
             raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(
+                f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}"
+            )
         self.spark = spark
         self.path = path
         self.left = left
@@ -123,6 +128,13 @@ class IncrementalJoinView:
         self.how = how
         self.right_prefix = right_prefix
         self.broadcast_threshold = broadcast_threshold
+        # "mor" commits each view refresh merge-on-read (O(delta) bytes
+        # per refresh instead of rewriting the affected buckets — the
+        # high-frequency cadence shape; pair with an external compact()
+        # cadence). The fk index always merges copy-on-write: its rows
+        # are a fraction of the delta and the probe path prefers a
+        # backlog-free read.
+        self.merge_mode = merge_mode
         self.capture_plans = False
         self.last_plan: str | None = None
 
@@ -517,6 +529,7 @@ class IncrementalJoinView:
         snap, mstats = self.table.merge(
             src, op_col=_OP, op_note=note,
             per_bucket=per_bucket or None, source_keys=source_keys,
+            mode=self.merge_mode,
         )
         if snap is None:
             self.table.tag(note)

@@ -409,6 +409,115 @@ def test_agg_view_chains_on_join_view(spark, tmp_path):
     assert got == want
 
 
+def test_mor_merge_mode_converges_and_compacts(spark, tmp_path):
+    """merge_mode='mor': refreshes commit O(delta) bytes (delta/eqdel
+    files accrue on the view), reads still converge through the gate,
+    and a compact() folds the backlog with state unchanged."""
+    left, right = make_tables(spark, tmp_path)
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"],
+        right_prefix="d_", n_buckets=4, merge_mode="mor",
+    )
+    view.refresh()
+    left.merge(
+        spark.createDataFrame(
+            [(0, 3, 9.0, "U"), (1, None, None, "D")], L_OPS
+        ),
+        op_col="op",
+    )
+    right.merge(
+        spark.createDataFrame([(2, "c2x", "t2", "U")], R_OPS), op_col="op"
+    )
+    view.refresh()
+    assert_converged(view, "left")
+    snap = view.table.snapshot()
+    assert snap.delete_source_files or any(
+        f.get("kind") == "delta" for f in snap.files
+    )
+    view.table.compact()
+    assert_converged(view, "left")
+    snap2 = view.table.snapshot()
+    assert not snap2.delete_source_files
+
+
+def test_fuzz_crashes_and_maintenance_interleaved(spark, tmp_path):
+    """Crash-injection fuzz: refreshes randomly die before the index
+    merge or between the index and view merges, compactions interleave
+    on both sources, and every recovery refresh must still converge to
+    the full recompute with the index mirroring the final fks."""
+    rng = random.Random(11)
+    left, right = make_tables(spark, tmp_path, n_left=24, n_right=6)
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"],
+        right_prefix="d_", n_buckets=4,
+    )
+    view.refresh()
+    next_oid = 200
+    for step in range(8):
+        if rng.random() < 0.8:
+            rows = {}
+            live = [r["oid"] for r in left.read().select("oid").collect()]
+            for _ in range(rng.randint(1, 4)):
+                roll = rng.random()
+                if roll < 0.4 and live:
+                    oid = rng.choice(live)
+                    rows[oid] = (oid, rng.randrange(8), float(step), "U")
+                elif roll < 0.6 and live:
+                    oid = rng.choice(live)
+                    rows[oid] = (oid, None, None, "D")
+                else:
+                    rows[next_oid] = (next_oid, rng.randrange(8), 1.0, "U")
+                    next_oid += 1
+            left.merge(spark.createDataFrame(list(rows.values()), L_OPS),
+                       op_col="op")
+        if rng.random() < 0.5:
+            rows = {}
+            for _ in range(rng.randint(1, 2)):
+                cid = rng.randrange(8)
+                rows[cid] = (
+                    (cid, None, None, "D") if rng.random() < 0.3
+                    else (cid, f"s{step}_{cid}", "t", "U")
+                )
+            right.merge(spark.createDataFrame(list(rows.values()), R_OPS),
+                        op_col="op")
+        if rng.random() < 0.3:
+            (left if rng.random() < 0.5 else right).compact()
+        crash = rng.random()
+        if crash < 0.2:
+            # die before anything committed (index merge explodes);
+            # quiet/maintenance windows may not reach it — tolerate
+            view.index.merge = lambda *a, **k: (_ for _ in ()).throw(
+                RuntimeError("crash-pre-index")
+            )
+            try:
+                view.refresh()
+            except RuntimeError:
+                pass
+            finally:
+                del view.index.merge
+        elif crash < 0.4:
+            # die between the index merge and the view merge
+            orig = view._merge_view
+            view._merge_view = lambda *a, **k: (_ for _ in ()).throw(
+                RuntimeError("crash-post-index")
+            )
+            try:
+                view.refresh()
+            except RuntimeError:
+                pass
+            finally:
+                view._merge_view = orig
+        view.refresh()
+        assert_converged(view, "left")
+    idx = sorted(tuple(r) for r in view.index.read().collect())
+    want = sorted(
+        tuple(r)
+        for r in left.read().filter(F.col("cust").isNotNull())
+        .select("cust", "oid").collect()
+    )
+    assert idx == want
+
+
 def test_fuzz_random_churn_vs_recompute(spark, tmp_path):
     """Randomized convergence: interleaved fact/dim churn batches with
     refreshes at random points must always match the full recompute."""
