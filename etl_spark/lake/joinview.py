@@ -233,11 +233,18 @@ class IncrementalJoinView:
             cond = cond & (F.col(c) == F.col(f"__rk{i}"))
         return df.select(*sel), cond
 
-    def _view_rows(self, lrows: DataFrame, rrows: DataFrame) -> DataFrame:
+    def _view_rows(
+        self, lrows: DataFrame, rrows: DataFrame, broadcast: bool = False,
+    ) -> DataFrame:
         """Enriched U/D merge rows for ``lrows`` (current left images)
         against ``rrows`` (the right state restricted to at least every
-        fk value in ``lrows``)."""
+        fk value in ``lrows``). ``broadcast`` ships the dimension side
+        map-side — it is bounded by the delta's fk count, so while the
+        window is batch-sized the enrichment join needs NO shuffle at
+        all (the left side streams)."""
         r, cond = self._right_renamed(rrows)
+        if broadcast:
+            r = F.broadcast(r)
         j = lrows.join(r, cond, "left")
         matched = F.col("__rk0").isNotNull()
         out = [F.col(f.name) for f in self.left.schema.fields]
@@ -418,7 +425,12 @@ class IncrementalJoinView:
                     buckets=r_buckets, version=rv,
                     broadcast=n_l <= self.broadcast_threshold,
                 )
-                sources.append(self._view_rows(plus, rprobe))
+                sources.append(
+                    self._view_rows(
+                        plus, rprobe,
+                        broadcast=n_l <= self.broadcast_threshold,
+                    )
+                )
                 sources.append(
                     self._null_payload_deletes(
                         lch.filter(F.col("_change_type") == "delete")
@@ -478,7 +490,7 @@ class IncrementalJoinView:
                             rkeys, buckets={r["__rb"] for r in stats_r},
                             version=rv, broadcast=small, distinct=False,
                         )
-                        src = self._view_rows(lrows, rprobe2)
+                        src = self._view_rows(lrows, rprobe2, broadcast=small)
                         if self.capture_plans:
                             self.last_plan = (
                                 src._jdf.queryExecution()

@@ -409,6 +409,34 @@ def test_agg_view_chains_on_join_view(spark, tmp_path):
     assert got == want
 
 
+def test_right_delta_plan_is_shuffle_free(spark, tmp_path):
+    """Physical plan of the dimension-delta recompute: the index probe
+    is a broadcast semi join over the pruned bucket scan, the affected
+    facts read is a broadcast semi join, and the enrichment join itself
+    broadcasts the (delta-bounded) dimension side — for a batch-sized
+    window NOTHING shuffles (no Exchange hashpartitioning before the
+    persisted-frame boundary)."""
+    left, right = make_tables(spark, tmp_path, n_left=24, n_right=8)
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"],
+        right_prefix="d_", n_buckets=4,
+    )
+    view.refresh()
+    right.merge(
+        spark.createDataFrame([(3, "three", "t3", "U")], R_OPS), op_col="op"
+    )
+    view.capture_plans = True
+    view.refresh()
+    plan = view.last_plan
+    assert plan is not None
+    # persisted `aff` embeds its own (already-materialized) plan — judge
+    # shuffle-freedom only on the live section before the cache boundary
+    live = plan.split("InMemoryRelation")[0]
+    assert "Exchange hashpartitioning" not in live
+    assert "BroadcastHashJoin" in live
+    assert_converged(view, "left")
+
+
 def test_mor_merge_mode_converges_and_compacts(spark, tmp_path):
     """merge_mode='mor': refreshes commit O(delta) bytes (delta/eqdel
     files accrue on the view), reads still converge through the gate,
