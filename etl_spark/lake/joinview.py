@@ -370,20 +370,45 @@ class IncrementalJoinView:
             )
             r_b = _bucket_expr_as(rsnap_h, rsnap_h.bucket_by)
 
-            # ---- left delta: ONE stats action (row count + index/view/
-            # right bucket histograms fused), index merge as ONE write
-            # job, then the enriched view rows
-            n_l = 0
+            # ---- ONE fused stats action for BOTH deltas: the left
+            # window's (index/view/right)-bucket histograms and the
+            # changed right keys' (index/right)-bucket histograms union
+            # under a side tag and collect in a single job (the
+            # two-scans-one-job trick from lake.sync.diff_tables)
+            stats_frames = []
             if lch is not None:
-                stats_l = (
+                stats_frames.append(
                     lch.groupBy(
                         i_b.alias("__ib"), v_b.alias("__vb"),
                         r_b_fk.alias("__rb"),
                         _any_null(self.on).alias("__nullfk"),
                     )
                     .agg(F.count(F.lit(1)).alias("__n"))
-                    .collect()
+                    .withColumn("__side", F.lit("l"))
                 )
+            if rkeys is not None:
+                stats_frames.append(
+                    rkeys.groupBy(
+                        i_b_rk.alias("__ib"), r_b.alias("__rb")
+                    )
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .select(
+                        "__ib", F.lit(None).cast("int").alias("__vb"),
+                        "__rb", F.lit(False).alias("__nullfk"), "__n",
+                        F.lit("r").alias("__side"),
+                    )
+                )
+            both = stats_frames[0]
+            for s in stats_frames[1:]:
+                both = both.unionByName(s)
+            cells = both.collect()
+            stats_l = [c for c in cells if c["__side"] == "l"]
+            stats_r = [c for c in cells if c["__side"] == "r"]
+
+            # ---- left delta: index merge as ONE write job, then the
+            # enriched view rows
+            n_l = 0
+            if lch is not None:
                 n_l = sum(r["__n"] for r in stats_l)
                 idx_pb: dict[int, int] = {}
                 r_buckets: set[int] = set()
@@ -441,14 +466,10 @@ class IncrementalJoinView:
             else:
                 self._advance_index(lv)
 
-            # ---- right delta: ONE stats action over the changed keys,
-            # bucket-pruned index probe for the affected left keys
+            # ---- right delta: bucket-pruned index probe for the
+            # affected left keys (its histograms came from the fused
+            # stats action above)
             if rkeys is not None:
-                stats_r = (
-                    rkeys.groupBy(i_b_rk.alias("__ib"), r_b.alias("__rb"))
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                    .collect()
-                )
                 n_r = sum(r["__n"] for r in stats_r)
                 small = n_r <= self.broadcast_threshold
                 aff = self._probe_index(
