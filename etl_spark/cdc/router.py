@@ -406,6 +406,13 @@ class RoutedCdcStream:
     # versions safe from the expire) closes that window. 0 disables.
     compact_every: int = 0
     expire_keep_last: int = 3
+    # Downstream incremental materialized views over routed destinations
+    # (lake.derived / lake.joinview — anything with .refresh()),
+    # refreshed after every N applied batches, same duck-typed cadence
+    # contract as CdcStream.views: refreshes are exactly-once on their
+    # own watermark, so a crashed cadence just catches up next time.
+    views: list = field(default_factory=list)
+    refresh_views_every: int = 1
     query: object = field(default=None, init=False)
 
     def __post_init__(self) -> None:
@@ -456,6 +463,15 @@ class RoutedCdcStream:
         self.batch_stats.append(stats)
         if not stats.get("skipped"):
             self._applied += 1
+            if (
+                self.views
+                and self.refresh_views_every
+                and self._applied % self.refresh_views_every == 0
+            ):
+                stats["view_refreshes"] = [
+                    retry_with_backoff(v.refresh, attempts=self.retry_attempts)
+                    for v in self.views
+                ]
             if self.compact_every and self._applied % self.compact_every == 0:
                 stats["maintenance"] = self._maintenance_tick()
 

@@ -196,12 +196,34 @@ class IncrementalJoinView:
             "on": self.on, "how": self.how, "right_prefix": right_prefix,
             "left": os.path.abspath(left.path),
             "right": os.path.abspath(right.path),
+            # the dimension payload SET is part of the materialized
+            # definition: it is captured from the right schema at
+            # construction, so a right-side evolution (new payload
+            # column) reopened under the old state would enrich only
+            # refreshed rows and silently diverge from a fresh join for
+            # every untouched row — refuse loudly instead (left-side
+            # evolution needs no pin: new left columns read as NULL on
+            # both the view and a fresh join until churn fills them)
+            "rpayload": self.rpayload,
         }
         def_file = os.path.join(os.path.abspath(path), "_view_def.json")
         if os.path.exists(def_file):
             with open(def_file) as fh:
                 stored = json.load(fh)
             if stored != defn:
+                only_payload = {
+                    k: v for k, v in stored.items() if k != "rpayload"
+                } == {k: v for k, v in defn.items() if k != "rpayload"}
+                if only_payload:
+                    raise ValueError(
+                        f"join view at {path}: the dimension payload "
+                        f"column set changed ({stored.get('rpayload')} -> "
+                        f"{self.rpayload}) — the right table's schema "
+                        "evolved since materialization. Incremental "
+                        "refresh would fill the new column only for "
+                        "refreshed rows; delete the view directory and "
+                        "rebuild() to adopt the evolution exactly."
+                    )
                 raise ValueError(
                     f"join view at {path} was materialized with a different "
                     f"definition ({stored} != {defn}); point the new "

@@ -546,6 +546,58 @@ def test_fuzz_crashes_and_maintenance_interleaved(spark, tmp_path):
     assert idx == want
 
 
+def test_right_evolution_refuses_reopen(spark, tmp_path):
+    """The dimension payload set is part of the pinned definition: a
+    right-side add_column reopened under the old materialized state
+    would enrich only refreshed rows (silent divergence) — the reopen
+    must refuse with the rebuild recovery spelled out."""
+    left, right = make_tables(spark, tmp_path)
+    IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"],
+        right_prefix="d_", n_buckets=4,
+    ).refresh()
+    right.add_column("region", "string")
+    with pytest.raises(ValueError, match="payload column set changed"):
+        IncrementalJoinView(
+            spark, str(tmp_path / "v"), left, right, on=["cust"],
+            right_prefix="d_", n_buckets=4,
+        )
+
+
+def test_left_evolution_flows_through(spark, tmp_path):
+    """A LEFT-side add_column needs no pin: untouched rows read as NULL
+    on both the view and a fresh join; churned rows carry the value
+    through the refresh (merge evolves the view schema)."""
+    left, right = make_tables(spark, tmp_path, n_left=10, n_right=4)
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"],
+        right_prefix="d_", n_buckets=4,
+    )
+    view.refresh()
+    left.add_column("chan", "string")
+    ops = T.StructType(
+        list(left.schema.fields) + [T.StructField("op", T.StringType())]
+    )
+    left.merge(
+        spark.createDataFrame([(0, 1, 2.0, "web", "U")], ops), op_col="op"
+    )
+    view.refresh()
+    got = sorted(
+        tuple(r) for r in view.read()
+        .select("oid", "cust", "amount", "chan", "d_name").collect()
+    )
+    r = right.read().select("cid", F.col("name").alias("d_name"))
+    want = sorted(
+        tuple(x)
+        for x in left.read()
+        .join(r, F.col("cust") == F.col("cid"), "left")
+        .select("oid", "cust", "amount", "chan", "d_name")
+        .collect()
+    )
+    assert got == want
+    assert ("web" in {t[3] for t in got}) and (None in {t[3] for t in got})
+
+
 def test_fuzz_random_churn_vs_recompute(spark, tmp_path):
     """Randomized convergence: interleaved fact/dim churn batches with
     refreshes at random points must always match the full recompute."""

@@ -520,3 +520,54 @@ def test_routed_stream_replay_and_resume(spark, tmp_path):
     assert sum(1 for s in stats3 if not s.get("skipped")) == 1
     assert users_rows(cat.read("users")) == {(2, "n2")}
     assert turns_rows(cat.read("turns")) == {("c1", 0, "user", "b")}
+
+
+def test_routed_stream_refreshes_views_on_cadence(spark, tmp_path):
+    """RoutedCdcStream(views=[...]) duck-types on .refresh() exactly like
+    CdcStream: a downstream materialized view over a routed destination
+    converges with the replay as part of the cadence."""
+    from etl_spark.lake.derived import IncrementalAggView
+
+    cat, turns, users = mk_catalog(spark, tmp_path)
+    wal = str(tmp_path / "wal" / "part=0")
+    os.makedirs(wal)
+
+    def seg(name, rows, mtime):
+        p = os.path.join(wal, name)
+        spark.createDataFrame(rows, WAL_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p + ".d")
+        part = [f for f in os.listdir(p + ".d") if f.endswith(".parquet")][0]
+        os.rename(os.path.join(p + ".d", part), p)
+        os.utime(p, (mtime, mtime))
+
+    seg("s0.parquet", [
+        ev("turns", "I", 1, conv="c1", turn=0, role="user", text="a"),
+        ev("turns", "I", 2, conv="c1", turn=1, role="assistant", text="b"),
+        ev("users", "I", 3, uid=1, name="n1"),
+    ], 1_700_000_000)
+    seg("s1.parquet", [
+        ev("turns", "U", 4, conv="c1", turn=1, role="assistant", text="b2"),
+        ev("turns", "I", 5, conv="c2", turn=0, role="user", text="c"),
+        ev("turns", "D", 6, conv="c1", turn=0),
+    ], 1_700_000_100)
+
+    view = IncrementalAggView(
+        spark, str(tmp_path / "view"), turns, group_by=["role"],
+        aggs={"n_turns": ("count", "*")}, strategy="delta",
+    )
+    stream = RoutedCdcStream(
+        spark, str(tmp_path / "wal"), cat, str(tmp_path / "state"),
+        max_files_per_trigger=1, views=[view],
+    )
+    stats = stream.run_to_completion()
+    applied = [s for s in stats if not s.get("skipped")]
+    assert applied and all("view_refreshes" in s for s in applied)
+    assert view.last_applied() == turns.current_version()
+    got = {r["role"]: r["n_turns"] for r in view.read().collect()}
+    want = {
+        r["role"]: r["n"]
+        for r in turns.read().groupBy("role")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want == {"user": 1, "assistant": 1}
