@@ -3680,7 +3680,9 @@ FROM final WHERE value > 50.0
 """
 
 
-def q_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_join_view_incremental(
+    spark: SparkSession, sf_dir: str, how: str = "left"
+) -> DataFrame:
     """Incrementally-maintained JOIN view (orders ⋈ customer dimension
     enrichment, ``lake.joinview``): after the initial build, refreshes
     read ONLY the two change feeds — a left delta joins against the
@@ -3688,8 +3690,9 @@ def q_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     index for the affected facts — never a full rescan of either side.
     Lifecycle: full load → (fact price updates + fact deletes + dim
     balance updates) → dim deletes (how='left' ⇒ enriched columns go
-    NULL). The final view must equal the plain SQL join over the final
-    table states, bit-exactly."""
+    NULL; how='inner' ⇒ the referencing facts LEAVE the view). The
+    final view must equal the plain SQL join over the final table
+    states, bit-exactly."""
     import shutil
 
     from etl_spark.lake.joinview import IncrementalJoinView
@@ -3714,7 +3717,7 @@ def q_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         right.merge(cust.withColumn("op", F.lit("U")), op_col="op")
         view = IncrementalJoinView(
             spark, os.path.join(tmp, "v"), left, right,
-            on=["o_custkey"], how="left", right_prefix="d_", n_buckets=8,
+            on=["o_custkey"], how=how, right_prefix="d_", n_buckets=8,
         )
         view.refresh()  # initial build
         # batch 2: fact updates + deletes, dim balance updates
@@ -3877,7 +3880,15 @@ FROM l LEFT JOIN c ON l.o_custkey = c.c_custkey
 """
 
 
-_ORACLE_JOIN_VIEW = """
+def q_join_view_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same lifecycle as ``join_view_incremental`` with how='inner': the
+    batch-3 dimension deletes must REMOVE every referencing fact from
+    the view through the reverse-fk index probe (delete/resurrect flow),
+    matching the plain INNER JOIN over final states bit-exactly."""
+    return q_join_view_incremental(spark, sf_dir, how="inner")
+
+
+_JOIN_VIEW_SQL = """
 WITH l AS (
   SELECT o_orderkey, o_custkey,
          CASE WHEN o_orderkey % 5 = 0 THEN -1.0
@@ -3891,8 +3902,11 @@ WITH l AS (
 )
 SELECT l.o_orderkey, l.o_custkey, l.o_totalprice,
        r.c_name AS d_name, r.c_acctbal AS d_acctbal
-FROM l LEFT JOIN r ON l.o_custkey = r.c_custkey
+FROM l {JOIN} r ON l.o_custkey = r.c_custkey
 """
+
+_ORACLE_JOIN_VIEW = _JOIN_VIEW_SQL.format(JOIN="LEFT JOIN")
+_ORACLE_JOIN_VIEW_INNER = _JOIN_VIEW_SQL.format(JOIN="INNER JOIN")
 
 
 QUERIES = {
@@ -3993,6 +4007,7 @@ QUERIES = {
     "derived_minmax_rescan": q_derived_minmax_rescan,
     "derived_row_view": q_derived_row_view,
     "join_view_incremental": q_join_view_incremental,
+    "join_view_inner": q_join_view_inner,
     "join_view_star": q_join_view_star,
     "context_window": q_context_window,
     "conversation_assembly": q_conversation_assembly,
@@ -4085,6 +4100,7 @@ ORACLE_SQL = {
     "derived_minmax_rescan": _ORACLE_DERIVED_MINMAX,
     "derived_row_view": _ORACLE_DERIVED_ROW,
     "join_view_incremental": _ORACLE_JOIN_VIEW,
+    "join_view_inner": _ORACLE_JOIN_VIEW_INNER,
     "join_view_star": _ORACLE_JOIN_VIEW_STAR,
     "context_window": _ORACLE_CONTEXT,
     "conversation_assembly": _ORACLE_ASSEMBLY,
