@@ -546,6 +546,27 @@ def test_fuzz_crashes_and_maintenance_interleaved(spark, tmp_path):
     assert idx == want
 
 
+def test_refresh_leaves_no_cached_rdds(spark, tmp_path):
+    """Every frame a refresh persists (change feed, changed right keys,
+    affected-keys set) is unpersisted before return — a long-running
+    refresh cadence must not fill executor storage with dead cache."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    left, right = make_tables(spark, tmp_path, n_left=12, n_right=4)
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"],
+        right_prefix="d_", n_buckets=4,
+    )
+    view.refresh()
+    left.merge(
+        spark.createDataFrame([(0, 2, 5.0, "U")], L_OPS), op_col="op"
+    )
+    right.merge(
+        spark.createDataFrame([(1, "x", "t", "U")], R_OPS), op_col="op"
+    )
+    view.refresh()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
 def test_right_evolution_refuses_reopen(spark, tmp_path):
     """The dimension payload set is part of the pinned definition: a
     right-side add_column reopened under the old materialized state
