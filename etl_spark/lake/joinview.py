@@ -149,7 +149,17 @@ class IncrementalJoinView:
             if c not in lschema.fieldNames():
                 raise ValueError(f"fk column {c!r} not in left schema")
         for side, tab in (("left", left), ("right", right)):
-            if not set(tab.snapshot(buckets=set()).bucket_by) <= set(tab.key):
+            snap = tab.snapshot(buckets=set())
+            # fail HERE, before any on-disk view/index state is created —
+            # an unbucketed source only blows up later inside refresh()
+            # (read_for_key_frame/merge), after _view_def.json exists
+            if not snap.bucket_by or snap.n_buckets <= 0:
+                raise ValueError(
+                    f"{side} table must be bucketed (non-empty bucket_by, "
+                    f"n_buckets > 0) — join views read bucket-pruned; got "
+                    f"bucket_by={snap.bucket_by} n_buckets={snap.n_buckets}"
+                )
+            if not set(snap.bucket_by) <= set(tab.key):
                 raise ValueError(
                     f"{side} table must be bucketed by a subset of its key "
                     "(read_for_key_frame pruning)"
@@ -404,6 +414,11 @@ class IncrementalJoinView:
                         i_b.alias("__ib"), v_b.alias("__vb"),
                         r_b_fk.alias("__rb"),
                         _any_null(self.on).alias("__nullfk"),
+                        # post-image rows are the only ones that probe the
+                        # dimension; delete/pre-image rows must not widen
+                        # the rprobe bucket set (ADVICE r3)
+                        F.col("_change_type")
+                        .isin("insert", "update_postimage").alias("__plus"),
                     )
                     .agg(F.count(F.lit(1)).alias("__n"))
                     .withColumn("__side", F.lit("l"))
@@ -416,7 +431,8 @@ class IncrementalJoinView:
                     .agg(F.count(F.lit(1)).alias("__n"))
                     .select(
                         "__ib", F.lit(None).cast("int").alias("__vb"),
-                        "__rb", F.lit(False).alias("__nullfk"), "__n",
+                        "__rb", F.lit(False).alias("__nullfk"),
+                        F.lit(True).alias("__plus"), "__n",
                         F.lit("r").alias("__side"),
                     )
                 )
@@ -438,19 +454,32 @@ class IncrementalJoinView:
                     view_pb[r["__vb"]] = view_pb.get(r["__vb"], 0) + r["__n"]
                     if not r["__nullfk"]:
                         idx_pb[r["__ib"]] = idx_pb.get(r["__ib"], 0) + r["__n"]
-                        r_buckets.add(r["__rb"])
-                idx_delta = (
-                    lch.filter(~_any_null(self.on))
-                    .groupBy(*self.idx_cols)
-                    .agg(F.sum(w).alias("__w"))
-                    .filter(F.col("__w") != 0)
-                    .select(
-                        *self.idx_cols,
-                        F.when(F.col("__w") > 0, F.lit("U"))
-                        .otherwise(F.lit("D")).alias(_OP),
+                        if r["__plus"]:
+                            r_buckets.add(r["__rb"])
+                il = self._index_applied()
+                if il is not None and il > ll:
+                    # crash recovery: a prior refresh merged the index
+                    # through il, then died before the view merge. If left
+                    # commits landed since, the VIEW window (ll, lv] is no
+                    # longer a valid index delta — an fk change that nets
+                    # out across (ll, lv] but NOT across (il, lv] (changed
+                    # pre-crash, reverted post-crash) emits no net row and
+                    # would leave the stale fk in the index forever
+                    # (ADVICE r3). Derive the index delta from the index's
+                    # OWN watermark instead.
+                    self._recover_index(il, lv)
+                elif idx_pb:
+                    idx_delta = (
+                        lch.filter(~_any_null(self.on))
+                        .groupBy(*self.idx_cols)
+                        .agg(F.sum(w).alias("__w"))
+                        .filter(F.col("__w") != 0)
+                        .select(
+                            *self.idx_cols,
+                            F.when(F.col("__w") > 0, F.lit("U"))
+                            .otherwise(F.lit("D")).alias(_OP),
+                        )
                     )
-                )
-                if idx_pb:
                     isnap, _ = self.index.merge(
                         idx_delta, op_col=_OP, op_note=f"refresh:{lv}",
                         per_bucket=idx_pb,
@@ -566,6 +595,56 @@ class IncrementalJoinView:
         il = self._index_applied()
         if il is None or il < lv:
             self.index.tag(f"refresh:{lv}")
+
+    def _recover_index(self, il: int, lv: int) -> None:
+        """Bring the fk index from its own watermark ``il`` to ``lv``
+        after a crash left it ahead of the view (see refresh()). The
+        delta is the left change feed over (il, lv] — the only window
+        whose retraction-net is valid against index@il. O(Δ(il, lv]);
+        falls back to an index-only overwrite if retention already
+        expired the crash watermark."""
+        if il >= lv:
+            return
+        note = f"refresh:{lv}"
+        try:
+            ich = self.left.table_changes(il, lv, pre_images=True)
+            ich.schema
+        except FileNotFoundError:
+            # retention outran the crash watermark — bounded heal of
+            # JUST the index (the view replays its own window normally)
+            self.index.overwrite(
+                self.left.read(lv).filter(~_any_null(self.on))
+                .select(*self.idx_cols),
+                op_note=note,
+            )
+            return
+        ich = ich.filter(~_any_null(self.on))
+        isnap_h = self.index.snapshot(buckets=set())
+        i_b = _bucket_expr_as(isnap_h, isnap_h.bucket_by)
+        idx_pb = {
+            r["__ib"]: r["__n"]
+            for r in ich.groupBy(i_b.alias("__ib"))
+            .agg(F.count(F.lit(1)).alias("__n")).collect()
+        }
+        if not idx_pb:
+            self._advance_index(lv)
+            return
+        w = retraction_weight()
+        idx_delta = (
+            ich.groupBy(*self.idx_cols)
+            .agg(F.sum(w).alias("__w"))
+            .filter(F.col("__w") != 0)
+            .select(
+                *self.idx_cols,
+                F.when(F.col("__w") > 0, F.lit("U"))
+                .otherwise(F.lit("D")).alias(_OP),
+            )
+        )
+        isnap, _ = self.index.merge(
+            idx_delta, op_col=_OP, op_note=note, per_bucket=idx_pb,
+        )
+        if isnap is None:
+            self.index.tag(note)
 
     def _merge_view(
         self, sources: list[DataFrame], note: str,

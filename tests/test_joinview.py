@@ -186,6 +186,81 @@ def test_crash_between_index_and_view_merge_replays(spark, tmp_path):
     assert idx == want
 
 
+def test_crash_recovery_with_intervening_fk_revert(spark, tmp_path):
+    """The hard crash case (ADVICE r3): index commits through lv1, view
+    merge dies, and MORE left commits land before the retry — including
+    an fk change that nets out across the VIEW window (ll, lv2] but not
+    across the index's own window (lv1, lv2]. Replaying the view window
+    into the index would emit no row for that key and leave the stale fk
+    in the index forever; recovery must derive the index delta from the
+    index's own watermark."""
+    left, right = make_tables(spark, tmp_path)
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"],
+        right_prefix="d_", n_buckets=4,
+    )
+    view.refresh()
+    # pre-crash: re-point oid 0 from cust 0 to cust 5
+    left.merge(
+        spark.createDataFrame([(0, 5, 100.0, "U")], L_OPS), op_col="op"
+    )
+    real = view._merge_view
+    try:
+        view._merge_view = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("crash")
+        )
+        with pytest.raises(RuntimeError):
+            view.refresh()
+    finally:
+        view._merge_view = real
+    il = view._index_applied()
+    assert il == left.current_version()  # index ran ahead of the view
+    # post-crash, pre-recovery: REVERT the fk (0 -> 5 -> 0). Net change
+    # across the view window is zero; across (il, lv2] it is 5 -> 0.
+    left.merge(
+        spark.createDataFrame([(0, 0, 100.0, "U")], L_OPS), op_col="op"
+    )
+    view.refresh()
+    assert_converged(view, "left")
+    # the index must NOT retain the stale (5, 0) entry
+    idx = sorted(tuple(r) for r in view.index.read().collect())
+    want = sorted(
+        tuple(r)
+        for r in left.read().filter(F.col("cust").isNotNull())
+        .select("cust", "oid").collect()
+    )
+    assert idx == want
+    # and dimension churn must flow through the TRUE fk: update cust 0
+    # (should reach oid 0) and cust 5 (should not)
+    right.merge(
+        spark.createDataFrame(
+            [(0, "zero2", "t0", "U"), (5, "five2", "t5", "U")], R_OPS
+        ),
+        op_col="op",
+    )
+    view.refresh()
+    assert_converged(view, "left")
+    row = view.read().filter(F.col("oid") == 0).collect()[0]
+    assert row["d_name"] == "zero2"
+
+
+def test_unbucketed_source_rejected_before_state_creation(spark, tmp_path):
+    """An unbucketed source must fail in the constructor, before any
+    view/index directory or _view_def.json lands on disk."""
+    import os
+
+    left, right = make_tables(spark, tmp_path)
+    flat = LakeTable.create(
+        spark, str(tmp_path / "flat"), R_SCHEMA, key=["cid"], n_buckets=0
+    )
+    with pytest.raises(ValueError, match="bucketed"):
+        IncrementalJoinView(
+            spark, str(tmp_path / "v2"), left, flat, on=["cust"],
+            right_prefix="d_", n_buckets=4,
+        )
+    assert not os.path.exists(str(tmp_path / "v2"))
+
+
 def test_fk_repoint_moves_index_and_fanout(spark, tmp_path):
     left, right = make_tables(spark, tmp_path, n_left=6, n_right=3)
     view = IncrementalJoinView(
