@@ -16,7 +16,9 @@ from etl_spark.operators.dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     simhash_neardup_pairs,
+    simhash_pairs_from_fingerprints,
     simhash_signatures_pandas,
+    md5_shingle_hashes,
 )
 from etl_spark.operators.temporal import asof_join, interval_join, scd2_history
 from etl_spark.operators.similarity import (
@@ -46,7 +48,9 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_neardup_pairs",
+    "simhash_pairs_from_fingerprints",
     "simhash_signatures_pandas",
+    "md5_shingle_hashes",
     "brute_force_topk",
     "lsh_topk",
     "cluster_embeddings",

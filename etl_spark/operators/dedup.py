@@ -453,59 +453,60 @@ def simhash_signatures_pandas(
     return staged.repartition(par).mapInPandas(fn, out_schema)
 
 
-def simhash_neardup_pairs(
-    df: DataFrame,
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    fp_col: str = "simhash",
+    bits: int = 64,
     max_hamming: int = 3,
-    shingle_words: int = 2,
-    use_pandas: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
-
-    Blocking: split the 64-bit fingerprint into ``max_hamming+1`` chunks —
-    by pigeonhole any pair within distance k agrees on >= 1 of k+1 chunks —
-    and join on (chunk_idx, chunk_value). Equality join + bit_count filter;
-    never a cross join. ``use_pandas`` picks the vectorized signature
-    builder (default; the expression builder is interpreted-HOF and exists
-    as the equality reference).
+    """Pigeonhole pair join over precomputed fingerprints: split the
+    ``bits``-bit fingerprint into ``max_hamming+1`` chunks (the last
+    chunk absorbs any remainder so every bit is covered) — any pair
+    within Hamming distance k agrees exactly on >= 1 of the k+1 chunks,
+    so the (chunk_idx, chunk_value) equality join has FULL recall for
+    the Hamming predicate. Equality join + bit_count filter; never a
+    cross join. Exhaustive by construction — what makes the
+    ``dedup_simhash_full`` oracle entry bit-exact.
 
     The result is persisted + materialized inside and the O(corpus)
     fingerprint frame unpersisted before return — caller owns
     ``result.unpersist()``."""
     n_chunks = max_hamming + 1
-    chunk_bits = 64 // n_chunks
-    if use_pandas:
-        fp = simhash_signatures_pandas(
-            df, id_col, text_col, 64, shingle_words, "simhash"
+    chunk_bits = bits // n_chunks
+    if chunk_bits < 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_chunks} chunks but the "
+            f"fingerprint has only {bits} bits"
         )
-    else:
-        fp = with_shingle_hashes(
-            df.select(id_col, text_col), text_col, shingle_words, "__sh"
-        ).select(id_col, simhash_from_hashes(F.col("__sh"), 64).alias("simhash"))
+    spans = [
+        (i * chunk_bits,
+         chunk_bits if i < n_chunks - 1 else bits - i * chunk_bits)
+        for i in range(n_chunks)
+    ]
     fp = fp.persist()
     chunks = fp.select(
         id_col,
-        "simhash",
+        fp_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        F.shiftrightunsigned(F.col(fp_col), off)
+                        .bitwiseAND(F.lit(_i64((1 << width) - 1)))
                         .alias("val"),
                     )
-                    for i in range(n_chunks)
+                    for i, (off, width) in enumerate(spans)
                 ]
             )
         ).alias("c"),
-    ).select(id_col, "simhash", "c.chunk", "c.val")
+    ).select(id_col, fp_col, "c.chunk", "c.val")
     a = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "chunk", "val"
+        F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a"), "chunk", "val"
     )
     b = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "chunk", "val"
+        F.col(id_col).alias("id_b"), F.col(fp_col).alias("fp_b"), "chunk", "val"
     )
     out = (
         a.join(b, on=["chunk", "val"])
@@ -516,6 +517,54 @@ def simhash_neardup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return _materialize_pairs(out, fp)
+
+
+def md5_shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """Distinct 60-bit shingle hashes built from md5 over the shingle
+    STRINGS — hex-for-hex reproducible in any engine with md5 (the
+    DuckDB oracle computes the identical values), unlike xxhash64.
+    60 bits (15 hex chars) so conv()'s unsigned decimal string always
+    fits a signed long under ANSI casts. The slow-but-portable variant:
+    production paths use ``with_shingle_hashes`` (xxhash64, no string
+    materialization)."""
+    return F.array_distinct(
+        F.transform(
+            word_shingles(text, n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+            .cast("long"),
+        )
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_words: int = 2,
+    use_pandas: bool = True,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Blocking: the pigeonhole chunk join (``simhash_pairs_from_
+    fingerprints``). ``use_pandas`` picks the vectorized signature
+    builder (default; the expression builder is interpreted-HOF and
+    exists as the equality reference).
+
+    The result is persisted + materialized inside and the O(corpus)
+    fingerprint frame unpersisted before return — caller owns
+    ``result.unpersist()``."""
+    if use_pandas:
+        fp = simhash_signatures_pandas(
+            df, id_col, text_col, 64, shingle_words, "simhash"
+        )
+    else:
+        fp = with_shingle_hashes(
+            df.select(id_col, text_col), text_col, shingle_words, "__sh"
+        ).select(id_col, simhash_from_hashes(F.col("__sh"), 64).alias("simhash"))
+    return simhash_pairs_from_fingerprints(
+        fp, id_col, "simhash", bits=64, max_hamming=max_hamming
+    )
 
 
 def ngram_jaccard_pairs(
