@@ -111,6 +111,53 @@ class MinHashIndex:
             .filter(F.col("new_id") != F.col("match_id"))
         )
 
+    def _verify_index_pairs(
+        self,
+        pairs: DataFrame,
+        sa: DataFrame,
+        corpus: "DataFrame | LakeTable",
+        id_col: str,
+        text_col: str,
+        threshold: float,
+    ) -> DataFrame:
+        """Exact candidate-only Jaccard verify for INDEX-side pairs: the
+        index stores band rows, not text, so the matched docs' CURRENT
+        text is fetched from ``corpus`` — bucket-pruned via
+        ``read_for_key_frame`` when it is a LakeTable keyed by the id,
+        else a broadcast semi-join on any (id, text) DataFrame — their
+        shingle sets rebuilt with the same family as the batch side, and
+        pairs below ``threshold`` dropped. This also retires the stale
+        candidates the append-only index accumulates for re-ingested
+        ids: superseded band rows still match, but the verify compares
+        against the text a consumer would actually read today."""
+        ids = pairs.select(F.col("match_id").alias(id_col)).distinct()
+        if isinstance(corpus, LakeTable):
+            if list(corpus.key) != [id_col]:
+                raise ValueError(
+                    f"corpus LakeTable must be keyed by [{id_col!r}] for "
+                    f"index-pair verification, got key={list(corpus.key)}"
+                )
+            rows = corpus.read_for_key_frame(ids)
+        else:
+            rows = corpus.join(F.broadcast(ids), on=id_col, how="left_semi")
+        sb = with_shingle_hashes(
+            rows.select(id_col, text_col), text_col, self.shingle_words, "__sh"
+        ).select(
+            F.col(id_col).cast("long").alias("match_id"),
+            F.col("__sh").alias("_sb"),
+        )
+        return (
+            pairs.join(sa, on="new_id")
+            .join(sb, on="match_id")
+            .withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
+            .filter(
+                F.col("_i")
+                / (F.size("_sa") + F.size("_sb") - F.col("_i"))
+                >= threshold
+            )
+            .select("new_id", "match_id", "source")
+        )
+
     def ingest(
         self,
         docs: DataFrame,
@@ -119,6 +166,8 @@ class MinHashIndex:
         jaccard_threshold: float | None = None,
         idempotent: bool = False,
         broadcast_threshold: int = 1_000_000,
+        corpus: "DataFrame | LakeTable | None" = None,
+        corpus_text_col: str | None = None,
     ) -> DataFrame:
         """Probe the index with a new batch and extend it.
 
@@ -126,8 +175,15 @@ class MinHashIndex:
         (new_id, match_id, source) where source is 'index' (match against
         a previously-ingested doc) or 'batch' (within this batch,
         new_id < match_id). With ``jaccard_threshold``, within-batch
-        pairs are exact-verified against the batch text (index-side text
-        is not stored — verify those against your corpus table).
+        pairs are exact-verified against the batch text; index-side
+        pairs additionally need ``corpus`` (the index stores band rows,
+        not text) — a LakeTable keyed by the doc id (bucket-pruned
+        fetch) or any DataFrame carrying (id, text). Without a corpus,
+        index-side pairs pass through as CANDIDATES for the caller to
+        verify. Matched ids missing from the corpus are dropped (can't
+        verify — conservative for a dedup feed), and re-ingested ids
+        verify against the corpus' CURRENT text, which is what a
+        consumer would read.
 
         The probe is size-guarded: when the batch has at most
         ``broadcast_threshold`` band rows (counted from the persisted
@@ -166,6 +222,9 @@ class MinHashIndex:
             .distinct()
             .withColumn("source", F.lit("batch"))
         )
+        if corpus is not None and jaccard_threshold is None:
+            raise ValueError("corpus verification requires jaccard_threshold")
+        candidates_cache: DataFrame | None = None
         if jaccard_threshold is not None:
             sets_ = with_shingle_hashes(
                 docs.select(id_col, text_col), text_col, self.shingle_words, "__sh"
@@ -182,9 +241,21 @@ class MinHashIndex:
                 )
                 .select("new_id", "match_id", "source")
             )
+            if corpus is not None:
+                # the corpus fetch sizes itself over the candidate pairs
+                # (bucket histogram / semi probe), so pin them in cache
+                # first — re-deriving the probe join per consumer would
+                # double its work
+                candidates_cache = vs_index.persist()
+                vs_index = self._verify_index_pairs(
+                    candidates_cache, sa, corpus, id_col,
+                    corpus_text_col or text_col, jaccard_threshold,
+                )
         out = vs_index.unionByName(in_batch)
         out = out.persist()
         out.count()  # materialize the probe BEFORE the index grows
+        if candidates_cache is not None:
+            candidates_cache.unpersist()
         if idempotent:
             # MERGE on the full (band, key, doc_id) key: replaying a batch
             # (crash-recovery re-ingest) leaves the index unchanged instead

@@ -194,6 +194,14 @@ class CdcStream:
     dedup_index: bool = False
     dedup_text_col: str = "text"
     dedup_threshold: float | None = None
+    # With ``dedup_verify`` (requires dedup_threshold), INDEX-side pairs
+    # are exact-verified too: matched doc ids resolve back to key
+    # columns through dedup/keys, the CURRENT stored text is fetched
+    # from the target table, and candidates below the threshold — LSH
+    # collisions and stale band rows of since-updated keys — are
+    # filtered before pairs/batch=N is written. Off by default: the
+    # verify joins the table read into every batch's dedup stage.
+    dedup_verify: bool = False
     # Downstream incremental materialized views (lake.derived.*View over
     # THIS table): refreshed every N applied batches. Each refresh is
     # exactly-once on its own (the applied-through source version commits
@@ -504,12 +512,30 @@ class CdcStream:
         )
         dedup_dir = os.path.join(self.state_dir, "dedup")
         idx = MinHashIndex(self.spark, os.path.join(dedup_dir, "index"))
+        corpus = None
+        keys_dir = os.path.join(dedup_dir, "keys")
+        if self.dedup_verify and os.path.isdir(keys_dir):
+            if self.dedup_threshold is None:
+                raise ValueError("dedup_verify requires dedup_threshold")
+            # doc id -> key columns from prior batches' key maps, then the
+            # CURRENT stored text: the semi-join on candidate ids pushes
+            # down to the (small) mapping side and the table join rides
+            # AQE's broadcast of the restricted mapping
+            mapping = (
+                self.spark.read.parquet(keys_dir)
+                .select("__doc_id", *key)
+                .dropDuplicates(["__doc_id"])
+            )
+            corpus = mapping.join(self.table.read(), on=list(key)).select(
+                "__doc_id", F.col(self.dedup_text_col).alias("__text")
+            )
         pairs = idx.ingest(
             docs.select("__doc_id", "__text"),
             id_col="__doc_id",
             text_col="__text",
             jaccard_threshold=self.dedup_threshold,
             idempotent=True,
+            corpus=corpus,
         )
         n_pairs = pairs.count()
         (

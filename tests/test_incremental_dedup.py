@@ -64,3 +64,80 @@ def test_idempotent_reingest_leaves_index_unchanged(spark, tmp_path):
     # the replay sees the first copy in the index (caller dedups by batch
     # id); no self-matches
     assert all(r["new_id"] != r["match_id"] for r in out.collect())
+
+
+def test_index_side_pairs_verified_against_corpus(spark, tmp_path):
+    """Planted index-side false positives are filtered when a corpus is
+    supplied: the index stores band rows, not text, so stale bands of a
+    since-updated doc keep matching until the candidate is re-verified
+    against the corpus' CURRENT text (VERDICT r3 Wrong #3)."""
+    from pyspark.sql import types as T
+
+    from etl_spark.lake import LakeTable
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = (
+        "completely different content describing catalyst optimizer rules "
+        "and adaptive query execution behavior"
+    )
+    third = "a third body of text that never made it into the corpus table"
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    b1 = spark.createDataFrame([(1, base), (3, other), (5, third)], schema)
+    for name in ("verified", "control", "df_corpus"):
+        MinHashIndex(spark, str(tmp_path / name)).ingest(b1)
+    # doc 1 has since been UPDATED — the corpus (current truth) holds new
+    # text while the index still carries base's band rows; doc 5 is gone
+    # from the corpus entirely (unverifiable -> dropped)
+    corpus_rows = [
+        (1, "entirely new words replacing that document body right now"),
+        (3, other),
+    ]
+    corpus = LakeTable.create(
+        spark, str(tmp_path / "corpus"), schema, key=["doc_id"], n_buckets=4
+    )
+    corpus.append(spark.createDataFrame(corpus_rows, schema))
+
+    b2 = spark.createDataFrame(
+        [(10, base), (11, other + " extra"), (12, third)], schema
+    )
+    got_v = {
+        (r["new_id"], r["match_id"], r["source"])
+        for r in MinHashIndex(spark, str(tmp_path / "verified"))
+        .ingest(b2, jaccard_threshold=0.5, corpus=corpus)
+        .collect()
+    }
+    assert (11, 3, "index") in got_v          # true positive survives
+    assert not any(m == 1 for _, m, _ in got_v)  # stale bands filtered
+    assert not any(m == 5 for _, m, _ in got_v)  # missing from corpus
+
+    # a plain (id, text) DataFrame corpus behaves identically
+    got_df = {
+        (r["new_id"], r["match_id"], r["source"])
+        for r in MinHashIndex(spark, str(tmp_path / "df_corpus"))
+        .ingest(
+            b2, jaccard_threshold=0.5,
+            corpus=spark.createDataFrame(corpus_rows, schema),
+        )
+        .collect()
+    }
+    assert got_df == got_v
+
+    # without a corpus the stale candidate IS reported (caller verifies)
+    got_c = {
+        (r["new_id"], r["match_id"], r["source"])
+        for r in MinHashIndex(spark, str(tmp_path / "control"))
+        .ingest(b2, jaccard_threshold=0.5)
+        .collect()
+    }
+    assert (10, 1, "index") in got_c
+
+    # corpus without a threshold is a contract error
+    import pytest
+
+    with pytest.raises(ValueError, match="jaccard_threshold"):
+        MinHashIndex(spark, str(tmp_path / "err")).ingest(b2, corpus=corpus)

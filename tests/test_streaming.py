@@ -871,3 +871,94 @@ def test_stream_publishes_catalog_checkpoints(spark, tmp_path):
     ).run_to_completion()
     assert cat.current_version() == head
     assert head > base_cat
+
+
+def test_stream_dedup_verify_filters_stale_index_candidates(spark, tmp_path):
+    """dedup_verify=True: index-side candidates resolve back through
+    dedup/keys to the target table's CURRENT text. A key updated after
+    its text was indexed leaves stale band rows behind; a later doc
+    matching the OLD text must not be reported as its near-dup, while a
+    pair whose stored text still matches survives."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t_dup = (
+        "an unmistakably duplicated transcript body repeated across "
+        "conversations for this scenario"
+    )
+    t_new = (
+        "totally rewritten message content with no overlap whatsoever "
+        "anymore in any shingle"
+    )
+    t_cur = (
+        "another shared body that stays current in both conversations "
+        "today and verifies cleanly"
+    )
+
+    wal = str(tmp_path / "wal")
+
+    def seg(name, rows, mtime):
+        pdir = os.path.join(wal, "source_partition=0")
+        os.makedirs(pdir, exist_ok=True)
+        cols = list(zip(*rows))
+        t = pa.table(
+            {
+                "op": pa.array(cols[0], pa.string()),
+                "lsn": pa.array(cols[1], pa.int64()),
+                "ts": pa.array(cols[2], pa.timestamp("us")),
+                "conv_id": pa.array(cols[3], pa.string()),
+                "turn_idx": pa.array(cols[4], pa.int32()),
+                "role": pa.array(cols[5], pa.string()),
+                "text": pa.array(cols[6], pa.string()),
+                "tool": pa.array(cols[7], pa.string()),
+            }
+        )
+        path = os.path.join(pdir, name)
+        pq.write_table(t, path)
+        os.utime(path, (mtime, mtime))
+
+    ts0 = dt.datetime(2020, 1, 1)
+    seg(
+        "seg-00000.parquet",
+        [
+            ("U", 1, ts0, "convA", 0, "user", t_dup, None),
+            ("U", 2, ts0, "convC", 0, "user", t_cur, None),
+        ],
+        1_600_000_000,
+    )
+    table = make_target(spark, tmp_path)
+    state = str(tmp_path / "state")
+    args = dict(
+        dedup_index=True, dedup_threshold=0.5, dedup_verify=True,
+    )
+    CdcStream(spark, wal, table, state, **args).run_to_completion()
+
+    ts1 = ts0 + dt.timedelta(seconds=60)
+    seg(
+        "seg-00001.parquet",
+        [
+            ("U", 3, ts1, "convA", 0, "user", t_new, None),   # update away
+            ("U", 4, ts1, "convB", 0, "user", t_dup, None),   # old-text dup
+            ("U", 5, ts1, "convD", 0, "user", t_cur + " tail", None),
+        ],
+        1_600_000_100,
+    )
+    CdcStream(spark, wal, table, state, **args).run_to_completion()
+
+    pairs = spark.read.parquet(os.path.join(state, "dedup", "pairs")).toPandas()
+    keys = (
+        spark.read.parquet(os.path.join(state, "dedup", "keys"))
+        .toPandas()
+        .drop_duplicates("__doc_id")
+        .set_index("__doc_id")["conv_id"]
+    )
+    resolved = {
+        frozenset((keys.loc[r["new_id"]], keys.loc[r["match_id"]]))
+        for _, r in pairs.iterrows()
+    }
+    # the surviving-text pair is reported; the stale-band pair is not
+    assert frozenset({"convD", "convC"}) in resolved
+    assert frozenset({"convB", "convA"}) not in resolved
+    assert not any("convB" in p for p in resolved)
