@@ -117,12 +117,26 @@ def decode_media_meta(df: DataFrame, data_col: str = "data") -> DataFrame:
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct as _st
 
+        png_sig = b"\x89PNG\r\n\x1a\n"  # spec constant, inlined so the
+        # closure stays self-contained (no etl_spark on workers)
         hdr_fmt, magic = _HDR_FMT, _MAGIC
         hdr_size = _st.calcsize(hdr_fmt)
         for b in batches:
             widths, heights, durs, sizes = [], [], [], []
             for blob in b[data_col]:
-                if blob is None or len(blob) < hdr_size or bytes(blob[:4]) != magic:
+                if blob is None:
+                    widths.append(None); heights.append(None)
+                    durs.append(None); sizes.append(None)
+                    continue
+                raw = bytes(blob[:33])
+                if raw.startswith(png_sig) and raw[12:16] == b"IHDR":
+                    # dimensions straight from the IHDR header — no
+                    # inflate needed for metadata decode
+                    w, h = _st.unpack(">II", raw[16:24])
+                    widths.append(w); heights.append(h); durs.append(None)
+                    sizes.append(len(blob))
+                    continue
+                if len(blob) < hdr_size or raw[:4] != magic:
                     widths.append(None); heights.append(None)
                     durs.append(None); sizes.append(None)
                     continue
@@ -184,6 +198,9 @@ def resize_image(df: DataFrame, width: int, height: int, data_col: str = "data")
     Non-image rows pass through untouched; image rows get a resized
     payload and updated ``meta.width/height/n_bytes``."""
     out_schema = df.schema
+    # factory-built codec functions pickle BY VALUE into the executor
+    # closure — workers never need etl_spark importable (png._build_codec)
+    from etl_spark.operators.png import decode_png, encode_png, is_png
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
@@ -197,11 +214,35 @@ def resize_image(df: DataFrame, width: int, height: int, data_col: str = "data")
             Image = None
 
         def resize_compressed(raw: bytes, old_meta) -> tuple[bytes, dict]:
+            if is_png(raw):
+                # stdlib codec (zlib + numpy filter reconstruction): one
+                # REAL compressed format with zero native deps; PNG
+                # variants it refuses (palette/16-bit/interlaced) fall
+                # through to the Pillow path below
+                try:
+                    img = decode_png(raw)
+                except ValueError:
+                    img = None
+                if img is not None:
+                    ys = (
+                        np.arange(height) * img.shape[0] // height
+                    ).clip(0, img.shape[0] - 1)
+                    xs = (
+                        np.arange(width) * img.shape[1] // width
+                    ).clip(0, img.shape[1] - 1)
+                    data = encode_png(img[ys][:, xs])
+                    return data, {
+                        "width": width,
+                        "height": height,
+                        "duration_ms": old_meta["duration_ms"] if old_meta else None,
+                        "n_bytes": len(data),
+                    }
             if Image is None:
                 raise NotImplementedError(
                     "compressed image payloads need Pillow (PIL) installed "
                     "— this host has no image codec library; the raw "
-                    "ETLM raster format works without it"
+                    "ETLM raster format and 8-bit non-interlaced PNG "
+                    "(stdlib codec) work without it"
                 )
             img = Image.open(io.BytesIO(raw))
             fmt = img.format or "PNG"
