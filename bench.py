@@ -89,7 +89,14 @@ def run_skew_replay(spark, work_dir: str) -> dict:
     """Hot-key replay with the SALTED dedup path on: measures the two-level
     (key, salt) -> key aggregation under Zipf-3.0 skew (the convergence
     semantics are oracle-proven in tests/test_cdc_apply.py; this is the
-    measured number for the same path)."""
+    measured number for the same path).
+
+    Two merge modes over the identical stream (VERDICT r3 #5): salting
+    makes the DEDUP skew-proof, but under copy-on-write the residual
+    cost is the hot buckets' merge REWRITE every micro-batch — churn
+    physics, not a plan defect. mode="mor" commits O(batch) equality
+    deletes instead and folds the backlog when it crosses
+    compact_when_delta_rows, which is the designed high-churn shape."""
     from etl_spark.cdc.changelog import (
         ChangelogSpec,
         TRANSCRIPTS_SCHEMA,
@@ -103,24 +110,41 @@ def run_skew_replay(spark, work_dir: str) -> dict:
     df = generate_changelog(spec)
     wal = os.path.join(work_dir, "skew_wal")
     write_changelog(df, wal, spec)
-    table = LakeTable.create(
-        spark, os.path.join(work_dir, "skew_table"), TRANSCRIPTS_SCHEMA,
-        key=["conv_id", "turn_idx"], n_buckets=32,
-    )
-    t0 = time.time()
-    run_stream(
-        spark, wal, table, os.path.join(work_dir, "skew_state"),
-        salted_dedup=True,
-    )
-    wall = time.time() - t0
-    return {
+    out: dict = {
         "n_events": len(df),
-        "replay_sec": round(wall, 3),
-        "events_per_sec": round(len(df) / wall, 1),
         "salted_dedup": True,
         "zipf_skew": SKEW_SPEC["skew"],
-        "final_rows": table.row_count(),
     }
+    rows = {}
+    for mode, extra in (
+        ("cow", {}),
+        ("mor", {"merge_mode": "mor", "compact_when_delta_rows": 50_000}),
+    ):
+        table = LakeTable.create(
+            spark, os.path.join(work_dir, f"skew_table_{mode}"),
+            TRANSCRIPTS_SCHEMA, key=["conv_id", "turn_idx"], n_buckets=32,
+        )
+        t0 = time.time()
+        run_stream(
+            spark, wal, table,
+            os.path.join(work_dir, f"skew_state_{mode}"),
+            salted_dedup=True, **extra,
+        )
+        wall = time.time() - t0
+        rows[mode] = table.row_count()
+        out[mode] = {
+            "replay_sec": round(wall, 3),
+            "events_per_sec": round(len(df) / wall, 1),
+        }
+    assert rows["cow"] == rows["mor"], rows  # identical converged state
+    out["final_rows"] = rows["cow"]
+    # headline compatibility: replay_sec stays the cow number
+    out["replay_sec"] = out["cow"]["replay_sec"]
+    out["events_per_sec"] = out["cow"]["events_per_sec"]
+    out["mor_speedup"] = round(
+        out["cow"]["replay_sec"] / out["mor"]["replay_sec"], 2
+    )
+    return out
 
 
 def run_incremental_dedup(spark, sf_dir: str, n_batches: int = 4) -> dict:
@@ -1170,6 +1194,15 @@ def main() -> None:
     try:
         wal_dir, n_events = make_wal(work_dir)
 
+        # Default run = the headline set, sized to finish in one sitting
+        # (no co-residency risk, VERDICT r3 #8). --full (or
+        # SPARK_GRAFT_BENCH_FULL=1) adds the lifecycle sub-benches whose
+        # numbers are stable round-over-round: replication/catalog ticks,
+        # anti-entropy, TTL deletes, catalog transactions.
+        full = (
+            "--full" in sys.argv
+            or os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
+        )
         spark = new_session(cpus)
         queries = run_queries(spark, sf_dir)
         inc = run_incremental_dedup(spark, sf_dir, n_batches=4)
@@ -1181,25 +1214,35 @@ def main() -> None:
         queries["mor_churn_8batch"] = mor["mor"]["sec"]
         minor = run_minor_compact(spark, wal_dir)
         queries["minor_compact_hot_buckets"] = minor["minor"]["sec"]
-        repl = run_replication_tick(spark, wal_dir, n_ticks=4)
-        queries["cdf_replicate_tick"] = repl["sec_per_tick"]
-        catrep = run_catalog_replicate(spark, wal_dir, n_ticks=3)
-        queries["catalog_replicate_tick"] = catrep["sec_per_tick"]
-        queries["catalog_replicate_quiet_tick"] = catrep["quiet_tick_sec"]
         skew = run_skew_replay(spark, work_dir)
         queries["skew_salted_replay"] = skew["replay_sec"]
-        ae = run_anti_entropy(spark, wal_dir)
-        queries["anti_entropy_detect_view"] = ae["detect_view_sec"]
-        queries["anti_entropy_repair"] = ae["repair_sec"]
+        queries["skew_salted_replay_mor"] = skew["mor"]["replay_sec"]
         derived = run_derived_refresh(spark, sf_dir)
         queries["derived_view_refresh"] = derived["refresh_sec"]
         jv = run_joinview_refresh(spark, sf_dir)
         queries["join_view_refresh"] = jv["refresh_sec"]
-        ttl = run_ttl_delete(spark, sf_dir, work_dir)
-        queries["ttl_delete_metadata"] = ttl["metadata"]["sec"]
-        queries["ttl_delete_rewrite"] = ttl["rewrite"]["sec"]
-        cattx = run_catalog_txn(spark, sf_dir)
-        queries["catalog_txn_4batch"] = cattx["txn_sec"]
+        lifecycle = {}
+        if full:
+            repl = run_replication_tick(spark, wal_dir, n_ticks=4)
+            queries["cdf_replicate_tick"] = repl["sec_per_tick"]
+            catrep = run_catalog_replicate(spark, wal_dir, n_ticks=3)
+            queries["catalog_replicate_tick"] = catrep["sec_per_tick"]
+            queries["catalog_replicate_quiet_tick"] = catrep["quiet_tick_sec"]
+            ae = run_anti_entropy(spark, wal_dir)
+            queries["anti_entropy_detect_view"] = ae["detect_view_sec"]
+            queries["anti_entropy_repair"] = ae["repair_sec"]
+            ttl = run_ttl_delete(spark, sf_dir, work_dir)
+            queries["ttl_delete_metadata"] = ttl["metadata"]["sec"]
+            queries["ttl_delete_rewrite"] = ttl["rewrite"]["sec"]
+            cattx = run_catalog_txn(spark, sf_dir)
+            queries["catalog_txn_4batch"] = cattx["txn_sec"]
+            lifecycle = {
+                "replication": repl,
+                "catalog_replicate": catrep,
+                "anti_entropy": ae,
+                "ttl_delete": ttl,
+                "catalog_txn": cattx,
+            }
         cdc = run_cdc_replay(
             spark, os.path.join(work_dir, f"run{cpus}"), wal_dir, n_events
         )
@@ -1217,14 +1260,10 @@ def main() -> None:
             "scd2_apply": scd2,
             "mor_vs_cow": mor,
             "minor_compact": minor,
-            "replication": repl,
-            "catalog_replicate": catrep,
             "skew": skew,
-            "anti_entropy": ae,
             "derived": derived,
             "join_view": jv,
-            "ttl_delete": ttl,
-            "catalog_txn": cattx,
+            **lifecycle,
         }
         if scaling:
             # Default N=2 vs 4N=8: both levels sit inside this sandbox VM's

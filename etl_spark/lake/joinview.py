@@ -53,6 +53,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -439,7 +440,14 @@ class IncrementalJoinView:
             both = stats_frames[0]
             for s in stats_frames[1:]:
                 both = both.unionByName(s)
+            # phase timings: the four driver actions of a refresh, kept in
+            # the returned stats — at fixed churn over a growing table the
+            # growing term is bucket-scan volume (bucket size x touched
+            # buckets), and this is where it shows up first
+            tm: dict[str, float] = {}
+            _t0 = time.time()
             cells = both.collect()
+            tm["fused_stats_sec"] = time.time() - _t0
             stats_l = [c for c in cells if c["__side"] == "l"]
             stats_r = [c for c in cells if c["__side"] == "r"]
 
@@ -456,6 +464,7 @@ class IncrementalJoinView:
                         idx_pb[r["__ib"]] = idx_pb.get(r["__ib"], 0) + r["__n"]
                         if r["__plus"]:
                             r_buckets.add(r["__rb"])
+                _t0 = time.time()
                 il = self._index_applied()
                 if il is not None and il > ll:
                     # crash recovery: a prior refresh merged the index
@@ -488,6 +497,7 @@ class IncrementalJoinView:
                         self.index.tag(f"refresh:{lv}")
                 else:
                     self._advance_index(lv)
+                tm["index_merge_sec"] = time.time() - _t0
                 plus = lch.filter(
                     F.col("_change_type").isin("insert", "update_postimage")
                 ).drop("_change_type")
@@ -541,11 +551,13 @@ class IncrementalJoinView:
                     # ONE stats action: affected count + left-table and
                     # view-bucket histograms
                     l_b = _bucket_expr_as(lsnap_h, lsnap_h.bucket_by)
+                    _t0 = time.time()
                     stats_a = (
                         aff.groupBy(l_b.alias("__lb"), v_b.alias("__vb"))
                         .agg(F.count(F.lit(1)).alias("__n"))
                         .collect()
                     )
+                    tm["aff_stats_sec"] = time.time() - _t0
                     n_aff = sum(r["__n"] for r in stats_a)
                     if n_aff:
                         for r in stats_a:
@@ -573,17 +585,22 @@ class IncrementalJoinView:
                             aff if src_keys is None
                             else src_keys.unionByName(aff)
                         )
+                    _t0 = time.time()
                     stats = self._merge_view(
                         sources, note, per_bucket=view_pb,
                         source_keys=src_keys,
                     )
+                    tm["view_merge_sec"] = time.time() - _t0
                 finally:
                     aff.unpersist()
             else:
+                _t0 = time.time()
                 stats = self._merge_view(
                     sources, note, per_bucket=view_pb, source_keys=src_keys
                 )
+                tm["view_merge_sec"] = time.time() - _t0
             stats["refreshed_through"] = (lv, rv)
+            stats["timings"] = {k: round(v, 3) for k, v in tm.items()}
             return stats
         finally:
             if lch is not None:
