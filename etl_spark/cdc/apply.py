@@ -471,6 +471,9 @@ def apply_batch(
                         merge_src, op_col=op_col,
                         buckets=set(per_bucket),
                         broadcast=rows_in <= 200_000,
+                        # the stats pass's histogram arms the jumbo
+                        # bucket-group fallback in read_for_key_frame
+                        per_bucket=per_bucket,
                         # guarded tables: an absent-key delete must still
                         # write its tombstone or a later stale upsert
                         # resurrects the row — never elide it there

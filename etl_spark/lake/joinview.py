@@ -457,13 +457,14 @@ class IncrementalJoinView:
             if lch is not None:
                 n_l = sum(r["__n"] for r in stats_l)
                 idx_pb: dict[int, int] = {}
-                r_buckets: set[int] = set()
+                r_pb: dict[int, int] = {}
                 for r in stats_l:
                     view_pb[r["__vb"]] = view_pb.get(r["__vb"], 0) + r["__n"]
                     if not r["__nullfk"]:
                         idx_pb[r["__ib"]] = idx_pb.get(r["__ib"], 0) + r["__n"]
                         if r["__plus"]:
-                            r_buckets.add(r["__rb"])
+                            r_pb[r["__rb"]] = r_pb.get(r["__rb"], 0) + r["__n"]
+                r_buckets = set(r_pb)
                 _t0 = time.time()
                 il = self._index_applied()
                 if il is not None and il > ll:
@@ -510,6 +511,7 @@ class IncrementalJoinView:
                     ).filter(~_any_null(self.right.key)),
                     buckets=r_buckets, version=rv,
                     broadcast=n_l <= self.broadcast_threshold,
+                    per_bucket=r_pb,
                 )
                 sources.append(
                     self._view_rows(
@@ -560,19 +562,27 @@ class IncrementalJoinView:
                     tm["aff_stats_sec"] = time.time() - _t0
                     n_aff = sum(r["__n"] for r in stats_a)
                     if n_aff:
+                        l_pb: dict[int, int] = {}
                         for r in stats_a:
                             view_pb[r["__vb"]] = (
                                 view_pb.get(r["__vb"], 0) + r["__n"]
                             )
+                            l_pb[r["__lb"]] = l_pb.get(r["__lb"], 0) + r["__n"]
+                        r2_pb: dict[int, int] = {}
+                        for r in stats_r:
+                            r2_pb[r["__rb"]] = (
+                                r2_pb.get(r["__rb"], 0) + r["__n"]
+                            )
                         lrows = self.left.read_for_key_frame(
-                            aff, buckets={r["__lb"] for r in stats_a},
+                            aff, buckets=set(l_pb),
                             version=lv,
                             broadcast=n_aff <= self.broadcast_threshold,
-                            distinct=False,
+                            distinct=False, per_bucket=l_pb,
                         )
                         rprobe2 = self.right.read_for_key_frame(
-                            rkeys, buckets={r["__rb"] for r in stats_r},
+                            rkeys, buckets=set(r2_pb),
                             version=rv, broadcast=small, distinct=False,
+                            per_bucket=r2_pb,
                         )
                         src = self._view_rows(lrows, rprobe2, broadcast=small)
                         if self.capture_plans:

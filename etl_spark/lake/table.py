@@ -1139,6 +1139,7 @@ class LakeTable:
         version: int | None = None,
         broadcast: bool = True,
         distinct: bool = True,
+        per_bucket: dict[int, int] | None = None,
     ) -> DataFrame:
         """Distributed companion of ``read_for_keys``: stored rows whose
         key appears in the ``keys`` FRAME (any frame carrying the table's
@@ -1146,18 +1147,61 @@ class LakeTable:
         already knows the affected set (``bucket_histogram``); the key
         restriction is a left-semi join, broadcast while the key frame is
         batch-sized so the bucket scan stays map-side and shuffle-free —
-        the read-before-write shape for patch/partial-update resolution."""
+        the read-before-write shape for patch/partial-update resolution.
+
+        ``per_bucket`` (a key-frame bucket histogram — e.g.
+        ``bucket_histogram``'s dict, which many callers already hold
+        from their fused sizing action) doubles as the bucket scope and
+        arms the jumbo fallback: when ``broadcast=False`` and the frame
+        is past the guard, the semi join splits into groups of whole
+        buckets whose key counts each fit it, probing every group with a
+        per-group BROADCAST semi join — the bucket scan never shuffles
+        (same bucket-group discipline as ``_read_files``). The keys
+        frame is re-filtered by the table's bucket expression per group,
+        so persist it when its plan is expensive. A single hot bucket
+        past the guard falls through to the plain shuffled join bounded
+        to its group."""
         head = self.snapshot(version, buckets=set())
         if head.n_buckets <= 0:
             raise ValueError("read_for_key_frame requires a bucketed table")
         if buckets is None:
-            buckets = set(self.bucket_histogram(keys, version))
+            buckets = (
+                set(per_bucket)
+                if per_bucket is not None
+                else set(self.bucket_histogram(keys, version))
+            )
         snap = self.snapshot(version, buckets=buckets)
-        entries = [f for f in snap.data_files if f["bucket"] in buckets]
-        out = self._read_files(snap, entries, buckets=buckets)
         k = keys.select(*snap.key)
         if distinct:  # skip for key-unique frames (e.g. a fold output):
             k = k.dropDuplicates(snap.key)  # saves one batch-sized shuffle
+        scoped = {
+            b: n for b, n in (per_bucket or {}).items() if b in buckets
+        }
+        if (
+            not broadcast
+            and scoped
+            and sum(scoped.values()) > _MOR_BROADCAST_ROWS
+        ):
+            groups = _pack_buckets(scoped, _MOR_BROADCAST_ROWS)
+            if 1 < len(groups) <= _MAX_READ_GROUPS:
+                bexpr = self._bucket_expr(snap)
+                parts = []
+                for g in groups:
+                    gset = set(g)
+                    ge = [f for f in snap.data_files if f["bucket"] in gset]
+                    sub = self._read_files(snap, ge, buckets=gset)
+                    gk = k.filter(bexpr.isin([int(b) for b in g]))
+                    if sum(scoped[b] for b in g) <= _MOR_BROADCAST_ROWS:
+                        gk = F.broadcast(gk)
+                    parts.append(
+                        sub.join(gk, on=list(snap.key), how="left_semi")
+                    )
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                return out
+        entries = [f for f in snap.data_files if f["bucket"] in buckets]
+        out = self._read_files(snap, entries, buckets=buckets)
         if broadcast:
             k = F.broadcast(k)
         return out.join(k, on=list(snap.key), how="left_semi")
@@ -1835,6 +1879,7 @@ class LakeTable:
         buckets: set[int] | None = None,
         broadcast: bool = True,
         drop_absent_deletes: bool = True,
+        per_bucket: dict[int, int] | None = None,
     ) -> DataFrame:
         """Change detection for full-row-image CDC: drop source rows whose
         MERGE would be a state no-op — upserts whose full (null-safe)
@@ -1909,7 +1954,8 @@ class LakeTable:
 
         stored = align_to_schema(
             self.read_for_key_frame(source, buckets=buckets,
-                                    broadcast=broadcast),
+                                    broadcast=broadcast,
+                                    per_bucket=per_bucket),
             schema,
         )
         st = stored.select(

@@ -145,3 +145,60 @@ def test_grouped_read_serves_every_read_path(spark, tmp_path, monkeypatch):
     ch = t.table_changes(v0, t.current_version())
     kinds = {r["_change_type"] for r in ch.select("_change_type").collect()}
     assert kinds == {"update", "delete"}
+
+
+def test_key_frame_grouped_semi_join_past_guard(spark, tmp_path, monkeypatch):
+    """read_for_key_frame with per_bucket past the guard: grouped
+    per-bucket broadcast semi joins — same rows as the broadcast
+    regime, no shuffle of the bucket scan."""
+    t = _make(spark, tmp_path / "t", n_buckets=8)
+    keys = spark.createDataFrame(
+        [(f"c{i}", j) for i in range(0, 40, 3) for j in (0, 1)],
+        T.StructType([T.StructField("conv_id", T.StringType()),
+                      T.StructField("turn_idx", T.IntegerType())]),
+    )
+    pb = t.bucket_histogram(keys)
+    want = sorted(
+        tuple(r)
+        for r in t.read_for_key_frame(keys, broadcast=True).collect()
+    )
+    assert len(want) == 28
+    assert max(pb.values()) <= 8 < sum(pb.values())
+    # guard=8: every bucket fits a group -> pure per-group broadcast plan
+    monkeypatch.setattr(table_mod, "_MOR_BROADCAST_ROWS", 8)
+    df = t.read_for_key_frame(
+        keys, broadcast=False, distinct=False, per_bucket=pb
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == want
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Exchange hashpartitioning" not in plan
+    # guard=4: some buckets exceed it alone -> MIXED regime (hot groups
+    # take the plain join bounded to their buckets); rows identical
+    monkeypatch.setattr(table_mod, "_MOR_BROADCAST_ROWS", 4)
+    got2 = sorted(
+        tuple(r)
+        for r in t.read_for_key_frame(
+            keys, broadcast=False, distinct=False, per_bucket=pb
+        ).collect()
+    )
+    assert got2 == want
+
+
+def test_key_frame_hot_bucket_falls_through(spark, tmp_path, monkeypatch):
+    t = _make(spark, tmp_path / "t", n_buckets=1)
+    keys = spark.createDataFrame(
+        [(f"c{i}", 0) for i in range(40)],
+        T.StructType([T.StructField("conv_id", T.StringType()),
+                      T.StructField("turn_idx", T.IntegerType())]),
+    )
+    pb = t.bucket_histogram(keys)
+    monkeypatch.setattr(table_mod, "_MOR_BROADCAST_ROWS", 4)
+    got = sorted(
+        tuple(r)
+        for r in t.read_for_key_frame(
+            keys, broadcast=False, per_bucket=pb
+        ).collect()
+    )
+    assert len(got) == 40
