@@ -27,6 +27,7 @@ from etl_spark.operators.similarity import (
     cluster_embeddings,
     ivf_topk,
     lsh_topk,
+    semantic_dedup,
 )
 
 __all__ = [
@@ -56,6 +57,7 @@ __all__ = [
     "cluster_embeddings",
     "ivf_topk",
     "embedding_neardup_pairs",
+    "semantic_dedup",
     "asof_join",
     "interval_join",
     "scd2_history",

@@ -852,3 +852,118 @@ def embedding_neardup_pairs(
     # parquet file = one partition, which would serialize the matmul
     par = src.sparkSession.sparkContext.defaultParallelism
     return src.repartition(par).mapInPandas(fn, out_schema)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    centroids=None,
+    n_rows: int | None = None,
+    max_cluster_rows: int = 2_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    corpus by embedding, run EXACT cosine near-dup only WITHIN each
+    cluster, and keep one representative per duplicate relation.
+    Returns the SURVIVING ``(id, cluster_id)`` rows — every id with no
+    within-cluster duplicate of smaller id (the deterministic
+    "keep-first" variant of the paper's keeper rule, so the result is a
+    pure function of the input).
+
+    Scale shape: the quadratic is bounded per cluster — n_i^2 instead
+    of n^2 global, the whole point of cluster-then-dedup. One
+    assignment pass carries the vector along (mapInPandas, BLAS argmax
+    against the closure-shipped centroid matrix — no join back to the
+    corpus), then ONE shuffle by cluster_id feeds a grouped
+    ``applyInPandas`` stage that runs a tiled unit-normalized
+    ``U @ U.T`` per cluster (~64 MiB tiles) and drops rows dominated by
+    a smaller id. A cluster past ``max_cluster_rows`` raises with
+    instructions (raise ``n_clusters``; the paper uses n/k ~ 1e4-1e5).
+    Train-once / dedup-many: pass ``centroids`` to pin the clustering
+    (also what makes the fixed-centroid oracle entry bit-exact)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, id_col, vec_col, n_lists=n_clusters, n_rows=n_rows
+        )
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    cn[cn == 0.0] = 1.0
+    C = C / cn
+    id_field = corpus.schema[id_col]
+    mid_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("cluster_id", T.IntegerType()),
+            T.StructField("_vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    src = corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_vec"))
+
+    def assign(batches):
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            M = np.stack(b["_vec"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0
+            cl = ((M / nrm) @ C.T).argmax(axis=1).astype("int32")
+            yield pd.DataFrame(
+                {id_col: b[id_col], "cluster_id": cl, "_vec": b["_vec"]}
+            )
+
+    assigned = src.mapInPandas(assign, mid_schema)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("cluster_id", T.IntegerType()),
+        ]
+    )
+    thr = float(threshold)
+    cap = int(max_cluster_rows)
+
+    def dedup_cluster(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({id_col: [], "cluster_id": []})
+        if n > cap:
+            raise ValueError(
+                f"semantic_dedup cluster has {n} rows > max_cluster_rows="
+                f"{cap}: raise n_clusters so the per-cluster quadratic "
+                "stays bounded (SemDeDup uses n/k ~ 1e4-1e5)"
+            )
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        pdf = pdf.iloc[order]
+        ids = pdf[id_col].to_numpy()
+        M = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        U = M / nrm
+        victim = np.zeros(n, dtype=bool)
+        step = max(1, (64 << 20) // max(1, n * 8))
+        rows = np.arange(n)[:, None]
+        for j0 in range(0, n, step):
+            j1 = min(n, j0 + step)
+            S = U @ U[j0:j1].T
+            hit = (S >= thr) & (rows < np.arange(j0, j1)[None, :])
+            victim[j0:j1] |= hit.any(axis=0)
+        keep = ~victim
+        return pd.DataFrame(
+            {
+                id_col: ids[keep],
+                "cluster_id": pdf["cluster_id"].to_numpy()[keep],
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        dedup_cluster, out_schema
+    )

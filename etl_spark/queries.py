@@ -2108,6 +2108,46 @@ FROM s
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition (cluster -> within-cluster cosine dedup ->
+    keep-first survivors) under the fixed axis-unit centroid matrix, so
+    DuckDB reproduces the whole pipeline: assignment = argmax over the
+    first 8 normalized components, duplicates = same-cluster pairs with
+    cosine >= 0.4, survivors = ids dominated by no smaller id. The
+    trained-centroid production config is engine-internal kmeans (same
+    split as embedding_clusters / embedding_clusters_fixed)."""
+    import numpy as np
+
+    from etl_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = np.eye(8, 64)
+    return semantic_dedup(
+        emb, n_clusters=8, threshold=0.4, centroids=C
+    ).select("vec_id", "cluster_id")
+
+
+_ORACLE_SEMANTIC_DEDUP = """
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         [x / sqrt(list_inner_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]))
+          FOR x IN (embedding::DOUBLE[])[1:8]] AS u
+  FROM embeddings),
+a AS (
+  SELECT vec_id, e,
+         CAST(list_position(u, list_max(u)) - 1 AS INTEGER) AS cluster_id
+  FROM s),
+victims AS (
+  SELECT DISTINCT hi.vec_id
+  FROM a lo JOIN a hi
+    ON lo.cluster_id = hi.cluster_id AND lo.vec_id < hi.vec_id
+  WHERE list_cosine_similarity(lo.e, hi.e) >= 0.4)
+SELECT vec_id, cluster_id FROM a
+WHERE vec_id NOT IN (SELECT vec_id FROM victims)
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — EXACT, via the tiled-GEMM
     mapInPandas scan (one BLAS matmul per Arrow batch; the baseline path,
@@ -4024,6 +4064,7 @@ QUERIES = {
     "conversation_assembly": q_conversation_assembly,
     # --- below the 50-entry driver window: variants + rows-only entries
     # (each family's representative above; all still in the local gate)
+    "semantic_dedup": q_semantic_dedup,
     "cdc_apply_skip_unchanged": q_cdc_apply_skip_unchanged,
     "branch_backfill": q_branch_backfill,
     "catalog_repair": q_catalog_repair,
@@ -4132,6 +4173,7 @@ ORACLE_SQL = {
     "similarity_lsh_full": _ORACLE_TOPK,
     "similarity_ivf_full": _ORACLE_TOPK,
     "similarity_pq_full": _ORACLE_TOPK,
+    "semantic_dedup": _ORACLE_SEMANTIC_DEDUP,
     "embedding_neardup": _ORACLE_EMB_NEARDUP,
     "embedding_neardup_blocked": _ORACLE_EMB_NEARDUP,
     "embedding_neardup_blocked_hi": _ORACLE_EMB_NEARDUP_HI,

@@ -636,3 +636,52 @@ class TestProductQuantization:
         r0, r50, rall = recall(0), recall(50), recall(200)
         assert r0 <= r50 <= rall
         assert rall == 1.0  # shortlist covers the corpus -> exact
+
+
+def test_semantic_dedup_keeps_one_per_cluster_dup_group(spark):
+    """SemDeDup composition: within-cluster cosine dups collapse to the
+    smallest id; cross-cluster near-dups survive (the documented
+    approximation — the quadratic is bounded per cluster)."""
+    from etl_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    e0 = np.zeros(8); e0[0] = 1.0
+    e1 = np.zeros(8); e1[1] = 1.0
+    rows = []
+    # dup group in cluster 0: three copies of the same direction
+    base = np.abs(rng.normal(size=8)); base[0] += 10.0
+    for i in (1, 2, 3):
+        rows.append((i, (base * (1.0 + 0.001 * i)).tolist()))
+    # singleton in cluster 0, orthogonal-ish
+    solo = np.zeros(8); solo[0] = 1.0; solo[7] = 9.0
+    rows.append((4, solo.tolist()))
+    # boundary pair: high mutual cosine but argmax splits them across
+    # clusters 0 and 1 -> BOTH survive
+    rows.append((5, np.array([1.0, 0.99, 0, 0, 0, 0, 0, 0]).tolist()))
+    rows.append((6, np.array([0.99, 1.0, 0, 0, 0, 0, 0, 0]).tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    C = np.eye(2, 8)
+    got = {
+        (r["vec_id"], r["cluster_id"])
+        for r in semantic_dedup(
+            emb, n_clusters=2, threshold=0.95, centroids=C
+        ).collect()
+    }
+    assert (1, 0) in got and (2, 0) not in got and (3, 0) not in got
+    assert (4, 0) in got
+    assert (5, 0) in got and (6, 1) in got
+
+    # trained-centroid path (engine kmeans): still exactly one of the
+    # planted dup group; the boundary pair may legitimately land in ONE
+    # trained cluster and collapse (5 dominates 6), never vanish
+    got2 = {r["vec_id"] for r in semantic_dedup(
+        emb, n_clusters=2, threshold=0.95
+    ).collect()}
+    assert len(got2 & {1, 2, 3}) == 1 and 4 in got2 and 5 in got2
+
+    # oversized cluster raises with guidance
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_dedup(
+            emb, n_clusters=1, threshold=0.95,
+            centroids=np.eye(1, 8), max_cluster_rows=2,
+        ).collect()
