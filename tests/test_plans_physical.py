@@ -141,6 +141,8 @@ def test_no_cartesian_product_in_query_plans(spark):
         "dedup_simhash", "dedup_minhash_lsh", "dedup_minhash_lsh_verified",
         "incremental_dedup", "incremental_dedup_verified",
         "embedding_clusters", "embedding_clusters_fixed",
+        # SemDeDup: mapInPandas assignment + grouped applyInPandas
+        "semantic_dedup",
     }
     sf = "/root/testdata/sf0.001"
     for name, fn in QUERIES.items():
