@@ -42,6 +42,7 @@ HEADLINE = [
     "similarity_topk",
     "similarity_ivf",
     "similarity_pq",
+    "semantic_dedup",
     "embedding_neardup",
     "embedding_neardup_blocked_hi",
     "text_stats",
