@@ -4,11 +4,15 @@ Media travel as opaque ``binary`` columns plus a typed metadata struct —
 the lake-table schema, partitioning, and UDF batch shapes are real and
 tested. Decode, feature-extraction, nearest-neighbor resize, and frame
 sampling are fully IMPLEMENTED for the engine's raw raster format
-(numpy, no native deps); compressed/container formats (JPEG/PNG/MP4) are
-handled by SOFT-IMPORTED codecs — when Pillow (images) / PyAV (video) is
-installed on the host, those paths are real; in this container (no codec
-libs) they raise the documented ``NotImplementedError`` at the
-plug-point. Nothing else changes between the two regimes.
+(numpy, no native deps), and one REAL compressed format per modality is
+stdlib-decoded in-container: 8-bit non-interlaced PNG (``operators.png``,
+zlib + numpy filter reconstruction) and 16-bit PCM WAV
+(``operators.wav`` — header metadata, sample decode, RMS/ZCR analysis).
+Remaining compressed/container formats (JPEG/MP4/...) are handled by
+SOFT-IMPORTED codecs — when Pillow (images) / PyAV (video) is installed
+on the host, those paths are real; without them they raise the
+documented ``NotImplementedError`` at the plug-point. Nothing else
+changes between the regimes.
 
 Scale notes: binary payloads dominate row size, so media tables bucket by
 asset id and transforms run ``mapInPandas`` with small
@@ -114,6 +118,8 @@ def decode_media_meta(df: DataFrame, data_col: str = "data") -> DataFrame:
         ]
     )
 
+    from etl_spark.operators.wav import wav_meta  # pickles by value
+
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct as _st
 
@@ -135,6 +141,14 @@ def decode_media_meta(df: DataFrame, data_col: str = "data") -> DataFrame:
                     w, h = _st.unpack(">II", raw[16:24])
                     widths.append(w); heights.append(h); durs.append(None)
                     sizes.append(len(blob))
+                    continue
+                if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                    try:
+                        _r, _c, _n, dur_ms = wav_meta(bytes(blob))
+                    except ValueError:
+                        dur_ms = None
+                    widths.append(None); heights.append(None)
+                    durs.append(dur_ms); sizes.append(len(blob))
                     continue
                 if len(blob) < hdr_size or raw[:4] != magic:
                     widths.append(None); heights.append(None)
@@ -400,3 +414,67 @@ def media_stats(df: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def audio_stats(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """Sample-level audio analysis over the binary column — REAL for
+    16-bit PCM WAV payloads via the stdlib codec (``operators.wav``):
+    RMS amplitude (normalized to [0, 1]) and zero-crossing rate per
+    asset, the classic speech/music/silence discriminators a corpus
+    filter runs before transcription. Multi-channel audio is analyzed
+    on the channel mean. Non-audio rows and undecodable payloads (raw
+    fake-format bytes, unsupported encodings) produce no output rows —
+    the filter-feed shape. Arrow-batched mapInPandas; the codec pickles
+    by value, so workers need no etl_spark install."""
+    from etl_spark.operators.wav import decode_wav, is_wav
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            out = {k: [] for k in (
+                "asset_id", "sample_rate", "n_samples", "duration_ms",
+                "rms", "zero_crossing_rate",
+            )}
+            for blob, kind, aid in zip(b[data_col], b["kind"], b["asset_id"]):
+                if kind != "audio" or blob is None:
+                    continue
+                raw = bytes(blob)
+                if not is_wav(raw):
+                    continue
+                try:
+                    rate, samples = decode_wav(raw)
+                except ValueError:
+                    continue
+                x = samples.astype(np.float64) / 32768.0
+                if x.ndim == 2:
+                    x = x.mean(axis=1)
+                n = len(x)
+                if n == 0:
+                    continue
+                zc = (
+                    float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    / max(1, n - 1)
+                )
+                out["asset_id"].append(aid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(int(round(n * 1000 / rate)))
+                out["rms"].append(float(np.sqrt(np.mean(x * x))))
+                out["zero_crossing_rate"].append(zc)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, AUDIO_STATS_SCHEMA)

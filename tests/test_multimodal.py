@@ -289,3 +289,80 @@ def test_png_metadata_decodes_from_ihdr(spark):
     out = decode_media_meta(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()[0]
     assert out["decoded_width"] == 9 and out["decoded_height"] == 6
     assert out["payload_bytes"] == len(png)
+
+
+# ---------------------------------------------------------------- stdlib WAV
+# (no skipif: 16-bit PCM RIFF needs only struct + numpy)
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from etl_spark.operators.wav import decode_wav, encode_wav, is_wav, wav_meta
+
+    t = np.arange(1600)
+    mono = (10_000 * np.sin(2 * np.pi * 440 * t / 16_000)).astype(np.int16)
+    stereo = np.stack([mono, (mono // 2)], axis=1)
+    for samples, ch in ((mono, 1), (stereo, 2)):
+        raw = encode_wav(samples, 16_000)
+        assert is_wav(raw)
+        rate, back = decode_wav(raw)
+        assert rate == 16_000 and np.array_equal(back, samples)
+        r, c, n, dur = wav_meta(raw)
+        assert (r, c, n) == (16_000, ch, 1600) and dur == 100
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all....")
+    with _pt.raises(ValueError, match="16-bit PCM"):
+        # 8-bit PCM header
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", 0))
+        decode_wav(bad)
+    with _pt.raises(ValueError, match="int16"):
+        encode_wav(np.zeros(4, dtype=np.float64), 8000)
+
+
+def test_audio_stats_over_wav_payloads(spark):
+    """audio_stats: real DSP (RMS, zero-crossing rate) over WAV blobs
+    through the Spark path; non-audio and undecodable rows emit nothing."""
+    import numpy as np
+
+    from etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_stats,
+        decode_media_meta,
+        pack_fake_media,
+    )
+    from etl_spark.operators.wav import encode_wav
+
+    t = np.arange(8_000)
+    tone = (16_384 * np.sin(2 * np.pi * 100 * t / 8_000)).astype(np.int16)
+    silence = np.zeros(4_000, dtype=np.int16)
+    wav_tone = encode_wav(tone, 8_000)
+    wav_sil = encode_wav(silence, 8_000)
+    rows = [
+        ("tone", "audio", "audio/wav", wav_tone, (0, 0, 1000, len(wav_tone))),
+        ("sil", "audio", "audio/wav", wav_sil, (0, 0, 500, len(wav_sil))),
+        ("fake", "audio", "audio/fake", pack_fake_media(0, 0, 300, b"abc"),
+         (0, 0, 300, 19)),
+        ("img", "image", "image/fake", pack_fake_media(2, 2, 0, b"abcd"),
+         (2, 2, 0, 20)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["asset_id"]: r for r in audio_stats(media).collect()}
+    assert set(got) == {"tone", "sil"}
+    # a full-scale/2 sine has RMS 0.5/sqrt(2) ~ 0.3536 and ZCR ~ 2f/rate
+    assert abs(got["tone"]["rms"] - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(got["tone"]["zero_crossing_rate"] - 2 * 100 / 8_000) < 0.005
+    assert got["tone"]["duration_ms"] == 1000
+    assert got["sil"]["rms"] == 0.0 and got["sil"]["zero_crossing_rate"] == 0.0
+    # decode_media_meta reads WAV duration from the headers alone
+    m = {r["asset_id"]: r for r in decode_media_meta(media).collect()}
+    assert m["tone"]["decoded_duration_ms"] == 1000
+    assert m["sil"]["decoded_duration_ms"] == 500
