@@ -138,6 +138,13 @@ class MinHashIndex:
                     f"index-pair verification, got key={list(corpus.key)}"
                 )
             rows = corpus.read_for_key_frame(ids)
+        elif callable(corpus):
+            # resolver: the caller turns the candidate-id frame into
+            # (id, text) rows however its storage is keyed — e.g. the
+            # streaming path maps doc ids back to table keys and fetches
+            # the stored text BUCKET-PRUNED (read_for_key_frame) instead
+            # of semi-joining a full table scan
+            rows = corpus(ids)
         else:
             rows = corpus.join(F.broadcast(ids), on=id_col, how="left_semi")
         sb = with_shingle_hashes(

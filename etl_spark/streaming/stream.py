@@ -517,18 +517,28 @@ class CdcStream:
         if self.dedup_verify and os.path.isdir(keys_dir):
             if self.dedup_threshold is None:
                 raise ValueError("dedup_verify requires dedup_threshold")
-            # doc id -> key columns from prior batches' key maps, then the
-            # CURRENT stored text: the semi-join on candidate ids pushes
-            # down to the (small) mapping side and the table join rides
-            # AQE's broadcast of the restricted mapping
+            # resolver: candidate doc ids -> key columns via the (narrow,
+            # column-pruned) key-map scan, then the CURRENT stored text
+            # BUCKET-PRUNED from the table (read_for_key_frame — never a
+            # full text scan per batch; the id restriction broadcasts)
             mapping = (
                 self.spark.read.parquet(keys_dir)
                 .select("__doc_id", *key)
                 .dropDuplicates(["__doc_id"])
             )
-            corpus = mapping.join(self.table.read(), on=list(key)).select(
-                "__doc_id", F.col(self.dedup_text_col).alias("__text")
-            )
+            table, text_col, kcols = self.table, self.dedup_text_col, list(key)
+
+            def corpus(ids_df):
+                keys_f = mapping.join(
+                    F.broadcast(ids_df), on="__doc_id", how="left_semi"
+                )
+                stored = table.read_for_key_frame(keys_f.select(*kcols))
+                return keys_f.join(
+                    stored.select(
+                        *kcols, F.col(text_col).alias("__text")
+                    ),
+                    on=kcols,
+                ).select("__doc_id", "__text")
         pairs = idx.ingest(
             docs.select("__doc_id", "__text"),
             id_col="__doc_id",
