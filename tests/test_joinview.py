@@ -748,3 +748,48 @@ def test_fuzz_random_churn_vs_recompute(spark, tmp_path):
             view.refresh()
     view.refresh()
     assert_converged(view, "left")
+
+
+def test_crash_recovery_heals_index_when_retention_outran_window(
+    spark, tmp_path
+):
+    """Crash leaves the index at lv1 > view's ll; before recovery the
+    left table churns AND expires snapshots past lv1, so the recovery
+    feed table_changes(il, lv) is gone. _recover_index must fall back to
+    an index-only overwrite (bounded heal) and still converge."""
+    left, right = make_tables(spark, tmp_path)
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "v"), left, right, on=["cust"],
+        right_prefix="d_", n_buckets=4,
+    )
+    view.refresh()
+    left.merge(
+        spark.createDataFrame([(0, 5, 100.0, "U")], L_OPS), op_col="op"
+    )
+    real = view._merge_view
+    try:
+        view._merge_view = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("crash")
+        )
+        with pytest.raises(RuntimeError):
+            view.refresh()
+    finally:
+        view._merge_view = real
+    il = view._index_applied()
+    assert il == left.current_version()
+    # post-crash churn (fk revert) + retention sweep past the crash mark
+    left.merge(
+        spark.createDataFrame([(0, 0, 100.0, "U")], L_OPS), op_col="op"
+    )
+    left.expire_snapshots(keep_last=1)
+    st = view.refresh()
+    # view itself may need the rebuild self-heal (its own window expired
+    # too) — either path must converge with an exact index
+    assert_converged(view, "left")
+    idx = sorted(tuple(r) for r in view.index.read().collect())
+    want = sorted(
+        tuple(r)
+        for r in left.read().filter(F.col("cust").isNotNull())
+        .select("cust", "oid").collect()
+    )
+    assert idx == want

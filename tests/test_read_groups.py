@@ -202,3 +202,16 @@ def test_key_frame_hot_bucket_falls_through(spark, tmp_path, monkeypatch):
         ).collect()
     )
     assert len(got) == 40
+
+
+def test_too_many_groups_falls_through_to_single_join(
+    spark, tmp_path, monkeypatch
+):
+    """Past _MAX_READ_GROUPS the backlog is table-scale: one shuffled
+    join is the honest plan — rows must still be exact."""
+    t = _make(spark, tmp_path / "t", n_buckets=8)
+    _churn(spark, t)
+    monkeypatch.setattr(table_mod, "_MOR_BROADCAST_ROWS", 2)
+    monkeypatch.setattr(table_mod, "_MAX_READ_GROUPS", 2)
+    got = {(r.conv_id, r.turn_idx, r.text) for r in t.read().collect()}
+    assert got == _expected(40)
