@@ -2798,6 +2798,74 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(decode_media_meta(media))
 
 
+def q_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal with a BIT-EXACT oracle: each document's UTF-8 bytes
+    are encoded through the REAL stdlib codecs — a (1 x n_bytes+1)
+    grayscale PNG (operators.png; +1 sentinel so empty text stays a
+    valid raster) and a 1 kHz PCM WAV of ceil(n_bytes/2) int16 samples
+    (operators.wav; at 1 kHz, duration_ms == n_samples exactly, no
+    rounding ambiguity) — then decoded back through the production
+    ``decode_media_meta`` mapInPandas stage. The decoded dimensions /
+    duration are pure functions of octet_length(text), which DuckDB
+    computes directly: the whole encode->decode plumbing must round-trip
+    bit-exactly for the numbers to match."""
+    import numpy as np
+
+    from etl_spark.operators.multimodal import decode_media_meta
+    from etl_spark.operators.png import encode_png
+    from etl_spark.operators.wav import encode_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", docs.schema["doc_id"].dataType),
+            T.StructField("kind", T.StringType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids, kinds, blobs = [], [], []
+            for did, t in zip(b["doc_id"], b["text"]):
+                data = (t or "").encode("utf-8")
+                img = np.frombuffer(
+                    data + b"\x00", dtype=np.uint8
+                ).reshape(1, -1)
+                ids.append(did); kinds.append("image")
+                blobs.append(encode_png(img))
+                pcm = data + (b"\x00" if len(data) % 2 else b"")
+                samples = np.frombuffer(pcm, dtype="<i2")
+                ids.append(did); kinds.append("audio")
+                blobs.append(encode_wav(samples, 1000))
+            yield pd.DataFrame({"doc_id": ids, "kind": kinds, "data": blobs})
+
+    media = docs.mapInPandas(build, out_schema)
+    dec = decode_media_meta(media)
+    return dec.groupBy("doc_id").agg(
+        F.max(
+            F.when(F.col("kind") == "image", F.col("decoded_width"))
+        ).cast("int").alias("png_width"),
+        F.max(
+            F.when(F.col("kind") == "image", F.col("decoded_height"))
+        ).cast("int").alias("png_height"),
+        F.max(
+            F.when(F.col("kind") == "audio", F.col("decoded_duration_ms"))
+        ).cast("int").alias("wav_duration_ms"),
+    )
+
+
+_ORACLE_MULTIMODAL_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(strlen(text) + 1 AS INTEGER) AS png_width,
+       1 AS png_height,
+       CAST(CEIL(strlen(text) / 2.0) AS INTEGER) AS wav_duration_ms
+FROM documents
+"""
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful STREAMING sessionization (applyInPandasWithState,
     event-time timeout) over the events table, flushed with a far-future
@@ -4019,7 +4087,6 @@ QUERIES = {
     "cdc_apply_patch_mor": q_cdc_apply_patch_mor,
     "wap_publish": q_wap_publish,
     "catalog_txn": q_catalog_txn,
-    "catalog_replicate": q_catalog_replicate,
     "merge_out_of_order": q_merge_out_of_order,
     "debezium_roundtrip": q_debezium_roundtrip,
     "lww_dedup": q_lww_dedup,
@@ -4055,6 +4122,7 @@ QUERIES = {
     "similarity_lsh_full": q_similarity_lsh_full,
     "embedding_neardup": q_embedding_neardup,
     "text_stats": q_text_stats,
+    "multimodal_roundtrip": q_multimodal_roundtrip,
     "tfidf_keywords": q_tfidf_keywords,
     "lm_quality_score": q_lm_quality_score,
     "profile_docs": q_profile_docs,
@@ -4065,6 +4133,7 @@ QUERIES = {
     # --- below the 50-entry driver window: variants + rows-only entries
     # (each family's representative above; all still in the local gate)
     "semantic_dedup": q_semantic_dedup,
+    "catalog_replicate": q_catalog_replicate,
     "cdc_apply_skip_unchanged": q_cdc_apply_skip_unchanged,
     "branch_backfill": q_branch_backfill,
     "catalog_repair": q_catalog_repair,
@@ -4182,6 +4251,7 @@ ORACLE_SQL = {
     "redact_pii": _ORACLE_REDACT,
     "ngram_frequencies": _ORACLE_NGRAM_FREQ,
     "decontaminate": _ORACLE_DECONTAMINATE,
+    "multimodal_roundtrip": _ORACLE_MULTIMODAL_ROUNDTRIP,
     "lm_quality_score": _ORACLE_LM_SCORE,
     "hash_split": _ORACLE_HASH_SPLIT,
     "mixture_sample": _ORACLE_MIXTURE_SAMPLE,

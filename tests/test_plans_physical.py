@@ -143,6 +143,8 @@ def test_no_cartesian_product_in_query_plans(spark):
         "embedding_clusters", "embedding_clusters_fixed",
         # SemDeDup: mapInPandas assignment + grouped applyInPandas
         "semantic_dedup",
+        # codec round-trip: mapInPandas encode + decode stages
+        "multimodal_roundtrip",
     }
     sf = "/root/testdata/sf0.001"
     for name, fn in QUERIES.items():
