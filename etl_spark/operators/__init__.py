@@ -20,7 +20,18 @@ from etl_spark.operators.dedup import (
     simhash_signatures_pandas,
     md5_shingle_hashes,
 )
+from etl_spark.operators.multimodal import (
+    audio_stats,
+    decode_media_meta,
+    extract_features,
+    media_stats,
+    resize_image,
+    sample_frames,
+    synthesize_media_df,
+)
+from etl_spark.operators.png import decode_png, encode_png, is_png
 from etl_spark.operators.temporal import asof_join, interval_join, scd2_history
+from etl_spark.operators.wav import decode_wav, encode_wav, is_wav, wav_meta
 from etl_spark.operators.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
@@ -61,4 +72,18 @@ __all__ = [
     "asof_join",
     "interval_join",
     "scd2_history",
+    "audio_stats",
+    "decode_media_meta",
+    "extract_features",
+    "media_stats",
+    "resize_image",
+    "sample_frames",
+    "synthesize_media_df",
+    "decode_png",
+    "encode_png",
+    "is_png",
+    "decode_wav",
+    "encode_wav",
+    "is_wav",
+    "wav_meta",
 ]
