@@ -995,23 +995,40 @@ def inflate_wal(src_wal: str, dst_wal: str, factor: int) -> int:
     """Deterministically scale a WAL by ``factor``: each segment is
     replicated into ``factor`` disjoint conversation namespaces
     (``convNNNNNN`` -> ``cR_NNNNNN``) with LSNs re-spread so they stay
-    unique and order-preserving per source partition. Pure pyarrow column
-    ops (~C speed) — lets the scaling experiment run on 10-100x the base
-    events without paying generator time. Returns total events."""
+    unique AND monotone in file-delivery order per source partition:
+    replica r of every segment gets ``lsn + r * (part_max + 1)``, and
+    files are named/mtime-pinned replica-major (all of r00's segments,
+    then r01's, ...) so any micro-batch split of the inflated WAL keeps
+    the per-partition watermark contract — the earlier lsn*factor+rep
+    scheme interleaved LSNs across replica files and was only safe in
+    one-batch (availableNow-whole-WAL) mode. Pure pyarrow column ops
+    (~C speed). Returns total events."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     total = 0
+    base = time.time()
+    mt = 0
     for part in sorted(os.listdir(src_wal)):
         src_dir = os.path.join(src_wal, part)
         if not os.path.isdir(src_dir):
             continue
         dst_dir = os.path.join(dst_wal, part)
         os.makedirs(dst_dir, exist_ok=True)
-        for seg in sorted(os.listdir(src_dir)):
-            t = pq.read_table(os.path.join(src_dir, seg))
-            lsn_base = pc.multiply(t.column("lsn"), factor)
-            for rep in range(factor):
+        segs = sorted(
+            s for s in os.listdir(src_dir) if s.endswith(".parquet")
+        )
+        part_max = 0
+        tables = {}
+        for seg in segs:
+            tables[seg] = pq.read_table(os.path.join(src_dir, seg))
+            part_max = max(
+                part_max, pc.max(tables[seg].column("lsn")).as_py() or 0
+            )
+        for rep in range(factor):
+            offset = rep * (part_max + 1)
+            for seg in segs:
+                t = tables[seg]
                 conv = pc.replace_substring(
                     t.column("conv_id"), "conv", f"c{rep:02d}_"
                 )
@@ -1021,12 +1038,15 @@ def inflate_wal(src_wal: str, dst_wal: str, factor: int) -> int:
                 out = out.set_column(
                     out.schema.get_field_index("lsn"),
                     "lsn",
-                    pc.add(lsn_base, rep),
+                    pc.add(t.column("lsn"), offset),
                 )
-                pq.write_table(
-                    out,
-                    os.path.join(dst_dir, f"{seg[:-8]}-r{rep:02d}.parquet"),
+                path = os.path.join(
+                    dst_dir, f"r{rep:02d}-{seg[:-8]}.parquet"
                 )
+                pq.write_table(out, path)
+                t_mt = base + 0.01 * mt
+                os.utime(path, (t_mt, t_mt))
+                mt += 1
                 total += len(out)
     return total
 

@@ -29,6 +29,7 @@ Properties engineered into the stream (all seed-deterministic):
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -225,6 +226,18 @@ def write_changelog(df: pd.DataFrame, wal_dir: str, spec: ChangelogSpec) -> list
             path = os.path.join(pdir, f"seg-{i:05d}.parquet")
             pq.write_table(table, path)
             paths.append(path)
+    # Pin strictly-increasing mtimes in (partition, segment) order:
+    # FileStreamSource batches files by mtime (ms granularity, ties in
+    # arbitrary order), and the per-partition high-watermark filter
+    # assumes same-partition segments arrive in LSN order — two segments
+    # written within one millisecond could otherwise process reversed
+    # and the earlier one's rows be dropped as stale (observed as a rare
+    # load-dependent convergence flake). The WAL writer owns the
+    # delivery-order contract, so it pins it explicitly.
+    base = time.time()
+    for j, path in enumerate(paths):  # 10 ms spacing: distinct at the
+        t = base + 0.01 * j           # source's ms granularity, bounded
+        os.utime(path, (t, t))        # future-skew on big WALs
     return paths
 
 

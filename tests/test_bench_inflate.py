@@ -48,10 +48,12 @@ def test_inflate_wal_preserves_wal_invariants(tmp_path):
     # LSNs stay unique per source partition (the WAL invariant the
     # watermark store depends on)
     assert not big.duplicated(subset=["source_partition", "lsn"]).any()
-    # and order-preserving: replica r of original lsn L maps to 3L+r
+    # and order-preserving: replica 0 keeps the ORIGINAL lsns (replica r
+    # is offset by r * (partition max + 1) — replica-major, so lsn ranges
+    # never interleave across files)
     orig = pdf[["source_partition", "lsn", "conv_id", "turn_idx", "op"]]
     r0 = big[big["conv_id"].str.startswith("c00_")].copy()
-    r0["lsn_orig"] = r0["lsn"] // 3
+    r0["lsn_orig"] = r0["lsn"]
     merged = orig.merge(
         r0[["source_partition", "lsn_orig", "op"]],
         left_on=["source_partition", "lsn"],
@@ -60,3 +62,18 @@ def test_inflate_wal_preserves_wal_invariants(tmp_path):
     )
     assert len(merged) == len(pdf)
     assert (merged["op"] == merged["op_r"]).all()
+    # delivery-order contract: per partition, files in MTIME order carry
+    # strictly increasing, non-overlapping lsn ranges — so ANY micro-batch
+    # split of the inflated WAL satisfies the per-partition watermark
+    # filter (the old lsn*factor+rep scheme interleaved ranges and was
+    # only safe replayed as one batch)
+    for root, _d, names in os.walk(dst):
+        files = sorted(
+            (os.stat(os.path.join(root, n)).st_mtime, n)
+            for n in names if n.endswith(".parquet")
+        )
+        last_hi = -1
+        for _mt, n in files:
+            f = pd.read_parquet(os.path.join(root, n))
+            assert f["lsn"].min() > last_hi, (root, n)
+            last_hi = int(f["lsn"].max())
