@@ -123,3 +123,28 @@ def test_spark_submit_multi_executor_local_cluster(spark, tmp_path):
         exp[["conv_id", "turn_idx", "text"]].reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_spark_submit_codecs_cross_jvm(tmp_path):
+    """The factory-built PNG/WAV codecs and semantic_dedup's nested
+    closures must pickle BY VALUE into executors that are separate JVM
+    processes holding only the --py-files zip — the deployment regime
+    where a by-reference pickle would die with ModuleNotFoundError."""
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(sys.executable), "spark-submit"
+    )
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py"),
+         str(tmp_path / "etl_spark.zip")],
+        check=True, capture_output=True, text=True, cwd=str(tmp_path),
+    ).stdout.strip()
+    env = {**os.environ, "PYTHONPATH": ""}
+    out = subprocess.run(
+        [spark_submit, "--master", "local-cluster[2,2,1024]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(REPO, "tools", "codec_job.py")],
+        check=True, capture_output=True, text=True, cwd=str(tmp_path),
+        env=env, timeout=300,
+    )
+    assert "CODEC_JOB_OK" in out.stdout, out.stdout[-2000:]
