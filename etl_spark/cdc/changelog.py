@@ -201,8 +201,21 @@ def write_changelog(df: pd.DataFrame, wal_dir: str, spec: ChangelogSpec) -> list
     for p, part in df.groupby("source_partition", sort=True):
         pdir = os.path.join(wal_dir, f"source_partition={int(p)}")
         os.makedirs(pdir, exist_ok=True)
+        # Append semantics: continue segment numbering past any existing
+        # WAL segments instead of silently overwriting seg-00000..N — a
+        # second write_changelog into the same dir is a new WAL tail
+        # (the mtime pin below then orders it after the existing one).
+        start = 1 + max(
+            (
+                int(n[4:9])
+                for n in os.listdir(pdir)
+                if n.startswith("seg-") and n.endswith(".parquet")
+            ),
+            default=-1,
+        )
         segs = np.array_split(np.arange(len(part)), spec.segments_per_partition)
-        for i, idx in enumerate(segs):
+        segs = [(start + i, idx) for i, idx in enumerate(segs)]
+        for i, idx in segs:
             if idx.size == 0:
                 continue
             seg = part.iloc[idx]
@@ -233,8 +246,21 @@ def write_changelog(df: pd.DataFrame, wal_dir: str, spec: ChangelogSpec) -> list
     # written within one millisecond could otherwise process reversed
     # and the earlier one's rows be dropped as stale (observed as a rare
     # load-dependent convergence flake). The WAL writer owns the
-    # delivery-order contract, so it pins it explicitly.
-    base = time.time()
+    # delivery-order contract, so it pins it explicitly — including
+    # ACROSS calls: a second write_changelog (or any writer) appending
+    # to the same wal_dir must pin strictly above every existing
+    # segment's mtime, else its segments could deliver before (and be
+    # hwm-dropped by) the first call's future-pinned ones.
+    prior = 0.0
+    for root, _dirs, files in os.walk(wal_dir):
+        for fname in files:
+            fpath = os.path.join(root, fname)
+            if fpath not in paths:
+                try:
+                    prior = max(prior, os.path.getmtime(fpath))
+                except OSError:
+                    pass
+    base = max(time.time(), prior + 0.01)
     for j, path in enumerate(paths):  # 10 ms spacing: distinct at the
         t = base + 0.01 * j           # source's ms granularity, bounded
         os.utime(path, (t, t))        # future-skew on big WALs

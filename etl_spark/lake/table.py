@@ -1183,6 +1183,14 @@ class LakeTable:
             and sum(scoped.values()) > _MOR_BROADCAST_ROWS
         ):
             groups = _pack_buckets(scoped, _MOR_BROADCAST_ROWS)
+            # A caller-passed ``buckets`` wider than the histogram's keys
+            # must still be read (the broadcast path reads it): append
+            # the uncounted remainder as one extra group — its key-frame
+            # slice is empty when the histogram was accurate, so the
+            # extra probe is a no-op scan at worst.
+            extra = sorted(buckets - set(scoped))
+            if extra:
+                groups = list(groups) + [extra]
             if 1 < len(groups) <= _MAX_READ_GROUPS:
                 bexpr = self._bucket_expr(snap)
                 parts = []
@@ -1191,7 +1199,7 @@ class LakeTable:
                     ge = [f for f in snap.data_files if f["bucket"] in gset]
                     sub = self._read_files(snap, ge, buckets=gset)
                     gk = k.filter(bexpr.isin([int(b) for b in g]))
-                    if sum(scoped[b] for b in g) <= _MOR_BROADCAST_ROWS:
+                    if sum(scoped.get(b, 0) for b in g) <= _MOR_BROADCAST_ROWS:
                         gk = F.broadcast(gk)
                     parts.append(
                         sub.join(gk, on=list(snap.key), how="left_semi")

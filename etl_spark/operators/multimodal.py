@@ -118,6 +118,7 @@ def decode_media_meta(df: DataFrame, data_col: str = "data") -> DataFrame:
         ]
     )
 
+    from etl_spark.operators.jpeg import is_jpeg, jpeg_meta
     from etl_spark.operators.wav import wav_meta  # pickles by value
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -135,12 +136,28 @@ def decode_media_meta(df: DataFrame, data_col: str = "data") -> DataFrame:
                     durs.append(None); sizes.append(None)
                     continue
                 raw = bytes(blob[:33])
-                if raw.startswith(png_sig) and raw[12:16] == b"IHDR":
+                if (
+                    raw.startswith(png_sig)
+                    and raw[12:16] == b"IHDR"
+                    and len(raw) >= 24  # truncated IHDR → null row, not
+                ):                      # a struct.error task failure
                     # dimensions straight from the IHDR header — no
                     # inflate needed for metadata decode
                     w, h = _st.unpack(">II", raw[16:24])
                     widths.append(w); heights.append(h); durs.append(None)
                     sizes.append(len(blob))
+                    continue
+                if is_jpeg(raw):
+                    # SOFn marker scan over the full blob (the frame
+                    # header sits past variable-length APP/EXIF/COM
+                    # segments) — stdlib, no Pillow (VERDICT r4 #2);
+                    # malformed/truncated streams degrade to null meta
+                    try:
+                        w, h, _nc = jpeg_meta(bytes(blob))
+                        widths.append(w); heights.append(h)
+                    except ValueError:
+                        widths.append(None); heights.append(None)
+                    durs.append(None); sizes.append(len(blob))
                     continue
                 if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
                     try:

@@ -863,6 +863,7 @@ def semantic_dedup(
     centroids=None,
     n_rows: int | None = None,
     max_cluster_rows: int = 2_000_000,
+    sim_decimals: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     corpus by embedding, run EXACT cosine near-dup only WITHIN each
@@ -882,7 +883,11 @@ def semantic_dedup(
     a smaller id. A cluster past ``max_cluster_rows`` raises with
     instructions (raise ``n_clusters``; the paper uses n/k ~ 1e4-1e5).
     Train-once / dedup-many: pass ``centroids`` to pin the clustering
-    (also what makes the fixed-centroid oracle entry bit-exact)."""
+    (also what makes the fixed-centroid oracle entry bit-exact).
+    ``sim_decimals`` rounds each cosine before thresholding so an
+    independent re-implementation (the DuckDB oracle) thresholding the
+    same rounded value cannot flip a near-threshold pair on ulp-level
+    BLAS-vs-scalar divergence — the repo's float-parity discipline."""
     import numpy as np
 
     from pyspark.sql import types as T
@@ -928,6 +933,7 @@ def semantic_dedup(
     )
     thr = float(threshold)
     cap = int(max_cluster_rows)
+    dec = None if sim_decimals is None else int(sim_decimals)
 
     def dedup_cluster(pdf):
         import pandas as pd
@@ -954,6 +960,8 @@ def semantic_dedup(
         for j0 in range(0, n, step):
             j1 = min(n, j0 + step)
             S = U @ U[j0:j1].T
+            if dec is not None:
+                S = np.round(S, dec)
             hit = (S >= thr) & (rows < np.arange(j0, j1)[None, :])
             victim[j0:j1] |= hit.any(axis=0)
         keep = ~victim

@@ -2113,9 +2113,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-first survivors) under the fixed axis-unit centroid matrix, so
     DuckDB reproduces the whole pipeline: assignment = argmax over the
     first 8 normalized components, duplicates = same-cluster pairs with
-    cosine >= 0.4, survivors = ids dominated by no smaller id. The
-    trained-centroid production config is engine-internal kmeans (same
-    split as embedding_clusters / embedding_clusters_fixed)."""
+    round(cosine, 6) >= 0.4 (both sides round before thresholding so
+    ulp-level BLAS-vs-DuckDB divergence cannot flip a near-threshold
+    pair — the repo's float-parity discipline), survivors = ids
+    dominated by no smaller id. The trained-centroid production config
+    is engine-internal kmeans (same split as embedding_clusters /
+    embedding_clusters_fixed)."""
     import numpy as np
 
     from etl_spark.operators.similarity import semantic_dedup
@@ -2123,7 +2126,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     C = np.eye(8, 64)
     return semantic_dedup(
-        emb, n_clusters=8, threshold=0.4, centroids=C
+        emb, n_clusters=8, threshold=0.4, centroids=C, sim_decimals=6
     ).select("vec_id", "cluster_id")
 
 
@@ -2142,7 +2145,7 @@ victims AS (
   SELECT DISTINCT hi.vec_id
   FROM a lo JOIN a hi
     ON lo.cluster_id = hi.cluster_id AND lo.vec_id < hi.vec_id
-  WHERE list_cosine_similarity(lo.e, hi.e) >= 0.4)
+  WHERE round(list_cosine_similarity(lo.e, hi.e), 6) >= 0.4)
 SELECT vec_id, cluster_id FROM a
 WHERE vec_id NOT IN (SELECT vec_id FROM victims)
 """
@@ -2804,13 +2807,18 @@ def q_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     grayscale PNG (operators.png; +1 sentinel so empty text stays a
     valid raster) and a 1 kHz PCM WAV of ceil(n_bytes/2) int16 samples
     (operators.wav; at 1 kHz, duration_ms == n_samples exactly, no
-    rounding ambiguity) — then decoded back through the production
+    rounding ambiguity) — and (r5) a structurally-valid JPEG header
+    stream whose SOF0 records a (n_bytes+1) x 1 frame with the text
+    bytes riding in a COM segment BEFORE the SOF, so the stdlib marker
+    walk (operators.jpeg) must skip a variable-length segment to find
+    the dimensions — then decoded back through the production
     ``decode_media_meta`` mapInPandas stage. The decoded dimensions /
     duration are pure functions of octet_length(text), which DuckDB
     computes directly: the whole encode->decode plumbing must round-trip
     bit-exactly for the numbers to match."""
     import numpy as np
 
+    from etl_spark.operators.jpeg import jpeg_header_fixture
     from etl_spark.operators.multimodal import decode_media_meta
     from etl_spark.operators.png import encode_png
     from etl_spark.operators.wav import encode_wav
@@ -2840,6 +2848,10 @@ def q_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 samples = np.frombuffer(pcm, dtype="<i2")
                 ids.append(did); kinds.append("audio")
                 blobs.append(encode_wav(samples, 1000))
+                ids.append(did); kinds.append("jpeg")
+                blobs.append(
+                    jpeg_header_fixture(len(data) + 1, 1, comment=data)
+                )
             yield pd.DataFrame({"doc_id": ids, "kind": kinds, "data": blobs})
 
     media = docs.mapInPandas(build, out_schema)
@@ -2854,6 +2866,12 @@ def q_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(
             F.when(F.col("kind") == "audio", F.col("decoded_duration_ms"))
         ).cast("int").alias("wav_duration_ms"),
+        F.max(
+            F.when(F.col("kind") == "jpeg", F.col("decoded_width"))
+        ).cast("int").alias("jpeg_width"),
+        F.max(
+            F.when(F.col("kind") == "jpeg", F.col("decoded_height"))
+        ).cast("int").alias("jpeg_height"),
     )
 
 
@@ -2861,7 +2879,9 @@ _ORACLE_MULTIMODAL_ROUNDTRIP = """
 SELECT doc_id,
        CAST(strlen(text) + 1 AS INTEGER) AS png_width,
        1 AS png_height,
-       CAST(CEIL(strlen(text) / 2.0) AS INTEGER) AS wav_duration_ms
+       CAST(CEIL(strlen(text) / 2.0) AS INTEGER) AS wav_duration_ms,
+       CAST(strlen(text) + 1 AS INTEGER) AS jpeg_width,
+       1 AS jpeg_height
 FROM documents
 """
 
@@ -4076,24 +4096,81 @@ _ORACLE_JOIN_VIEW_INNER = _JOIN_VIEW_SQL.format(JOIN="INNER JOIN")
 
 
 QUERIES = {
-    # --- the driver's correctness gate runs the FIRST 50 entries only
-    # (r3 gate stopped at 50 of 102), so this order IS the coverage
-    # policy: the window carries each operator family's strongest
-    # bit-exact entry; near-variants sharing an oracle family sit below.
+    # --- the driver's correctness gate runs the FIRST 50 entries only,
+    # so this order IS the coverage policy. r5 ROTATION (VERDICT r4 #1):
+    # ~15 family anchors stay pinned; the other 35 slots carry entries
+    # that had never earned a driver-green row through r4 (join views,
+    # scd2 deletes, replication/repair, sampling/text tails, promoted
+    # bit-exact variants). CORRECTNESS_r05 + CORRECTNESS_r04 together
+    # then cover 86 distinct entries. r4's window members now sit below
+    # the line -- still in the local gate (tools/check_oracle.py).
+    #
+    # ~15 family anchors (every one driver-green in r4, except
+    # semantic_dedup which ADVICE r4 asked to get window attestation):
     "cdc_apply_final_state": q_cdc_apply_final_state,
     "cdc_apply_mor": q_cdc_apply_mor,
+    "catalog_txn": q_catalog_txn,
+    "streaming_cdc_replay_oracle": q_streaming_cdc_replay_oracle,
+    "streaming_scd2_replay_oracle": q_streaming_scd2_replay_oracle,
+    "multimodal_roundtrip": q_multimodal_roundtrip,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh_verified": q_dedup_minhash_lsh_verified,
+    "dedup_simhash_full": q_dedup_simhash_full,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "semantic_dedup": q_semantic_dedup,
+    "similarity_pq_full": q_similarity_pq_full,
+    "similarity_ivf_full": q_similarity_ivf_full,
+    "similarity_lsh_full": q_similarity_lsh_full,
+    # 35 rotation slots -- first driver attestation for each:
+    "join_view_inner": q_join_view_inner,
+    "join_view_star": q_join_view_star,
+    "scd2_deletes": q_scd2_deletes,
+    "scd2_incremental_deletes": q_scd2_incremental_deletes,
+    "enrich_history": q_enrich_history,
+    "interval_join": q_interval_join,
+    "derived_minmax_rescan": q_derived_minmax_rescan,
+    "derived_row_view": q_derived_row_view,
+    "stream_sessionize": q_stream_sessionize,
+    "catalog_replicate": q_catalog_replicate,
+    "change_feed_replicate": q_change_feed_replicate,
+    "replica_repair": q_replica_repair,
+    "catalog_repair": q_catalog_repair,
+    "branch_backfill": q_branch_backfill,
+    "delete_where": q_delete_where,
+    "update_query": q_update_query,
+    "mixture_sample": q_mixture_sample,
+    "truncate_to_budget": q_truncate_to_budget,
+    "turn_integrity": q_turn_integrity,
+    "redact_pii": q_redact_pii,
+    "ngram_frequencies": q_ngram_frequencies,
+    "doc_fingerprint": q_doc_fingerprint,
+    "context_window": q_context_window,
+    "repetition_signals": q_repetition_signals,
+    "winnow_overlap_full": q_winnow_overlap_full,
+    "incremental_dedup_verified": q_incremental_dedup_verified,
+    "embedding_clusters_fixed": q_embedding_clusters_fixed,
+    "embedding_neardup_blocked": q_embedding_neardup_blocked,
+    "concat_fields": q_concat_fields,
+    "slug": q_slug,
+    "field_map_dotted": q_field_map_dotted,
+    "include_exclude_extra": q_include_exclude_extra,
+    "distinct_segments": q_distinct_segments,
+    "top_orders": q_top_orders,
+    "entity_relation": q_entity_relation,
+    # --- below the 50-entry driver window: every entry here was
+    # driver-green in CORRECTNESS_r04.json (or is a rows-only /
+    # near-variant whose family representative sits above); all still
+    # run in the local gate.
     "multi_table_route": q_multi_table_route,
     "cdc_apply_patch": q_cdc_apply_patch,
     "cdc_apply_patch_mor": q_cdc_apply_patch_mor,
     "wap_publish": q_wap_publish,
-    "catalog_txn": q_catalog_txn,
     "merge_out_of_order": q_merge_out_of_order,
     "debezium_roundtrip": q_debezium_roundtrip,
     "lww_dedup": q_lww_dedup,
     "incremental_tail": q_incremental_tail,
     "sessionize": q_sessionize,
-    "streaming_cdc_replay_oracle": q_streaming_cdc_replay_oracle,
-    "streaming_scd2_replay_oracle": q_streaming_scd2_replay_oracle,
     "stream_window_agg": q_stream_window_agg,
     "derived_agg_incremental": q_derived_agg_incremental,
     "join_view_incremental": q_join_view_incremental,
@@ -4109,20 +4186,11 @@ QUERIES = {
     "lookup_in": q_lookup_in,
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_revenue_by_nation": q_join_revenue_by_nation,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh_verified": q_dedup_minhash_lsh_verified,
-    "dedup_simhash_full": q_dedup_simhash_full,
-    "dedup_clusters": q_dedup_clusters,
     "quality_filter": q_quality_filter,
     "corpus_pipeline": q_corpus_pipeline,
     "decontaminate": q_decontaminate,
-    "similarity_pq_full": q_similarity_pq_full,
-    "similarity_ivf_full": q_similarity_ivf_full,
-    "similarity_lsh_full": q_similarity_lsh_full,
     "embedding_neardup": q_embedding_neardup,
     "text_stats": q_text_stats,
-    "multimodal_roundtrip": q_multimodal_roundtrip,
     "tfidf_keywords": q_tfidf_keywords,
     "lm_quality_score": q_lm_quality_score,
     "profile_docs": q_profile_docs,
@@ -4130,27 +4198,10 @@ QUERIES = {
     "quota_sample": q_quota_sample,
     "sequence_packing": q_sequence_packing,
     "conversation_assembly": q_conversation_assembly,
-    # --- below the 50-entry driver window: variants + rows-only entries
-    # (each family's representative above; all still in the local gate)
-    "semantic_dedup": q_semantic_dedup,
-    "catalog_replicate": q_catalog_replicate,
     "cdc_apply_skip_unchanged": q_cdc_apply_skip_unchanged,
-    "branch_backfill": q_branch_backfill,
-    "catalog_repair": q_catalog_repair,
-    "replica_repair": q_replica_repair,
-    "change_feed_replicate": q_change_feed_replicate,
     "merge_mor_out_of_order": q_merge_mor_out_of_order,
     "lww_dedup_salted": q_lww_dedup_salted,
-    "field_map_dotted": q_field_map_dotted,
-    "concat_fields": q_concat_fields,
-    "slug": q_slug,
     "uppercase_values": q_uppercase_values,
-    "include_exclude_extra": q_include_exclude_extra,
-    "distinct_segments": q_distinct_segments,
-    "top_orders": q_top_orders,
-    "entity_relation": q_entity_relation,
-    "update_query": q_update_query,
-    "delete_where": q_delete_where,
     "dedup_survivors": q_dedup_survivors,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -4159,34 +4210,13 @@ QUERIES = {
     "similarity_ivf": q_similarity_ivf,
     "similarity_pq": q_similarity_pq,
     "embedding_clusters": q_embedding_clusters,
-    "embedding_clusters_fixed": q_embedding_clusters_fixed,
-    "embedding_neardup_blocked": q_embedding_neardup_blocked,
     "embedding_neardup_blocked_hi": q_embedding_neardup_blocked_hi,
     "profile_docs_approx": q_profile_docs_approx,
-    "redact_pii": q_redact_pii,
-    "ngram_frequencies": q_ngram_frequencies,
-    "mixture_sample": q_mixture_sample,
-    "truncate_to_budget": q_truncate_to_budget,
-    "turn_integrity": q_turn_integrity,
-    "doc_fingerprint": q_doc_fingerprint,
     "winnow_overlap": q_winnow_overlap,
-    "winnow_overlap_full": q_winnow_overlap_full,
     "incremental_dedup": q_incremental_dedup,
-    "incremental_dedup_verified": q_incremental_dedup_verified,
     "multimodal_meta": q_multimodal_meta,
-    "interval_join": q_interval_join,
-    "scd2_deletes": q_scd2_deletes,
-    "enrich_history": q_enrich_history,
-    "scd2_incremental_deletes": q_scd2_incremental_deletes,
-    "stream_sessionize": q_stream_sessionize,
     "streaming_cdc_replay": q_streaming_cdc_replay,
     "streaming_scd2_replay": q_streaming_scd2_replay,
-    "derived_minmax_rescan": q_derived_minmax_rescan,
-    "derived_row_view": q_derived_row_view,
-    "join_view_inner": q_join_view_inner,
-    "join_view_star": q_join_view_star,
-    "context_window": q_context_window,
-    "repetition_signals": q_repetition_signals,
 }
 
 ORACLE_SQL = {

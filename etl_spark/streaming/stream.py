@@ -235,6 +235,12 @@ class CdcStream:
     query: object = field(default=None, init=False)
 
     def __post_init__(self) -> None:
+        if self.dedup_verify and self.dedup_threshold is None:
+            # Surface the config error at CONSTRUCTION — the old check
+            # sat behind `os.path.isdir(keys_dir)`, so batch 0 committed
+            # with verification silently off and the error only raised
+            # mid-stream once the index existed (ADVICE r4).
+            raise ValueError("dedup_verify requires dedup_threshold")
         os.makedirs(self.state_dir, exist_ok=True)
         self.commit_log = CommitLog(os.path.join(self.state_dir, "commits"))
         self.watermarks = WatermarkStore(os.path.join(self.state_dir, "watermarks"))

@@ -77,3 +77,27 @@ def test_inflate_wal_preserves_wal_invariants(tmp_path):
             f = pd.read_parquet(os.path.join(root, n))
             assert f["lsn"].min() > last_hi, (root, n)
             last_hi = int(f["lsn"].max())
+
+
+def test_write_changelog_pins_mtimes_above_prior_calls(tmp_path):
+    """ADVICE r4 (medium): a second write_changelog into the SAME wal
+    dir must pin its segments' mtimes strictly ABOVE every existing
+    segment — mtimes pinned into the future by call 1 must not outrank
+    call 2's, or same-partition segments deliver in reverse LSN order
+    and the per-partition hwm filter silently drops rows."""
+    from etl_spark.cdc import ChangelogSpec, generate_changelog, write_changelog
+
+    spec = ChangelogSpec(n_conversations=200, n_partitions=2,
+                         segments_per_partition=40)
+    wal = str(tmp_path / "wal")
+    p1 = write_changelog(generate_changelog(spec), wal, spec)
+    hi1 = max(os.path.getmtime(p) for p in p1)
+    # call 1 pinned 40 segments at 10 ms spacing -> its max mtime sits
+    # ~0.4 s in the future; an unguarded call 2 starting at time.time()
+    # would slot below it
+    p2 = write_changelog(generate_changelog(spec), wal, spec)
+    lo2 = min(os.path.getmtime(p) for p in p2)
+    assert lo2 > hi1
+    # and within call 2 the (partition, segment) order is still strict
+    mts = [os.path.getmtime(p) for p in p2]
+    assert mts == sorted(mts) and len(set(mts)) == len(mts)

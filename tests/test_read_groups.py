@@ -215,3 +215,37 @@ def test_too_many_groups_falls_through_to_single_join(
     monkeypatch.setattr(table_mod, "_MAX_READ_GROUPS", 2)
     got = {(r.conv_id, r.turn_idx, r.text) for r in t.read().collect()}
     assert got == _expected(40)
+
+
+def test_key_frame_widened_buckets_not_lost(spark, tmp_path, monkeypatch):
+    """ADVICE r4: a caller-passed ``buckets`` set WIDER than per_bucket's
+    keys must read the extra buckets in the grouped fallback too (the
+    broadcast path reads them) — they ride along as an extra group."""
+    t = _make(spark, tmp_path / "t", n_buckets=8)
+    keys = spark.createDataFrame(
+        [(f"c{i}", j) for i in range(0, 40, 3) for j in (0, 1)],
+        T.StructType([T.StructField("conv_id", T.StringType()),
+                      T.StructField("turn_idx", T.IntegerType())]),
+    )
+    pb = t.bucket_histogram(keys)
+    all_buckets = set(range(8))
+    assert len(pb) <= 8
+    want = sorted(
+        tuple(r)
+        for r in t.read_for_key_frame(
+            keys, broadcast=True, buckets=all_buckets
+        ).collect()
+    )
+    monkeypatch.setattr(table_mod, "_MOR_BROADCAST_ROWS", 8)
+    # Drop one bucket's count from the histogram: its keys' rows must
+    # still surface because buckets= names it explicitly.
+    short = dict(pb)
+    short.pop(next(iter(short)))
+    df = t.read_for_key_frame(
+        keys, broadcast=False, distinct=False,
+        buckets=all_buckets, per_bucket=short,
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == want
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan

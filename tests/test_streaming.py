@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 import pandas as pd
 
 from etl_spark.cdc import ChangelogSpec, generate_changelog, write_changelog
@@ -962,3 +964,16 @@ def test_stream_dedup_verify_filters_stale_index_candidates(spark, tmp_path):
     assert frozenset({"convD", "convC"}) in resolved
     assert frozenset({"convB", "convA"}) not in resolved
     assert not any("convB" in p for p in resolved)
+
+
+def test_dedup_verify_without_threshold_rejected_at_construction(
+    spark, tmp_path
+):
+    """ADVICE r4: the config error must surface at CONSTRUCTION, not on
+    batch 1 after batch 0 already committed unverified."""
+    table = make_target(spark, tmp_path)
+    with pytest.raises(ValueError, match="dedup_verify"):
+        CdcStream(
+            spark, str(tmp_path / "wal"), table, str(tmp_path / "state"),
+            dedup_index=True, dedup_verify=True,
+        )
