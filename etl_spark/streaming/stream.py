@@ -81,6 +81,48 @@ def discover_wal_schema(spark: SparkSession, wal_dir: str) -> T.StructType:
     return df.schema
 
 
+def adaptive_files_per_trigger(
+    wal_dir: str,
+    target_rows: int,
+    floor: int,
+    already_processed: int = 0,
+    sample_cap: int = 64,
+) -> int:
+    """Backlog-aware trigger sizing: estimate rows/segment from a sample
+    of parquet FOOTERS (driver metadata reads, no data I/O) and return
+    the files-per-trigger that puts ~``target_rows`` in each micro-batch
+    — never below ``floor`` (the static configuration acts as a minimum
+    so adaptive mode can only coalesce, never slow down). A WAL of many
+    tiny segments then replays in a few driver actions instead of one
+    per ``floor`` files, which is the measured per-batch driver-floor
+    tax at sandbox scale (BENCH.md, skew replay). Sampling is capped so
+    a 10^5-segment backlog costs 64 footer reads, not 10^5."""
+    import pyarrow.parquet as papq
+
+    segs: list[str] = []
+    for root, _dirs, names in os.walk(wal_dir):
+        segs.extend(
+            os.path.join(root, n) for n in names if n.endswith(".parquet")
+        )
+    n_pending = max(0, len(segs) - already_processed)
+    if n_pending == 0:
+        return floor
+    # spread the sample across the listing so one partition's segment
+    # size doesn't dominate the estimate
+    segs.sort()
+    step = max(1, len(segs) // sample_cap)
+    sampled = segs[::step][:sample_cap]
+    rows = 0
+    for p in sampled:
+        try:
+            rows += papq.read_metadata(p).num_rows
+        except Exception:  # unreadable footer: fall back to the floor
+            return floor
+    avg = max(1.0, rows / max(1, len(sampled)))
+    per_trigger = max(int(floor), int(target_rows // avg) or 1)
+    return min(per_trigger, n_pending) if n_pending > floor else floor
+
+
 @dataclass
 class CdcStream:
     spark: SparkSession
@@ -93,6 +135,18 @@ class CdcStream:
     # ~churn x less transform work per batch (see apply_batch)
     transform_stage: str = "pre"
     max_files_per_trigger: int = 8
+    # Adaptive micro-batch coalescing (VERDICT r4 #3): when set, the
+    # files-per-trigger is derived from the PENDING BACKLOG at start()
+    # so each micro-batch carries ~this many rows — a backlog of many
+    # tiny WAL segments replays in a few driver actions instead of one
+    # per `max_files_per_trigger` files (the per-batch driver floor is
+    # the measured residual of the skew replay, BENCH.md). Row counts
+    # come from parquet footers (driver-side metadata only, sampled at
+    # 64 files); coalescing MORE same-partition segments into one batch
+    # is always order-safe — the per-batch LWW dedup resolves intra-
+    # batch order by (ts, lsn), the mtime/watermark contract only
+    # governs CROSS-batch delivery. None = static max_files_per_trigger.
+    adaptive_trigger_rows: int | None = None
     salted_dedup: bool = False
     dead_letter: bool = True
     # Out-of-order tolerant sink (LakeTable.merge lww_by): order columns
@@ -202,6 +256,13 @@ class CdcStream:
     # filtered before pairs/batch=N is written. Off by default: the
     # verify joins the table read into every batch's dedup stage.
     dedup_verify: bool = False
+    # Corpus-delete feed into the index (VERDICT r4 #6): when a batch's
+    # final state for a key is a DELETE, retire that doc's band rows
+    # from the index on the same commit-log-gated cadence (MinHashIndex
+    # .prune) — the index then tracks the LIVE corpus instead of
+    # growing monotonically and wasting probe/verify work on docs the
+    # verify would drop anyway.
+    dedup_prune_deletes: bool = False
     # Downstream incremental materialized views (lake.derived.*View over
     # THIS table): refreshed every N applied batches. Each refresh is
     # exactly-once on its own (the applied-through source version commits
@@ -554,6 +615,19 @@ class CdcStream:
             corpus=corpus,
         )
         n_pairs = pairs.count()
+        if self.dedup_prune_deletes:
+            # keys whose FINAL state in this batch is a delete: their doc
+            # ids (xxhash64 of the key — same id scheme as the ingest)
+            # leave the index. Gated by the same commit marker, so a
+            # crash-replay re-prunes already-absent keys: a no-op merge.
+            final = dedup_last_writer_wins(
+                raw.filter(F.coalesce(pred, F.lit(False))),
+                key=key, salted=self.salted_dedup,
+            )
+            del_ids = final.filter(F.col("op") == "D").select(
+                F.xxhash64(*key).alias("doc_id")
+            )
+            idx.prune(del_ids)
         (
             pairs.withColumn("batch_id", F.lit(batch_id).cast("long"))
             .write.mode("overwrite")
@@ -568,10 +642,17 @@ class CdcStream:
 
     def start(self):
         schema = discover_wal_schema(self.spark, self.wal_dir)
+        per_trigger = self.max_files_per_trigger
+        if self.adaptive_trigger_rows is not None:
+            per_trigger = adaptive_files_per_trigger(
+                self.wal_dir,
+                int(self.adaptive_trigger_rows),
+                floor=self.max_files_per_trigger,
+            )
         stream = (
             self.spark.readStream.schema(schema)
             .option("basePath", self.wal_dir)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .option("maxFilesPerTrigger", per_trigger)
             .parquet(self.wal_dir)
         )
         self.query = (
@@ -640,6 +721,10 @@ class Scd2Stream:
     carry_cols: list[str] = field(default_factory=lambda: ["ts"])
     tiebreak: list[str] | None = None
     max_files_per_trigger: int = 8
+    # backlog-aware trigger coalescing, same contract as CdcStream
+    # (apply_scd2 is whole-batch windowed, so intra-batch order is
+    # resolved by (time_col, tiebreak) regardless of segment grouping)
+    adaptive_trigger_rows: int | None = None
     retry_attempts: int = 3
     query: object = field(default=None, init=False)
 
@@ -719,10 +804,17 @@ class Scd2Stream:
     def start(self):
         schema = discover_wal_schema(self.spark, self.wal_dir)
         self.payload_cols = self._payload_for(schema)
+        per_trigger = self.max_files_per_trigger
+        if self.adaptive_trigger_rows is not None:
+            per_trigger = adaptive_files_per_trigger(
+                self.wal_dir,
+                int(self.adaptive_trigger_rows),
+                floor=self.max_files_per_trigger,
+            )
         stream = (
             self.spark.readStream.schema(schema)
             .option("basePath", self.wal_dir)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .option("maxFilesPerTrigger", per_trigger)
             .parquet(self.wal_dir)
         )
         self.query = (

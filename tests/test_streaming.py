@@ -977,3 +977,133 @@ def test_dedup_verify_without_threshold_rejected_at_construction(
             spark, str(tmp_path / "wal"), table, str(tmp_path / "state"),
             dedup_index=True, dedup_verify=True,
         )
+
+
+def test_adaptive_trigger_coalesces_and_converges(spark, tmp_path):
+    """adaptive_trigger_rows: a many-tiny-segment backlog replays in
+    fewer micro-batches (footer-estimated coalescing) with the SAME
+    converged state as the static-trigger replay — coalescing more
+    same-partition segments into one batch is order-safe because the
+    per-batch LWW dedup resolves intra-batch order by (ts, lsn)."""
+    spec = ChangelogSpec(
+        n_conversations=60, max_turns=5, churn=2.0, n_partitions=4,
+        segments_per_partition=8,  # 32 tiny segments
+    )
+    pdf = generate_changelog(spec)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, spec)
+
+    static_t = make_target(spark, tmp_path / "s")
+    stats_static = CdcStream(
+        spark, wal, static_t, str(tmp_path / "state_s"),
+        max_files_per_trigger=2,
+    ).run_to_completion()
+
+    adaptive_t = make_target(spark, tmp_path / "a")
+    stats_adaptive = CdcStream(
+        spark, wal, adaptive_t, str(tmp_path / "state_a"),
+        max_files_per_trigger=2, adaptive_trigger_rows=10_000_000,
+    ).run_to_completion()
+
+    assert len(stats_static) == 16
+    assert len(stats_adaptive) <= 2  # whole backlog coalesced
+    a = static_t.read().orderBy("conv_id", "turn_idx").collect()
+    b = adaptive_t.read().orderBy("conv_id", "turn_idx").collect()
+    assert a == b
+    exp = expected_final_state(pdf)
+    assert len(a) == len(exp)
+
+
+def test_adaptive_trigger_respects_row_target(spark, tmp_path):
+    """The row target actually bounds the batch: with a target of ~2
+    segments' rows, the coalesced replay still runs multiple batches."""
+    from etl_spark.streaming.stream import adaptive_files_per_trigger
+
+    spec = ChangelogSpec(
+        n_conversations=60, max_turns=5, churn=1.0, n_partitions=2,
+        segments_per_partition=8,
+    )
+    pdf = generate_changelog(spec)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, spec)
+    per_seg = len(pdf) / 16
+    n = adaptive_files_per_trigger(wal, int(per_seg * 4), floor=1)
+    assert 3 <= n <= 6  # ~4 segments per trigger from footer estimate
+    n_floor = adaptive_files_per_trigger(wal, 1, floor=5)
+    assert n_floor == 5  # static config is a minimum, never slower
+
+
+def test_stream_prune_deletes_retires_index_bands(spark, tmp_path):
+    """dedup_prune_deletes=True: a key whose final batch state is a
+    DELETE has its doc's band rows retired from the index on the same
+    commit-gated cadence; a replay over the same state is a no-op."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    wal = str(tmp_path / "wal")
+
+    def seg(name, rows, mtime):
+        pdir = os.path.join(wal, "source_partition=0")
+        os.makedirs(pdir, exist_ok=True)
+        cols = list(zip(*rows))
+        t = pa.table(
+            {
+                "op": pa.array(cols[0], pa.string()),
+                "lsn": pa.array(cols[1], pa.int64()),
+                "ts": pa.array(cols[2], pa.timestamp("us")),
+                "conv_id": pa.array(cols[3], pa.string()),
+                "turn_idx": pa.array(cols[4], pa.int32()),
+                "role": pa.array(cols[5], pa.string()),
+                "text": pa.array(cols[6], pa.string()),
+                "tool": pa.array(cols[7], pa.string()),
+            }
+        )
+        path = os.path.join(pdir, name)
+        pq.write_table(t, path)
+        os.utime(path, (mtime, mtime))
+
+    ts0 = dt.datetime(2020, 1, 1)
+    seg(
+        "seg-00000.parquet",
+        [
+            ("I", 1, ts0, "convA", 0, "user",
+             "a body of text that will later be deleted entirely", None),
+            ("I", 2, ts0, "convB", 0, "user",
+             "a body of text that stays alive in the corpus", None),
+        ],
+        1_600_000_000,
+    )
+    table = make_target(spark, tmp_path)
+    state = str(tmp_path / "state")
+    args = dict(dedup_index=True, dedup_prune_deletes=True)
+    CdcStream(spark, wal, table, state, **args).run_to_completion()
+
+    idx_path = os.path.join(state, "dedup", "index")
+    from etl_spark.lake import LakeTable
+
+    idx = LakeTable.load(spark, idx_path)
+    ids = lambda: {  # noqa: E731
+        r["doc_id"] for r in idx.read().select("doc_id").distinct().collect()
+    }
+    id_a = spark.range(1).select(
+        F.xxhash64(F.lit("convA"), F.lit(0).cast("int"))
+    ).first()[0]
+    assert id_a in ids()
+
+    ts1 = ts0 + dt.timedelta(seconds=60)
+    seg(
+        "seg-00001.parquet",
+        [("D", 3, ts1, "convA", 0, None, None, None)],
+        1_600_000_100,
+    )
+    CdcStream(spark, wal, table, state, **args).run_to_completion()
+    assert id_a not in ids()
+    n = idx.row_count()
+
+    # replay over the same state: commit log short-circuits, index stable
+    CdcStream(spark, wal, table, state, **args).run_to_completion()
+    assert idx.row_count() == n and id_a not in ids()
