@@ -714,6 +714,126 @@ def run_scd2_apply(spark, sf_dir: str, n_batches: int = 4) -> dict:
     return {"n_batches": n_batches, "history_rows": rows, "sec": round(wall, 3)}
 
 
+def run_timeseries_layout(spark, sf_dir: str, n_churn: int = 6) -> dict:
+    """Time-interleaving resilience of zone-map pruning (VERDICT r4 #5):
+    measure a time-range scan over a CHURNED, NEVER-COMPACTED events
+    table in three layouts — (a) arrival order (every post-churn file
+    spans the full time range: the degradation window the r4 verdict
+    flagged), (b) the same table after the compact(sort_by=ts)
+    maintenance tick, and (c) ingest-time sort-on-write
+    (write_sort_by=["ts"]), where every commit lands ts-clustered and
+    there IS no degradation window. Reports scan wall plus the fraction
+    of parquet ROW GROUPS overlapping the probe window (deterministic
+    layout evidence, via footers; parquet.block.size is pinned small for
+    this bench so files carry many row groups, as 100-TB files would)."""
+    import datetime as dt
+
+    import pyarrow.parquet as papq
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_spark.lake import LakeTable
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(64 * 1024))
+    work = tempfile.mkdtemp(prefix="etl_spark_tslayout_")
+    try:
+        events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        schema = T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ])
+        src = events.select("event_id", "ts", "user_id", "value")
+        # arrival order ≠ time order: hash-scramble the seed append
+        scrambled = src.orderBy(F.xxhash64("event_id"))
+        ops = scrambled.withColumn("op", F.lit("U"))
+
+        def build(path, **kw):
+            t = LakeTable.create(
+                spark, os.path.join(work, path), schema, key=["event_id"],
+                n_buckets=8, stats_cols=["ts"], **kw,
+            )
+            t.append(scrambled)
+            # churn: every batch touches keys across the WHOLE range, so
+            # each rewritten bucket file spans it too (the adversarial
+            # interleaving; no compaction in between)
+            for i in range(n_churn):
+                t.merge(
+                    ops.filter(F.pmod(F.col("event_id"), F.lit(7)) == i),
+                    op_col="op",
+                )
+            return t
+
+        lo = dt.datetime(2024, 1, 10)
+        hi = dt.datetime(2024, 1, 11)
+
+        def probe(t):
+            expect = None
+            walls = []
+            for _ in range(3):
+                t0 = time.time()
+                got = (
+                    t.read()
+                    .filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.col("value").cast("decimal(20,6)")).alias("s"),
+                    )
+                    .collect()[0]
+                )
+                walls.append(time.time() - t0)
+                expect = expect or (got["n"], got["s"])
+                assert (got["n"], got["s"]) == expect
+            # deterministic layout evidence: row groups overlapping the
+            # probe window / total row groups
+            tot = hit = 0
+            for e in t.snapshot().data_files:
+                md = papq.read_metadata(os.path.join(t.path, e["path"]))
+                ci = md.schema.to_arrow_schema().get_field_index("ts")
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ci).statistics
+                    tot += 1
+                    if st is None or st.min is None:
+                        hit += 1
+                        continue
+                    smin = st.min.replace(tzinfo=None)
+                    smax = st.max.replace(tzinfo=None)
+                    if smin < hi and smax >= lo:
+                        hit += 1
+            return {
+                "scan_sec": round(min(walls), 3),
+                "rows": expect[0],
+                "row_groups_scanned_frac": round(hit / max(1, tot), 3),
+                "row_groups": tot,
+            }
+
+        unsorted = build("plain")
+        sorted_w = build("sorted", write_sort_by=["ts"])
+        out = {"n_churn_batches": n_churn}
+        out["unsorted_churned"] = probe(unsorted)
+        out["sorted_write_churned"] = probe(sorted_w)
+        t0 = time.time()
+        unsorted.compact(sort_by=["ts"])
+        out["compact_sec"] = round(time.time() - t0, 3)
+        out["unsorted_post_compact"] = probe(unsorted)
+        assert (
+            out["unsorted_churned"]["rows"]
+            == out["sorted_write_churned"]["rows"]
+            == out["unsorted_post_compact"]["rows"]
+        )
+        return out
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_derived_refresh(spark, sf_dir: str, copies=(1, 8)) -> dict:
     """Incremental materialized-view maintenance: the SAME fixed-size
     churn batch (~1k rows) applied to sources of growing size, measuring
@@ -1264,6 +1384,11 @@ def main() -> None:
         skew = run_skew_replay(spark, work_dir)
         queries["skew_salted_replay"] = skew["replay_sec"]
         queries["skew_salted_replay_mor"] = skew["mor"]["replay_sec"]
+        tsl = run_timeseries_layout(spark, sf_dir)
+        queries["timerange_scan_churned"] = tsl["unsorted_churned"]["scan_sec"]
+        queries["timerange_scan_sorted_write"] = (
+            tsl["sorted_write_churned"]["scan_sec"]
+        )
         derived = run_derived_refresh(spark, sf_dir)
         queries["derived_view_refresh"] = derived["refresh_sec"]
         jv = run_joinview_refresh(spark, sf_dir)
@@ -1309,6 +1434,7 @@ def main() -> None:
             "mor_vs_cow": mor,
             "minor_compact": minor,
             "skew": skew,
+            "timeseries_layout": tsl,
             "derived": derived,
             "join_view": jv,
             **lifecycle,

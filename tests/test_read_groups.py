@@ -249,3 +249,80 @@ def test_key_frame_widened_buckets_not_lost(spark, tmp_path, monkeypatch):
     assert got == want
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+# ------------------------------------------------------------- fuzz (r5)
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_op_seq = st.lists(
+    st.tuples(
+        st.sampled_from(["cow", "mor", "patch", "delete"]),
+        st.integers(min_value=0, max_value=9),  # op-pattern seed
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seq=_op_seq, guard=st.sampled_from([2, 5, 9]),
+       key_stride=st.sampled_from([2, 3, 5]))
+def test_fuzz_grouped_reads_equal_broadcast_reads(
+    spark, tmp_path_factory, monkeypatch, seq, guard, key_stride
+):
+    """VERDICT r4 #8: randomized mor+patch+tombstone backlog
+    interleavings — the grouped fallback (key-frame semi joins split
+    into bucket groups under a lowered broadcast guard) must return
+    BIT-IDENTICAL rows to the plain broadcast regime across every
+    mixed-backlog shape, including the hot-single-bucket fallthrough."""
+    tmp = tmp_path_factory.mktemp("fuzz")
+    t = _make(spark, tmp / "t", n_buckets=4)
+    patch_schema = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("lsn", T.LongType()),
+           T.StructField("op", T.StringType()),
+           T.StructField("touched", T.ArrayType(T.StringType()))]
+    )
+    for step, (kind, s) in enumerate(seq):
+        if kind in ("cow", "mor"):
+            ops = (
+                [(f"c{i}", i % 2, f"v{step}.{i}", "U")
+                 for i in range(s % 5, 40, 3)]
+                + [(f"c{i}", 1, None, "D") for i in range(s % 7, 40, 11)]
+            )
+            t.merge(spark.createDataFrame(ops, OP_SCHEMA),
+                    op_col="op", mode=kind)
+        elif kind == "delete":
+            t.delete_where(f"turn_idx = {s % 2} AND conv_id = 'c{s}'")
+        else:  # patch: touch only `text` for a stripe of keys
+            from etl_spark.cdc.patch import apply_patches
+
+            rows = [
+                (f"c{i}", 0, f"p{step}.{i}", step + 1, "U", ["text"])
+                for i in range(s % 4, 40, 6)
+            ]
+            apply_patches(
+                t, spark.createDataFrame(rows, patch_schema),
+                key=["conv_id", "turn_idx"], order_by=["lsn"],
+                op_col="op", touched_col="touched", mode="mor_patch",
+            )
+    keys = spark.createDataFrame(
+        [(f"c{i}", j) for i in range(0, 40, key_stride) for j in (0, 1)],
+        T.StructType([T.StructField("conv_id", T.StringType()),
+                      T.StructField("turn_idx", T.IntegerType())]),
+    )
+    want = sorted(
+        tuple(r) for r in t.read_for_key_frame(keys, broadcast=True).collect()
+    )
+    pb = t.bucket_histogram(keys)
+    monkeypatch.setattr(table_mod, "_MOR_BROADCAST_ROWS", guard)
+    got = sorted(
+        tuple(r)
+        for r in t.read_for_key_frame(
+            keys, broadcast=False, distinct=False, per_bucket=pb
+        ).collect()
+    )
+    assert got == want
