@@ -3451,8 +3451,14 @@ def q_streaming_cdc_replay_oracle(spark: SparkSession, sf_dir: str) -> DataFrame
         key=["conv_id", "turn_idx"],
         n_buckets=8,
     )
+    # max_files_per_trigger=4 forces multi-batch replay (exactly-once
+    # machinery under test); adaptive_trigger_rows rides along with a
+    # row target sized to ~2 segments so the r5 backlog-coalescing path
+    # is ALSO driver-attested — the converged state is trigger-sizing
+    # independent by construction
     run_stream(spark, wal, table, os.path.join(tmp, "state"),
-               max_files_per_trigger=4)
+               max_files_per_trigger=1,
+               adaptive_trigger_rows=max(2, len(ch) // 2))
     out = table.read().select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
     )
