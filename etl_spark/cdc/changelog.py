@@ -207,7 +207,7 @@ def write_changelog(df: pd.DataFrame, wal_dir: str, spec: ChangelogSpec) -> list
         # (the mtime pin below then orders it after the existing one).
         start = 1 + max(
             (
-                int(n[4:9])
+                int(n[4:-8])  # seg-<idx>.parquet, idx width may grow
                 for n in os.listdir(pdir)
                 if n.startswith("seg-") and n.endswith(".parquet")
             ),

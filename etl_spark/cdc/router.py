@@ -382,6 +382,11 @@ class RoutedCdcStream:
     evolve: dict[str, Sequence[str]] | None = None
     op_col: str = "op"
     max_files_per_trigger: int = 8
+    # backlog-aware trigger coalescing, same contract as CdcStream:
+    # per-destination LWW dedup resolves intra-batch order, so grouping
+    # more segments per trigger is order-safe; rows-per-batch bound from
+    # sampled footer estimates with max_files_per_trigger as the floor
+    adaptive_trigger_rows: int | None = None
     salted_dedup: bool = False
     merge_lww_by: list[str] | None = None
     # "mor" commits each destination's merge merge-on-read (O(batch)
@@ -495,13 +500,23 @@ class RoutedCdcStream:
         return out
 
     def run_to_completion(self) -> list[dict]:
-        from etl_spark.streaming.stream import discover_wal_schema
+        from etl_spark.streaming.stream import (
+            adaptive_files_per_trigger,
+            discover_wal_schema,
+        )
 
         schema = discover_wal_schema(self.spark, self.wal_dir)
+        per_trigger = self.max_files_per_trigger
+        if self.adaptive_trigger_rows is not None:
+            per_trigger = adaptive_files_per_trigger(
+                self.wal_dir,
+                int(self.adaptive_trigger_rows),
+                floor=self.max_files_per_trigger,
+            )
         stream = (
             self.spark.readStream.schema(schema)
             .option("basePath", self.wal_dir)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .option("maxFilesPerTrigger", per_trigger)
             .parquet(self.wal_dir)
         )
         self.query = (

@@ -627,7 +627,10 @@ class CdcStream:
             del_ids = final.filter(F.col("op") == "D").select(
                 F.xxhash64(*key).alias("doc_id")
             )
-            idx.prune(del_ids)
+            # one tiny existence probe on the (batch-sized) delete set
+            # saves the index scan + merge jobs on delete-free batches
+            if del_ids.first() is not None:
+                idx.prune(del_ids)
         (
             pairs.withColumn("batch_id", F.lit(batch_id).cast("long"))
             .write.mode("overwrite")

@@ -571,3 +571,46 @@ def test_routed_stream_refreshes_views_on_cadence(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want == {"user": 1, "assistant": 1}
+
+
+def test_routed_stream_adaptive_trigger_coalesces(spark, tmp_path):
+    """adaptive_trigger_rows on the router: a multi-segment backlog
+    coalesces into one micro-batch with the same converged per-table
+    state (per-destination LWW dedup resolves intra-batch order)."""
+    cat, turns, users = mk_catalog(spark, tmp_path)
+    wal = str(tmp_path / "wal" / "part=0")
+    os.makedirs(wal)
+
+    def seg(name, rows, mtime):
+        p = os.path.join(wal, name)
+        spark.createDataFrame(rows, WAL_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p + ".d")
+        part = [f for f in os.listdir(p + ".d") if f.endswith(".parquet")][0]
+        os.rename(os.path.join(p + ".d", part), p)
+        os.utime(p, (mtime, mtime))
+
+    seg("s0.parquet", [
+        ev("turns", "I", 1, conv="c1", turn=0, role="user", text="a"),
+        ev("users", "I", 2, uid=1, name="n1"),
+    ], 1_700_000_000)
+    seg("s1.parquet", [
+        ev("turns", "U", 3, conv="c1", turn=0, role="user", text="b"),
+        ev("users", "D", 4, uid=1),
+        ev("users", "I", 5, uid=2, name="n2"),
+    ], 1_700_000_100)
+    seg("s2.parquet", [
+        ev("turns", "I", 6, conv="c2", turn=0, role="user", text="c"),
+    ], 1_700_000_200)
+
+    stream = RoutedCdcStream(
+        spark, str(tmp_path / "wal"), cat, str(tmp_path / "state"),
+        max_files_per_trigger=1, adaptive_trigger_rows=1_000_000,
+    )
+    stats = stream.run_to_completion()
+    applied = [s for s in stats if not s.get("skipped")]
+    assert len(applied) == 1  # 3 segments, one coalesced batch
+    assert turns_rows(cat.read("turns")) == {
+        ("c1", 0, "user", "b"), ("c2", 0, "user", "c")
+    }
+    assert users_rows(cat.read("users")) == {(2, "n2")}
