@@ -374,6 +374,13 @@ class Snapshot:
     # never-compacted table — time-range scan pruning then does not
     # degrade between maintenance ticks (VERDICT r4 #5 / Missing #3)
     write_sort_by: list[str] = None  # type: ignore[assignment]
+    # ingest-time file rolling: every data write splits bucket files at
+    # this many rows (parquet maxRecordsPerFile), so a seed load or a
+    # hot-bucket cow rewrite never produces a single-scan-task jumbo
+    # file that only compact(target_file_rows) would later fix. 0 = one
+    # file per bucket per commit (the default; manifests hold a list
+    # per bucket either way, nothing downstream changes).
+    write_max_rows_per_file: int = 0
 
     @property
     def total_rows(self) -> int:
@@ -443,6 +450,7 @@ class LakeTable:
         bloom_cols: list[str] | None = None,
         bloom_ndv: int = 1_000_000,
         write_sort_by: list[str] | None = None,
+        write_max_rows_per_file: int = 0,
     ) -> "LakeTable":
         t = cls(spark, path)
         if os.path.exists(t._meta):
@@ -476,6 +484,7 @@ class LakeTable:
             bloom_cols=list(bloom_cols or []),
             bloom_ndv=bloom_ndv,
             write_sort_by=list(write_sort_by or []),
+            write_max_rows_per_file=int(write_max_rows_per_file),
         )
         t._write_snapshot(snap)
         return t
@@ -561,6 +570,7 @@ class LakeTable:
             bloom_cols=d.get("bloom_cols", []),
             bloom_ndv=d.get("bloom_ndv", 1_000_000),
             write_sort_by=d.get("write_sort_by", []),
+            write_max_rows_per_file=d.get("write_max_rows_per_file", 0),
         )
 
     def _write_manifests(self, files: list[dict[str, Any]]) -> list[str]:
@@ -611,6 +621,7 @@ class LakeTable:
                 "bloom_cols": snap.bloom_cols or [],
                 "bloom_ndv": snap.bloom_ndv,
                 "write_sort_by": snap.write_sort_by or [],
+                "write_max_rows_per_file": snap.write_max_rows_per_file,
             },
             indent=1,
         )
@@ -1485,6 +1496,7 @@ class LakeTable:
             bloom_cols=base.bloom_cols,
             bloom_ndv=base.bloom_ndv,
             write_sort_by=base.write_sort_by,
+            write_max_rows_per_file=base.write_max_rows_per_file,
         )
         self._write_snapshot(snap)
         return snap
@@ -1501,6 +1513,7 @@ class LakeTable:
             base.version + 1, aligned, base.n_buckets, stats_cols=base.stats_cols,
             bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
             sort_by=(base.write_sort_by or None),
+                max_rows_per_file=base.write_max_rows_per_file,
         )
         return self._commit(base, base.files, new_files, schema, "append")
 
@@ -1522,6 +1535,7 @@ class LakeTable:
             base.version + 1, aligned, base.n_buckets, stats_cols=base.stats_cols,
             bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
             sort_by=(base.write_sort_by or None),
+                max_rows_per_file=base.write_max_rows_per_file,
         )
         return self._commit(
             base, [], new_files, schema,
@@ -1827,6 +1841,7 @@ class LakeTable:
                 stats_cols=base.stats_cols,
                 bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
                 sort_by=(base.write_sort_by or None),
+                max_rows_per_file=base.write_max_rows_per_file,
             )
             # Delete tombstone files hold the batch's post-dedup D-rows —
             # counted via their footers, then dropped before the commit so
@@ -2210,6 +2225,7 @@ class LakeTable:
                 origin_partition=True, stats_cols=base.stats_cols,
                 bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
                 sort_by=(base.write_sort_by or None),
+                max_rows_per_file=base.write_max_rows_per_file,
             )
             rows_upserted = sum(
                 f["rows"] for f in written if f.get("origin") == "u"
@@ -2521,6 +2537,7 @@ class LakeTable:
             stats_cols=base.stats_cols,
             bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
             sort_by=(base.write_sort_by or None),
+                max_rows_per_file=base.write_max_rows_per_file,
         )
         rows_updated = sum(f["rows"] for f in written if f.get("origin") == "u")
         new_files = [{k: v for k, v in f.items() if k != "origin"} for f in written]
@@ -2649,6 +2666,7 @@ class LakeTable:
                 stats_cols=base.stats_cols,
                 bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
                 sort_by=(base.write_sort_by or None),
+                max_rows_per_file=base.write_max_rows_per_file,
             )
         snap = self._commit(base, keep_files, written, base.schema, "delete")
         return snap, {
@@ -2826,6 +2844,7 @@ class LakeTable:
                 stats_cols=base.stats_cols,
                 bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
                 sort_by=(base.write_sort_by or None),
+                max_rows_per_file=base.write_max_rows_per_file,
             )
             new_files += written
         if base.tomb_files:
@@ -3108,6 +3127,7 @@ class LakeTable:
             base.version + 1, df, n_buckets, stats_cols=base.stats_cols,
             bloom_cols=base.bloom_cols, bloom_ndv=base.bloom_ndv,
             sort_by=(base.write_sort_by or None),
+                max_rows_per_file=base.write_max_rows_per_file,
         )
         if base.tomb_files:
             # raw: guard records, not data; the full rewrite above consumed
@@ -3198,6 +3218,7 @@ class LakeTable:
             bloom_cols=old.bloom_cols,
             bloom_ndv=old.bloom_ndv,
             write_sort_by=old.write_sort_by,
+            write_max_rows_per_file=old.write_max_rows_per_file,
         )
         self._write_snapshot(snap)
         return snap

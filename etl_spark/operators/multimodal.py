@@ -159,6 +159,21 @@ def decode_media_meta(df: DataFrame, data_col: str = "data") -> DataFrame:
                         widths.append(None); heights.append(None)
                     durs.append(None); sizes.append(len(blob))
                     continue
+                if raw[:6] in (b"GIF87a", b"GIF89a") and len(raw) >= 10:
+                    # logical-screen descriptor: u16-LE width/height at
+                    # offsets 6/8 (GIF89a spec §18) — header-only, like
+                    # the PNG IHDR read
+                    w, h = _st.unpack("<HH", raw[6:10])
+                    widths.append(w); heights.append(h); durs.append(None)
+                    sizes.append(len(blob))
+                    continue
+                if raw[:2] == b"BM" and len(raw) >= 26:
+                    # BITMAPINFOHEADER: i32-LE width/height at offsets
+                    # 18/22; height may be negative (top-down rows)
+                    w, h = _st.unpack("<ii", raw[18:26])
+                    widths.append(abs(w)); heights.append(abs(h))
+                    durs.append(None); sizes.append(len(blob))
+                    continue
                 if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
                     try:
                         _r, _c, _n, dur_ms = wav_meta(bytes(blob))

@@ -116,3 +116,35 @@ def test_decode_media_meta_truncated_png_degrades(spark):
     rows = [("p0", "image", "image/png", trunc, (0, 0, 0, len(trunc)))]
     r = decode_media_meta(spark.createDataFrame(rows, MEDIA_SCHEMA)).first()
     assert r["decoded_width"] is None and r["payload_bytes"] is None
+
+
+def test_decode_media_meta_gif_and_bmp_headers(spark):
+    """GIF logical-screen and BMP info-header dimensions decode
+    in-container (header-only, like PNG/JPEG); truncated prefixes
+    degrade to null meta rows."""
+    import struct
+
+    from etl_spark.operators.multimodal import MEDIA_SCHEMA, decode_media_meta
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack("<Iii", 40, 640, -480)  # top-down: negative height
+        + b"\x00" * 24
+    )
+    rows = [
+        ("g0", "image", "image/gif", gif, (320, 200, 0, len(gif))),
+        ("b0", "image", "image/bmp", bmp, (640, 480, 0, len(bmp))),
+        ("g1", "image", "image/gif", b"GIF89a\x01", (0, 0, 0, 7)),
+        ("b1", "image", "image/bmp", b"BM\x00\x00", (0, 0, 0, 4)),
+    ]
+    out = {
+        r["asset_id"]: r
+        for r in decode_media_meta(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert (out["g0"]["decoded_width"], out["g0"]["decoded_height"]) == (320, 200)
+    assert (out["b0"]["decoded_width"], out["b0"]["decoded_height"]) == (640, 480)
+    assert out["g1"]["decoded_width"] is None
+    assert out["b1"]["decoded_width"] is None

@@ -1701,3 +1701,42 @@ def test_write_sort_by_validates_and_preserves_results(spark, tmp_path):
     rows = [(i, dt.datetime(2024, 1, 1 + i % 5)) for i in range(40)]
     t.append(spark.createDataFrame(rows, schema))
     assert sorted((r["id"], r["ts"]) for r in t.read().collect()) == sorted(rows)
+
+
+def test_write_max_rows_per_file_rolls_every_write(spark, tmp_path):
+    """Ingest-time file rolling: a seed append (and later merges) split
+    bucket files at the configured row count, so a jumbo load never
+    produces a single-scan-task file; property persists across reload;
+    results identical."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "roll"), schema, key=["id"], n_buckets=2,
+        write_max_rows_per_file=100,
+    )
+    rows = [(i, float(i)) for i in range(1000)]
+    t.append(spark.createDataFrame(rows, schema))
+    snap = t.snapshot()
+    per_bucket = {}
+    for e in snap.data_files:
+        per_bucket.setdefault(e["bucket"], []).append(e["rows"])
+    assert set(per_bucket) == {0, 1}
+    for b, counts in per_bucket.items():
+        assert len(counts) >= 4, (b, counts)  # ~500 rows rolled at 100
+        assert max(counts) <= 100
+    assert sorted((r["id"], r["v"]) for r in t.read().collect()) == rows
+
+    # merge keeps rolling; reload sees the property
+    t2 = LakeTable.load(spark, str(tmp_path / "roll"))
+    assert t2.snapshot().write_max_rows_per_file == 100
+    ops = T.StructType(list(schema.fields) + [T.StructField("op", T.StringType())])
+    t2.merge(
+        spark.createDataFrame([(i, -1.0, "U") for i in range(0, 1000, 2)], ops),
+        op_col="op",
+    )
+    snap2 = t2.snapshot()
+    assert max(e["rows"] for e in snap2.data_files) <= 100
+    got = {r["id"]: r["v"] for r in t2.read().collect()}
+    assert got[0] == -1.0 and got[1] == 1.0 and len(got) == 1000
