@@ -2922,7 +2922,7 @@ class LakeTable:
 
     def compact(
         self,
-        target_file_rows: int = 5_000_000,
+        target_file_rows: int | None = None,
         drop_tombstones: bool = False,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
@@ -2990,6 +2990,10 @@ class LakeTable:
         if sort_by and zorder_by:
             raise ValueError("pass either sort_by or zorder_by, not both")
         base = self.snapshot()
+        if target_file_rows is None:
+            # a table that bounds its INGEST files keeps the same bound
+            # through maintenance — compaction must not undo the layout
+            target_file_rows = base.write_max_rows_per_file or 5_000_000
         if buckets is not None or min_files is not None:
             sel: set[int] = set(buckets or ())
             bad = sorted(b for b in sel if not 0 <= b < base.n_buckets)

@@ -8,10 +8,13 @@ sampling are fully IMPLEMENTED for the engine's raw raster format
 stdlib-decoded in-container: 8-bit non-interlaced PNG (``operators.png``,
 zlib + numpy filter reconstruction) and 16-bit PCM WAV
 (``operators.wav`` — header metadata, sample decode, RMS/ZCR analysis).
-Remaining compressed/container formats (JPEG/MP4/...) are handled by
-SOFT-IMPORTED codecs — when Pillow (images) / PyAV (video) is installed
-on the host, those paths are real; without them they raise the
-documented ``NotImplementedError`` at the plug-point. Nothing else
+The METADATA path (``decode_media_meta`` — what profiling/filtering
+need) additionally covers JPEG (``operators.jpeg`` SOFn marker scan),
+GIF (logical-screen descriptor) and BMP (info header) with zero native
+deps. Remaining compressed/container PIXEL decodes (JPEG/MP4/...) are
+handled by SOFT-IMPORTED codecs — when Pillow (images) / PyAV (video)
+is installed on the host, those paths are real; without them they raise
+the documented ``NotImplementedError`` at the plug-point. Nothing else
 changes between the regimes.
 
 Scale notes: binary payloads dominate row size, so media tables bucket by

@@ -1740,3 +1740,24 @@ def test_write_max_rows_per_file_rolls_every_write(spark, tmp_path):
     assert max(e["rows"] for e in snap2.data_files) <= 100
     got = {r["id"]: r["v"] for r in t2.read().collect()}
     assert got[0] == -1.0 and got[1] == 1.0 and len(got) == 1000
+
+
+def test_compact_defaults_to_table_file_bound(spark, tmp_path):
+    """compact() without an explicit target keeps the table's ingest
+    file bound — maintenance never undoes the write-time layout."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "cb"), schema, key=["id"], n_buckets=1,
+        write_max_rows_per_file=100,
+    )
+    for k in range(3):
+        t.append(spark.createDataFrame(
+            [(k * 1000 + i, float(i)) for i in range(250)], schema
+        ))
+    t.compact()
+    snap = t.snapshot()
+    assert max(e["rows"] for e in snap.data_files) <= 100
+    assert t.row_count() == 750
