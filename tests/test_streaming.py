@@ -1107,3 +1107,36 @@ def test_stream_prune_deletes_retires_index_bands(spark, tmp_path):
     # replay over the same state: commit log short-circuits, index stable
     CdcStream(spark, wal, table, state, **args).run_to_completion()
     assert idx.row_count() == n and id_a not in ids()
+
+
+def test_scd2_stream_adaptive_trigger_converges(spark, tmp_path):
+    """adaptive_trigger_rows on the SCD2 target: the coalesced replay
+    builds the same history as the rate-limited one (apply_scd2 is
+    whole-batch windowed, so intra-batch order is resolved by the
+    validity axis regardless of segment grouping)."""
+    from etl_spark.streaming import Scd2Stream
+
+    pdf = generate_changelog(SPEC)
+    wal = str(tmp_path / "wal")
+    write_changelog(pdf, wal, SPEC)
+
+    t_static = _mk_scd2(spark, tmp_path / "s")
+    Scd2Stream(
+        spark, wal, t_static, str(tmp_path / "state_s"),
+        max_files_per_trigger=2,
+    ).run_to_completion()
+
+    t_adaptive = _mk_scd2(spark, tmp_path / "a")
+    stats = Scd2Stream(
+        spark, wal, t_adaptive, str(tmp_path / "state_a"),
+        max_files_per_trigger=1, adaptive_trigger_rows=10_000_000,
+    ).run_to_completion()
+    live = [s for s in stats if not s.get("skipped")]
+    assert len(live) == 1  # whole 9-segment backlog coalesced
+
+    cols = _scd2_cols()
+    a = (t_static.read().orderBy("conv_id", "turn_idx", "version")
+         .toPandas()[cols].reset_index(drop=True))
+    b = (t_adaptive.read().orderBy("conv_id", "turn_idx", "version")
+         .toPandas()[cols].reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
